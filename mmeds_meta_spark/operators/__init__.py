@@ -1,0 +1,46 @@
+"""Operator inventory registry.
+
+Every operator from SURVEY.md §2 (and the large-scale training-data-pipeline
+extensions) registers a :class:`QuerySpec` here: a Spark implementation
+(callable ``(spark, sf_dir) -> DataFrame``) plus, when SQL-expressible, an
+equivalent DuckDB oracle SQL string used by the driver's correctness gate.
+
+Cross-engine determinism rules used throughout (see ``relational.py``):
+
+* Money/quantity aggregation: cast to ``DECIMAL`` per-row, aggregate the
+  decimals (exact in both engines), cast the final result to DOUBLE.
+* Mean/stddev/SEM/z-score: compute integer-scaled first and second moments
+  exactly (``DECIMAL(38,0)`` in Spark, ``HUGEINT`` in DuckDB), then apply
+  the *identical* closed-form double expression on both sides — IEEE ops on
+  identical inputs in identical order give identical bits.
+* Hashes shared across engines use ``md5`` hex strings (never engine-native
+  ``hash()``), so MinHash/LSH signatures agree byte-for-byte.
+* Collections are emitted as ``concat_ws(',', sort_array(...))`` /
+  ``string_agg(... ORDER BY ...)`` so ordering is total and portable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One operator demo: Spark plan + optional DuckDB oracle + provenance."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str  # SURVEY §2 operator id + reference file:line provenance
+
+
+def registry() -> dict[str, QuerySpec]:
+    """Assemble the full operator registry (import-light until called)."""
+    from . import dedup, multimodal, relational, similarity, stats, text
+
+    merged: dict[str, QuerySpec] = {}
+    for mod in (relational, stats, dedup, similarity, text, multimodal):
+        merged.update(mod.QUERIES)
+    return merged

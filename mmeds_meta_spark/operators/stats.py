@@ -1,0 +1,256 @@
+"""Statistical operators (SURVEY §2.4 A5/A6/A10/A11, §2.10 D3).
+
+Cross-engine float determinism: every mean/std/SEM/z-score is computed from
+*integer-scaled exact moments* — ``S = Σ round(x·scale)``, ``Q = Σ h²``,
+``n`` — accumulated as ``DECIMAL(38,0)`` (Spark) / ``HUGEINT`` (DuckDB),
+which are exact regardless of partitioning, then finished with the
+*textually identical* double-precision formula on both engines.  Identical
+integer inputs + identical IEEE op order ⇒ identical doubles ⇒ identical
+value hashes.  The 1e-6 input rounding this implies is documented per query.
+
+At scale these are single-pass partial aggregations (map-side combine), no
+different from any sum/count — the pattern costs nothing extra.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# A6 — z-score outlier detection  (validate.py:137-151 check_number_column)
+# ---------------------------------------------------------------------------
+# numpy population σ (ddof=0).  |x−μ| > 2σ  ⇔  (n·h − S)² > 4·(n·Q − S²)
+# with h = round(100·x) — fully integer, hence EXACT in both engines.
+
+
+def a6_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "events").withColumn(
+        "hx", F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))")
+    )
+    stats = o.agg(
+        F.expr("SUM(hx)").alias("s"),
+        F.expr("SUM(hx * hx)").alias("q"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(F.expr("(n * hx - s) * (n * hx - s) > 4 * (n * q - s * s)"))
+        .select("event_id", "value")
+    )
+
+
+_A6_SQL = """
+WITH h AS (
+  SELECT event_id, value, CAST(ROUND(value * 1e6) AS HUGEINT) AS hx FROM events
+), st AS (
+  SELECT SUM(hx) AS s, SUM(hx * hx) AS q, CAST(COUNT(*) AS HUGEINT) AS n FROM h
+)
+SELECT event_id, value
+FROM h, st
+WHERE (n * hx - s) * (n * hx - s) > 4 * (n * q - s * s)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5 — rare-category detection  (validate.py:153-166 check_string_column)
+# ---------------------------------------------------------------------------
+# pandas .std() ⇒ sample std (ddof=1) over the category counts.
+
+
+def a5_rare_category_profile(spark: SparkSession, sf: str) -> DataFrame:
+    counts = _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
+    st = counts.agg(
+        F.expr("SUM(cnt)").alias("sc"),
+        F.expr("SUM(cnt * cnt)").alias("qc"),
+        F.expr("COUNT(*)").alias("k"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(st))
+        .select(
+            "event_type",
+            "cnt",
+            F.expr("CAST(sc AS DOUBLE) / k").alias("mean_cnt"),
+            F.expr("SQRT(CAST(k * qc - sc * sc AS DOUBLE) / (k * (k - 1)))").alias("std_cnt"),
+            F.expr(
+                "CAST(cnt AS DOUBLE) < CAST(sc AS DOUBLE) / k"
+                " - SQRT(CAST(k * qc - sc * sc AS DOUBLE) / (k * (k - 1))) AND cnt < 3"
+            ).alias("is_rare"),
+        )
+    )
+
+
+_A5_SQL = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+), st AS (
+  SELECT SUM(cnt) AS sc, SUM(cnt * cnt) AS qc, COUNT(*) AS k FROM counts
+)
+SELECT event_type, cnt,
+       CAST(sc AS DOUBLE) / k AS mean_cnt,
+       SQRT(CAST(k * qc - sc * sc AS DOUBLE) / (k * (k - 1))) AS std_cnt,
+       (CAST(cnt AS DOUBLE) < CAST(sc AS DOUBLE) / k
+        - SQRT(CAST(k * qc - sc * sc AS DOUBLE) / (k * (k - 1))) AND cnt < 3) AS is_rare
+FROM counts, st
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10/A11 — grouped mean + SEM  (summary_code.txt alpha blocks; SEM = σ/√n,
+# pandas ddof=1).  Values rounded to 1e-6 before aggregation (documented).
+# ---------------------------------------------------------------------------
+
+def _moments():
+    # built lazily: pyspark Columns need an active session
+    return [
+        F.expr("SUM(hv)").alias("s"),
+        F.expr("SUM(hv * hv)").alias("q"),
+        F.expr("COUNT(*)").alias("n"),
+    ]
+
+_MEAN_EXPR = "CAST(s AS DOUBLE) / 1e6 / n"
+_SEM_EXPR = (
+    "SQRT(CAST(n * CAST(q AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+    " / (n * (n - 1)) / 1e12) / SQRT(CAST(n AS DOUBLE))"
+)
+
+
+def a11_grouped_mean_sem(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn(
+        "hv", F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))")
+    )
+    g = ev.groupBy("event_type").agg(*_moments())
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr(_MEAN_EXPR).alias("mean_value"),
+        F.expr(_SEM_EXPR).alias("sem_value"),
+    )
+
+
+_A11_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(ROUND(value * 1e6) AS HUGEINT) AS hv FROM events
+), g AS (
+  SELECT event_type, SUM(hv) AS s, SUM(hv * hv) AS q, COUNT(*) AS n
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       CAST(s AS DOUBLE) / 1e6 / n AS mean_value,
+       SQRT(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1)) / 1e12)
+         / SQRT(CAST(n AS DOUBLE)) AS sem_value
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10 — two-stage grouped mean (rarefaction-iteration mean analog):
+# mean over (user, event_type), then per-type mean-of-means.
+# ---------------------------------------------------------------------------
+
+
+def a10_grouped_mean_of_means(spark: SparkSession, sf: str) -> DataFrame:
+    """summary alpha: groupby(sample,depth).mean → groupby(group).mean.
+    Stage-1 means are n-dependent rationals, so stage 2 re-derives exact
+    integers: Σ_users (S_u/n_u) is computed with per-user rounding to 1e-6
+    (documented determinism contract), then stage-2 mean over rounded means
+    uses the exact-moment pattern again."""
+    ev = _t(spark, sf, "events").withColumn(
+        "hv", F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))")
+    )
+    stage1 = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.expr("SUM(hv)").alias("s1"), F.expr("COUNT(*)").alias("n1"))
+        # per-(user,type) mean, re-rounded to 1e-6 → exact int again
+        .withColumn("hm", F.expr("CAST(ROUND(CAST(s1 AS DOUBLE) / n1) AS DECIMAL(38,0))"))
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(F.expr("SUM(hm)").alias("s2"), F.expr("COUNT(*)").alias("n2"))
+        .select(
+            "event_type",
+            F.col("n2").alias("n_users"),
+            F.expr("CAST(s2 AS DOUBLE) / 1e6 / n2").alias("mean_of_user_means"),
+        )
+    )
+
+
+_A10_SQL = """
+WITH h AS (
+  SELECT user_id, event_type, CAST(ROUND(value * 1e6) AS HUGEINT) AS hv FROM events
+), s1 AS (
+  SELECT user_id, event_type,
+         CAST(ROUND(CAST(SUM(hv) AS DOUBLE) / COUNT(*)) AS HUGEINT) AS hm
+  FROM h GROUP BY user_id, event_type
+)
+SELECT event_type, COUNT(*) AS n_users,
+       CAST(SUM(hm) AS DOUBLE) / 1e6 / COUNT(*) AS mean_of_user_means
+FROM s1 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — one-way ANOVA F statistic  (rules/diversity_analysis.smk:77-88
+# alpha-group-significance).  F rounded to 6dp (sum-over-groups of doubles
+# is the one place exactness can't be preserved portably).
+# ---------------------------------------------------------------------------
+
+
+def d3_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn(
+        "hv", F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))")
+    )
+    g = ev.groupBy("event_type").agg(*_moments())
+    # per-group term S_g²/n_g in double; Σ over the (few) groups
+    terms = g.select(
+        F.expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n").alias("term"),
+        "s",
+        "q",
+        F.col("n").alias("ng"),
+    )
+    tot = terms.agg(
+        F.expr("SUM(term)").alias("sum_terms"),
+        F.expr("SUM(s)").alias("st"),
+        F.expr("SUM(q)").alias("qt"),
+        F.expr("SUM(ng)").alias("nt"),
+        F.expr("COUNT(*)").alias("k"),
+    )
+    return tot.select(
+        F.expr(
+            "ROUND(((sum_terms - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt) / (k - 1))"
+            " / ((CAST(qt AS DOUBLE) - sum_terms) / (nt - k)), 6)"
+        ).alias("f_stat"),
+        F.expr("CAST(k - 1 AS BIGINT)").alias("df_between"),
+        F.expr("CAST(nt - k AS BIGINT)").alias("df_within"),
+    )
+
+
+_D3_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(ROUND(value * 1e6) AS HUGEINT) AS hv FROM events
+), g AS (
+  SELECT event_type, SUM(hv) AS s, SUM(hv * hv) AS q, COUNT(*) AS n
+  FROM h GROUP BY event_type
+), t AS (
+  SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sum_terms,
+         SUM(s) AS st, SUM(q) AS qt, SUM(n) AS nt, COUNT(*) AS k
+  FROM g
+)
+SELECT ROUND(((sum_terms - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt) / (k - 1))
+             / ((CAST(qt AS DOUBLE) - sum_terms) / (nt - k)), 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(nt - k AS BIGINT) AS df_within
+FROM t
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "a6_zscore_outliers": QuerySpec(a6_zscore_outliers, _A6_SQL, "A6 validate.py:137-151"),
+    "a5_rare_category_profile": QuerySpec(a5_rare_category_profile, _A5_SQL, "A5 validate.py:153-166"),
+    "a11_grouped_mean_sem": QuerySpec(a11_grouped_mean_sem, _A11_SQL, "A10/A11 summary_code.txt alpha blocks"),
+    "a10_grouped_mean_of_means": QuerySpec(a10_grouped_mean_of_means, _A10_SQL, "A10 summary_code.txt qiime1 alpha"),
+    "d3_anova_f": QuerySpec(d3_anova_f, _D3_SQL, "D3 rules/diversity_analysis.smk:77-88"),
+}

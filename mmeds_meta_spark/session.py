@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same configs are what we would ship on
+a multi-executor cluster: AQE on (runtime re-planning, skew-join handling,
+partition coalescing), a shuffle-partition count sized to the cluster, and
+Arrow for the few Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of cores the driver/harness gives us; shuffle partitions follow.
+_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mmeds-meta-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard configs.
+
+    At 100 TB the only values that change are ``shuffle.partitions`` (sized
+    to ~2-3x total cluster cores) and ``maxPartitionBytes``; everything else
+    (AQE, skew handling, Arrow, UTC session TZ) is scale-independent.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    n = cpus or _CPUS
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
