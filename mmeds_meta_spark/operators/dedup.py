@@ -1,4 +1,315 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+These extend the reference's duplicate-detection semantics
+(validate.py:222-252 `check_duplicates`; metadata_uploader.py:283-297 `seen`
+cache) to the document/corpus scale a 100 TB training-data pipeline needs:
+
+* exact dedup        — hash-groupBy (one shuffle on the fingerprint)
+* n-gram Jaccard     — inverted-index self-join on shingles (never a cross
+                       join); document-frequency cap kills the quadratic
+                       blowup hot shingles would cause
+* MinHash + LSH      — portable md5-string MinHash, banded; candidate pairs
+                       come from equi-joins on (band, key) buckets only
+* embedding cosine   — blocked (by label) pair generation + cosine ≥ τ
+
+Portability note: every hash is an ``md5`` hex string and every "min-hash"
+is the lexicographic MIN of such strings — identical in Spark and DuckDB,
+no engine-native ``hash()`` anywhere.
+
+Scale notes: all pair generation is bucket-local (shingle, LSH band, or
+label block).  At 100 TB you'd additionally salt hot buckets and cap
+bucket width; the df-cap here is that same idea applied at the semantic
+level.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+# ---------------------------------------------------------------------------
+# exact dedup — md5(text) hash-groupBy
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: fingerprint → group; keeper = min(doc_id) per group.
+    One shuffle on the (high-cardinality, unskewed) fingerprint."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("fingerprint", F.md5("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared shingle builder (word 2-grams, distinct per doc)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-2-grams.  posexplode + self-join on
+    pos+1 keeps everything JVM-side (no Python UDF in the tokenizer)."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    nxt = tok.select(
+        F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).alias("pos2"), F.col("tok").alias("tok2")
+    )
+    return (
+        tok.join(nxt, (tok.doc_id == nxt.doc_id2) & (tok.pos == nxt.pos2))
+        .select("doc_id", F.concat_ws(" ", "tok", "tok2").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = """
+  toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ), shingles AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS shingle
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup — inverted-index join, df-capped
+# ---------------------------------------------------------------------------
+
+_DF_CAP_FRAC = 0.20  # drop shingles present in >20% of docs (hot buckets)
+_JACCARD_TAU = 0.30
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by word-2-gram Jaccard ≥ τ.
+
+    Jaccard = |∩| / (|A|+|B|−|∩|) — an integer ratio, so the emitted double
+    is bit-identical across engines.  Pair candidates come ONLY from the
+    inverted-index join on df-capped shingles (no cross join); |A|,|B| are
+    full (uncapped) shingle-set sizes so the statistic stays honest.
+    """
+    sh = _doc_shingles(spark, sf).cache()
+    n_docs = _t(spark, sf, "documents").count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= int(_DF_CAP_FRAC * n_docs))
+        .select("shingle")
+    )
+    rare = sh.join(df_ok, "shingle")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), ndocs AS (
+  SELECT COUNT(*) AS n FROM documents
+), df_ok AS (
+  SELECT shingle FROM shingles, ndocs GROUP BY shingle, n
+  HAVING COUNT(*) <= CAST({_DF_CAP_FRAC} * n AS BIGINT)
+), rare AS (
+  SELECT doc_id, shingle FROM shingles WHERE shingle IN (SELECT shingle FROM df_ok)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — portable md5-string minhash, banded
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: signature = per-seed MIN(md5(seed||shingle));
+    band key = md5(concat of the band's rows); candidates share any band.
+
+    The O(n²) pair space never materializes — only bucket-local equi-joins.
+    At 100 TB this is THE dedup path (Jaccard verify runs on candidates
+    only).  Output: candidate pairs with the number of agreeing bands.
+    """
+    sh = _doc_shingles(spark, sf)
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle")).alias("h"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+        ).alias(f"band{b}")
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    sig_b = sig.select("doc_id", *bands)
+    long = sig_b.selectExpr(
+        "doc_id",
+        "stack("
+        + str(_N_HASHES // _BAND_ROWS)
+        + ", "
+        + ", ".join(f"{b}, band{b}" for b in range(_N_HASHES // _BAND_ROWS))
+        + ") AS (band_id, band_key)",
+    )
+    other = long.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("band_key").alias("band_key2")
+    )
+    return (
+        long.join(
+            other,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("band_key") == F.col("band_key2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}" for i in range(_N_HASHES)
+    )
+    bands = ",\n       ".join(
+        "md5("
+        + " || '|' || ".join(f"m{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        + f") AS band{b}"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    stack = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig_b"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
+hashed AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM shingles, seeds
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), sig_b AS (
+  SELECT doc_id, {bands}
+  FROM sig
+), long AS ({stack})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM long a
+JOIN long b ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup — label-blocked pairs
+# ---------------------------------------------------------------------------
+
+_COS_TAU = 0.35
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup vector pairs (cosine ≥ τ) within label blocks.
+
+    Blocking (here: the label column; in production: an LSH/IVF bucket)
+    keeps pair generation linear per block.  Cosine is rounded to 4dp on
+    both engines before the threshold so the emitted values agree.
+    """
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label2"), F.col("v").alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+    na = F.expr("SQRT(aggregate(zip_with(va, va, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))")
+    nb = F.expr("SQRT(aggregate(zip_with(vb, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))")
+    return (
+        a.join(b, (F.col("label") == F.col("label2")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim", F.round(dot / (na * nb), 4))
+        .filter(F.col("cos_sim") >= _COS_TAU)
+        .select("vec_a", "vec_b", "label", "cos_sim")
+    )
+
+
+_EMB_COS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(list_dot_product(a.v, b.v)
+             / (SQRT(list_dot_product(a.v, a.v))
+                * SQRT(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (SQRT(list_dot_product(a.v, a.v))
+               * SQRT(list_dot_product(b.v, b.v))), 4) >= {_COS_TAU}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_hash": QuerySpec(
+        dedup_exact_hash, _EXACT_SQL, "LLM-pipeline dedup (exact); A7 validate.py:222-252 analog"
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, _JACCARD_SQL, "LLM-pipeline dedup (n-gram Jaccard, inverted index)"
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_lsh, _minhash_sql(), "LLM-pipeline dedup (MinHash+LSH banding)"
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, _EMB_COS_SQL, "LLM-pipeline dedup (embedding cosine, blocked)"
+    ),
+}

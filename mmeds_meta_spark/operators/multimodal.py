@@ -1,4 +1,162 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image_batch`` raises ``NotImplementedError`` unless a
+deterministic fake decoder is requested.  Everything Spark-side — schema,
+batching, partitioning, UDF signature — is real and tested
+(tests/test_multimodal.py).
+
+At 100 TB: binary payloads ride in their own parquet column (column
+pruning keeps metadata-only queries from touching bytes); decode fans out
+per input split with ``mapInPandas`` (Arrow batches, no per-row pickling);
+frame-sampling/resize emit one row per artifact so downstream joins stay
+relational.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+# ---------------------------------------------------------------------------
+# media schema + synthesis (documents.text → fake payload bytes)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize an opaque-binary media table from documents (the testdata
+    carries no real blobs).  payload = utf-8 bytes of the text."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode step — Arrow-batched mapInPandas; real plumbing, stubbed codec
+# ---------------------------------------------------------------------------
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for a codec: derives dims/intensity from the
+    bytes themselves, so tests can assert exact values."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + (n % 48)
+    channels = 1 + (n % 3)
+    mean_intensity = (sum(payload[:64]) % 2560) / 10.0
+    return width, height, channels, mean_intensity
+
+
+def decode_media(df: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
+    """Decode binary payloads → typed metadata rows via ``mapInPandas``.
+
+    Real decoders (PIL/librosa/ffmpeg) are not in this container: without
+    ``use_fake_codec=True`` the returned plan raises ``NotImplementedError``
+    at execution time — the documented stub seam where a codec plugs in.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not use_fake_codec:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass use_fake_codec=True or plug a real decoder here"
+                )
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "mean_intensity": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled offset —
+    pure-relational explode of a generated offset sequence (no UDF)."""
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_bytes") - 1, F.lit(every_n_bytes))).alias(
+            "frame_offset"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entry — metadata path (column pruning means payloads stay unread)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_meta_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed-metadata profile of the media table + payload checksum: the
+    query pattern that must NOT decode (and with real parquet layout, not
+    even read) the payload bytes for its aggregates — checksum column
+    excepted here to prove byte-level parity."""
+    m = media_table(spark, sf)
+    return m.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min(F.md5("payload")).alias("min_payload_md5"),
+    )
+
+
+_META_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(text AS BLOB) AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT media_type, COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(md5(CAST(payload AS VARCHAR))) AS min_payload_md5
+FROM media GROUP BY media_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_meta_profile": QuerySpec(
+        multimodal_meta_profile, _META_SQL, "LLM-pipeline multimodal (binary columns + metadata)"
+    ),
+}

@@ -1,4 +1,156 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the correctness baseline; one pass over the
+  vectors, JVM-side zip_with/aggregate arithmetic, top-k via window rank.
+* IVF (centroid-bucketed) top-k — the scale path: assign every vector to
+  its nearest seed centroid (a broadcast of K centroids), then search only
+  the query's bucket.  At 100 TB the bucket assignment is a narrow map and
+  each query touches 1/K of the data; buckets are the partition key.
+
+Cosine values are rounded to 4dp on BOTH engines before ranking/threshold
+so cross-engine summation-order differences (≈1e-15) can't flip results;
+ties broken by vec_id for total determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..testdata import table as _t
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+_N_CENTROIDS = 8
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+
+
+def _as_double(df: DataFrame, out: str) -> DataFrame:
+    return df.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias(out)
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vector (vec_id=0)."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cand = e.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    cos = F.expr(
+        f"ROUND({_DOT.format(a='v', b='qv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='qv', b='qv')})), 4)"
+    )
+    ranked = cand.withColumn("cos_sim", cos).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= _TOP_K).select("rank", "vec_id", "label", "cos_sim")
+
+
+_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), scored AS (
+  SELECT vec_id, label,
+         ROUND(list_dot_product(v, qv)
+               / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cos_sim
+  FROM e, q WHERE vec_id != {_QUERY_VEC_ID}
+), ranked AS (
+  SELECT vec_id, label, cos_sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: seed centroids = vectors 0..K-1 (deterministic);
+    every vector is assigned to its nearest centroid (argmax cosine,
+    tie-break centroid id); the query searches only its own bucket.
+
+    Demonstrates the bucketed physical plan: broadcast centroids → narrow
+    assignment → bucket-local candidate scan."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    cents = (
+        e.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    cos_c = F.expr(
+        f"ROUND({_DOT.format(a='v', b='cv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='cv', b='cv')})), 4)"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", F.col("cent_id").alias("bucket"))
+    )
+    qb = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = assigned.join(
+        F.broadcast(qb), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    cos_q = F.expr(
+        f"ROUND({_DOT.format(a='v', b='qv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='qv', b='qv')})), 4)"
+    )
+    ranked = cand.withColumn("cos_sim", cos_q).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= _TOP_K).select(
+        "rank", "vec_id", "label", "bucket", "cos_sim"
+    )
+
+
+_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.label, e.v, cent_id,
+         ROUND(list_dot_product(v, cv)
+               / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(cv, cv))), 4) AS cos_c
+  FROM e, cents
+), assigned AS (
+  SELECT vec_id, label, v, cent_id AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+), qb AS (
+  SELECT v AS qv, bucket AS qbucket FROM assigned WHERE vec_id = {_QUERY_VEC_ID}
+), cand AS (
+  SELECT vec_id, label, bucket,
+         ROUND(list_dot_product(v, qv)
+               / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cos_sim
+  FROM assigned, qb WHERE bucket = qbucket AND vec_id != {_QUERY_VEC_ID}
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT rank, vec_id, label, bucket, cos_sim FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, _IVF_SQL, "LLM-pipeline similarity (IVF bucketed top-k)"),
+}

@@ -1,4 +1,189 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, and bag
+fingerprinting.  All tokenization stays JVM-side (split/explode, no Python
+UDFs) — at 100 TB these are single-shuffle groupBys on doc_id or pure
+narrow maps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+# ---------------------------------------------------------------------------
+# token stats — whitespace tokens + BPE-ish word/nonword pieces
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish regex pieces, and
+    mean token length (exact integer ratio → identical double)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_bpe_pieces"),
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            " / size(split(text, ' '))"
+        ).alias("mean_tok_len"),
+    )
+
+
+_TOKEN_SQL = f"""
+SELECT doc_id, source,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_pieces,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_tok_len
+FROM documents
+"""
+# mean_tok_len: total token chars = length(text) − (n_tokens−1) single spaces;
+# the Spark side folds token lengths — same integer, identical double.
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — stopword ratio, vocab richness, length band
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality signals: stopword ratio, type-token ratio (distinct/
+    total tokens), and a length-band label.  Ratios are integer ratios →
+    bit-identical doubles."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tok").alias("n_types"),
+        F.sum(F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)).cast("long").alias("n_stop"),
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("CAST(n_stop AS DOUBLE) / n_tok").alias("stopword_ratio"),
+            F.expr("CAST(n_types AS DOUBLE) / n_tok").alias("type_token_ratio"),
+            F.when(F.col("n_chars") < 100, "short")
+            .when(F.col("n_chars") < 300, "medium")
+            .otherwise("long")
+            .alias("length_band"),
+        )
+    )
+
+
+_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_types,
+         CAST(SUM(CASE WHEN tok IN {_STOPWORDS!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(n_types AS DOUBLE) / n_tok AS type_token_ratio,
+       CASE WHEN n_chars < 100 THEN 'short'
+            WHEN n_chars < 300 THEN 'medium'
+            ELSE 'long' END AS length_band
+FROM documents d JOIN stats USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic — marker-token vote with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a"),
+    "es": ("data", "row"),
+    "de": ("agg", "hash"),
+}
+
+
+def text_langid_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram/marker language-ID: count marker hits per language, argmax
+    with lexicographic tie-break ('de' < 'en' < 'es').  The marker sets are
+    a deterministic stand-in for real char-n-gram profiles (the synthetic
+    corpus shares one vocabulary)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(*m), 1).otherwise(0)).cast("long").alias(f"hits_{lang}")
+            for lang, m in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    best = F.expr(
+        "CASE WHEN hits_de >= hits_en AND hits_de >= hits_es THEN 'de' "
+        "WHEN hits_en >= hits_es THEN 'en' ELSE 'es' END"
+    )
+    return hits.select("doc_id", "hits_de", "hits_en", "hits_es", best.alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok IN {m!r} THEN 1 ELSE 0 END) AS BIGINT) AS hits_{lang}"
+        for lang, m in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hits AS (
+  SELECT doc_id, {hit_cols}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, hits_de, hits_en, hits_es,
+       CASE WHEN hits_de >= hits_en AND hits_de >= hits_es THEN 'de'
+            WHEN hits_en >= hits_es THEN 'en' ELSE 'es' END AS pred_lang
+FROM hits
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — order-independent token-bag hash
+# ---------------------------------------------------------------------------
+
+
+def text_fingerprint_bag(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprint invariant to token order: md5 of the sorted token
+    multiset — catches shuffled/reformatted duplicates that exact hashing
+    misses (the cheap cousin of a rolling-hash fingerprint)."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    return (
+        d.withColumn("bag_fp", fp)
+        .groupBy("bag_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))).alias("doc_ids"),
+        )
+    )
+
+
+_BAG_FP_SQL = """
+SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
+    "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
+    "text_langid_heuristic": QuerySpec(text_langid_heuristic, _langid_sql(), "LLM-pipeline text (language ID)"),
+    "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint)"),
+}

@@ -1,0 +1,54 @@
+"""The multimodal plumbing must be real even where the codec is stubbed:
+schema, Arrow batch shape, deterministic fake decode, and the stub seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    _fake_decode,
+    decode_media,
+    media_table,
+    sample_frames,
+)
+
+
+def test_media_table_schema(spark):
+    m = media_table(spark, SF_SMOKE)
+    assert [f.name for f in m.schema.fields] == ["media_id", "payload", "media_type", "n_bytes"]
+    row = m.orderBy("media_id").first()
+    assert isinstance(bytes(row.payload), bytes)
+    assert row.n_bytes == len(row.payload)
+
+
+def test_decode_media_fake_codec(spark):
+    m = media_table(spark, SF_SMOKE).limit(20)
+    out = decode_media(m, use_fake_codec=True)
+    assert out.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    src = {r.media_id: bytes(r.payload) for r in m.collect()}
+    assert rows.keys() == src.keys()
+    for mid, payload in src.items():
+        w, h, c, mi = _fake_decode(payload)
+        r = rows[mid]
+        assert (r.width, r.height, r.n_channels) == (w, h, c)
+        assert r.mean_intensity == pytest.approx(mi)
+
+
+def test_decode_media_stub_raises(spark):
+    m = media_table(spark, SF_SMOKE).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs unavailable"):
+        decode_media(m).collect()
+
+
+def test_sample_frames(spark):
+    m = media_table(spark, SF_SMOKE).limit(5)
+    frames = sample_frames(m, every_n_bytes=50)
+    got = frames.groupBy("media_id").count().collect()
+    sizes = {r.media_id: r.n_bytes for r in m.collect()}
+    for r in got:
+        expected = (sizes[r.media_id] - 1) // 50 + 1
+        assert r["count"] == expected
