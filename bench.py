@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the no-op sink (full execution, no driver
+collect overhead).  A warm-up run of the first query absorbs JVM/codegen
+startup so the numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mmeds_meta_spark.operators import registry  # noqa: E402
+from mmeds_meta_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_meta_cohort",
+    "j3_wide_denorm_distinct",
+    "a13_hierarchical_collapse",
+    "f19_weight_cascade",
+    "w1_child_ordinal_ids",
+    "a11_grouped_mean_sem",
+    "r1_unpivot_melt",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("mmeds-meta-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        reg[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run(HEADLINE[0])  # warm-up: JVM + codegen + parquet footer cache
+    times = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,18 +63,20 @@ FROM documents GROUP BY md5(text)
 
 
 def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-2-grams.  posexplode + self-join on
-    pos+1 keeps everything JVM-side (no Python UDF in the tokenizer)."""
+    """(doc_id, shingle) distinct word-2-grams.
+
+    Built narrowly — ``transform(sequence(...))`` pairs adjacent tokens
+    inside one codegen stage (no self-join, no shuffle until the final
+    distinct).  ``array_distinct`` pre-dedups per doc before the explode so
+    the distinct shuffle carries no within-doc duplicates."""
     d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
-    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    nxt = tok.select(
-        F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).alias("pos2"), F.col("tok").alias("tok2")
+    shingles = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "array_distinct(transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))) "
+        "ELSE array() END"
     )
-    return (
-        tok.join(nxt, (tok.doc_id == nxt.doc_id2) & (tok.pos == nxt.pos2))
-        .select("doc_id", F.concat_ws(" ", "tok", "tok2").alias("shingle"))
-        .distinct()
-    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -176,17 +178,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only).  Output: candidate pairs with the number of agreeing bands.
     """
     sh = _doc_shingles(spark, sf)
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+    # one pass: the k hashes are k columns on each shingle row (no k-fold
+    # row blowup), min-aggregated in a single partial-agg shuffle
+    hashed = sh.select(
         "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle")).alias("h"),
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}")
-            for i in range(_N_HASHES)
-        ]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)]
     )
     bands = [
         F.md5(
@@ -220,7 +222,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n         ".join(
-        f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}" for i in range(_N_HASHES)
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_HASHES)
     )
     bands = ",\n       ".join(
         "md5("
@@ -234,13 +236,9 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH {_SHINGLE_SQL},
-seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
-hashed AS (
-  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM shingles, seeds
-), sig AS (
+sig AS (
   SELECT doc_id, {mins}
-  FROM hashed GROUP BY doc_id
+  FROM shingles GROUP BY doc_id
 ), sig_b AS (
   SELECT doc_id, {bands}
   FROM sig
