@@ -1,0 +1,233 @@
+"""Set-based normalization of joined metadata into the 41-table snowflake.
+
+Replaces the reference's per-row recursive SQLBuilder
+(mmeds/database/sql_builder.py:103-171, metadata_uploader.py:211-426 —
+O(rows × tables) point SELECTs) with one declarative pass per table in
+``TABLE_ORDER``:
+
+1. project the table's natural-key columns (+ already-resolved parent
+   surrogate ids) out of the joined metadata frame,
+2. ``dropDuplicates`` (the reference's ``seen`` cache, done by Catalyst),
+3. null-safe ``left_anti`` against the existing dimension → genuinely new
+   rows,
+4. assign surrogate keys ``max(id) + dense_rank() over (natural order)``
+   — deterministic under any partitioning (SURVEY §7 hard-part 1; key
+   VALUES may differ from MySQL's insertion order, key TOPOLOGY is
+   identical),
+5. append, then null-safe equi-join the dimension back onto the metadata
+   frame so children see their parent ids (replaces FK recursion J5/J6).
+
+NULL semantics (§7 hard-part 2): every lookup uses ``eqNullSafe``; each
+dimension carries the reference's id=1 all-NULL seed row
+(sql/null_entries.sql:1-40), so a row with no values for a table resolves
+to FK=1 instead of spawning rows — exactly the reference's convention.
+
+At 100 TB: each table costs one partial-agg dedup shuffle + one anti-join
++ one attach join, all on natural-key columns (broadcast when the dim is
+small — AQE decides from observed sizes).  The per-table MAX(id) is a
+parquet-statistics read, not a scan.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import (
+    JUNCTION_TABLES,
+    PROTECTED_TABLES,
+    TABLES,
+    TABLE_ORDER,
+    is_id_col,
+    struct_type,
+)
+from ..sources.metadata_tsv import SEP
+
+_SKIP = {"ICDCode", "AdditionalMetaData"}  # no SQL table (catalog §1.2)
+
+
+class Warehouse:
+    """Parquet-backed table store with the null-seed-row convention."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._file(name))
+
+    def table(self, name: str) -> DataFrame:
+        if self.exists(name):
+            return self.spark.read.parquet(self._file(name))
+        return self._empty(name)
+
+    def _empty(self, name: str) -> DataFrame:
+        df = self.spark.createDataFrame([], struct_type(name))
+        if "_has_" in name:
+            return df
+        # id=1 all-NULL seed row; FKs point at the parents' seed rows
+        vals = []
+        for c in TABLES[name]:
+            if c == f"id{name}":
+                vals.append(1)
+            elif "_id" in c and c != "user_id":
+                vals.append(1)
+            else:
+                vals.append(None)
+        seed_df = self.spark.createDataFrame([tuple(vals)], struct_type(name))
+        return df.unionByName(seed_df)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        aligned = df.select(
+            *[F.col(c).cast(f.dataType) for c, f in zip(TABLES[name], struct_type(name).fields)]
+        )
+        if not self.exists(name):
+            base = self._empty(name)
+            base.unionByName(aligned).write.mode("overwrite").parquet(self._file(name))
+        else:
+            aligned.write.mode("append").parquet(self._file(name))
+
+
+# ---------------------------------------------------------------------------
+# F1 — ICD-10 decomposition (util.py:575-610 parse_ICD_codes)
+# ---------------------------------------------------------------------------
+
+ICD_SOURCE = "ICDCode__ICDCode"
+
+
+def parse_icd_codes(df: DataFrame) -> DataFrame:
+    """ICD 'B20.XXXX' → FirstCharacter/Category/Details/Extension columns
+    (stored verbatim incl. X-padding so the views' CONCAT reassembly
+    reproduces the original code — the invariant of
+    tests/unit/test_database.py:208-215)."""
+    if ICD_SOURCE not in df.columns:
+        return df
+    code = F.col(ICD_SOURCE)
+    return (
+        df.withColumn("ICDCode__ICDFirstCharacter", F.substring(code, 1, 1))
+        .withColumn("ICDCode__ICDCategory", F.substring(code, 2, 2))
+        .withColumn("ICDCode__ICDDetails", F.substring(code, 5, 3))
+        .withColumn("ICDCode__ICDExtension", F.substring(code, 8, 1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the per-table normalization pass
+# ---------------------------------------------------------------------------
+
+
+def _flat_lookup(work_cols: list[str], table: str, column: str) -> str | None:
+    """Find the metadata column feeding (table, column): exact table prefix
+    wins, then any ``*__column`` (AdditionalMetaData / parsed extras)."""
+    exact = f"{table}{SEP}{column}"
+    if exact in work_cols:
+        return exact
+    for wc in work_cols:
+        if SEP in wc and wc.split(SEP, 1)[1] == column:
+            return wc
+    return None
+
+
+def _fk_parent(col: str) -> str:
+    """`<path>_id<Parent>` → Parent (handles Results.RawData_Sample_idSample)."""
+    return col.rsplit("_id", 1)[1]
+
+
+def normalize_table(
+    wh: Warehouse, work: DataFrame, table: str, user_id: int
+) -> DataFrame:
+    """Normalize one table out of the joined metadata frame; returns the
+    frame with the table's surrogate id attached as ``__id_<table>``."""
+    spec = TABLES[table]
+    id_col = f"id{table}"
+    exprs: dict[str, F.Column] = {}
+    for c, (dt, _null) in spec.items():
+        if c == id_col or c == "user_id":
+            continue
+        if "_id" in c:
+            parent = _fk_parent(c)
+            attached = f"__id_{parent}"
+            if attached in work.columns:
+                exprs[c] = F.col(attached)
+            else:
+                exprs[c] = F.lit(1).cast(dt)  # unresolved parent → seed row
+        else:
+            flat = _flat_lookup(work.columns, table, c)
+            exprs[c] = (F.col(flat) if flat else F.lit(None)).cast(dt)
+    key_cols = list(exprs)
+
+    cand = work.select(*[v.alias(k) for k, v in exprs.items()]).dropDuplicates()
+    existing = wh.table(table)
+    anti_cond = reduce(
+        lambda a, b: a & b,
+        [cand[k].eqNullSafe(existing[k]) for k in key_cols],
+    )
+    new = cand.join(existing, anti_cond, "left_anti")
+    mx = existing.agg(F.max(id_col)).first()[0] or 0
+    w = Window.orderBy(*key_cols)
+    new_keyed = new.withColumn(id_col, (F.lit(mx) + F.dense_rank().over(w)).cast("int"))
+    if "user_id" in spec:
+        new_keyed = new_keyed.withColumn(
+            "user_id", F.lit(user_id if table in PROTECTED_TABLES else None).cast("int")
+        )
+    wh.append(table, new_keyed)
+
+    dim = wh.table(table).select(
+        F.col(id_col).alias(f"__id_{table}"),
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+    )
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [exprs[k].eqNullSafe(dim[f"__k_{k}"]) for k in key_cols],
+    )
+    return work.join(dim, join_cond, "left").drop(*[f"__k_{k}" for k in key_cols])
+
+
+def _junction_rows(wh: Warehouse, work: DataFrame, junction: str, user_id: int) -> None:
+    """Junction tables = distinct key-pair projections (U5,
+    metadata_uploader.py:377-426)."""
+    cols = [c for c in TABLES[junction] if c != "user_id"]
+    attached = [f"__id_{_fk_parent(c)}" for c in cols]
+    if not all(a in work.columns for a in attached):
+        return
+    pairs = (
+        work.select(*[F.col(a).alias(c) for a, c in zip(attached, cols)])
+        .filter(reduce(lambda x, y: x & y, [F.col(c).isNotNull() for c in cols]))
+        .dropDuplicates()
+        .withColumn("user_id", F.lit(user_id).cast("int"))
+    )
+    existing = wh.table(junction)
+    anti = reduce(
+        lambda a, b: a & b, [pairs[c].eqNullSafe(existing[c]) for c in cols]
+    )
+    wh.append(junction, pairs.join(existing, anti, "left_anti"))
+
+
+def import_study(
+    wh: Warehouse,
+    subject: DataFrame,
+    specimen: DataFrame,
+    *,
+    user_id: int = 2,
+) -> DataFrame:
+    """Full write path (§3.3): join subject ⋈ specimen, decompose ICD,
+    normalize every table in FK-topological ``TABLE_ORDER``, then fill the
+    junction tables.  Returns the joined frame with every ``__id_*``
+    attached (useful for audits/tests)."""
+    from ..sources.metadata_tsv import join_metadata
+
+    work = parse_icd_codes(join_metadata(subject, specimen))
+    for table in TABLE_ORDER:
+        if table in _SKIP or table not in TABLES:
+            continue
+        work = normalize_table(wh, work, table, user_id)
+    for junction in JUNCTION_TABLES:
+        _junction_rows(wh, work, junction, user_id)
+    return work
