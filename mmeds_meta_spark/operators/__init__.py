@@ -38,9 +38,18 @@ class QuerySpec:
 
 def registry() -> dict[str, QuerySpec]:
     """Assemble the full operator registry (import-light until called)."""
-    from . import dedup, multimodal, relational, similarity, stats, text
+    from . import (
+        dedup,
+        diversity,
+        filters_misc,
+        multimodal,
+        relational,
+        similarity,
+        stats,
+        text,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, dedup, similarity, text, multimodal):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal):
         merged.update(mod.QUERIES)
     return merged

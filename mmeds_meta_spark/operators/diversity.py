@@ -1,0 +1,204 @@
+"""Diversity / differential-abundance analytics (SURVEY §2.10 D1/D2/D6).
+
+The reference shells out to QIIME2/LEfSe; here the statistics are native
+DataFrame plans over a long feature table.  The synthetic stand-in:
+``events`` as (sample=user_id, feature=event_type, abundance=count).
+
+Exactness strategy:
+* Bray-Curtis uses integer abundances → the distance is an integer ratio,
+  bit-identical across engines.
+* Shannon entropy and Kruskal-Wallis involve ln(); libm vs JVM can differ
+  in the last ulp, so the final statistic is rounded to 6dp (the only
+  operators in the suite that need rounding beyond formula identity).
+* Kruskal-Wallis tie-averaged ranks are half-integers → stored ×2 as
+  exact integers; the H statistic's inputs are exact.
+
+Scale: abundance matrices stay LONG (feature_id, sample_id, count) per
+SURVEY §1.4; pairwise distances are generated per feature (inverted-index
+style) then aggregated — never a dense sample×sample materialization.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..testdata import table as _t
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# D1 — Shannon diversity per sample  (rules/diversity_analysis.smk:42-75)
+# ---------------------------------------------------------------------------
+
+
+def d1_shannon_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """H = ln(N) − (1/N)·Σ c·ln(c) over feature counts per sample.
+    Counts are exact ints; the two ln-terms use the identical formula both
+    engines; result rounded to 6dp."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    terms = counts.groupBy("user_id").agg(
+        F.expr("SUM(c)").alias("n"),
+        F.expr("SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))").alias("clnc"),
+        F.expr("COUNT(*)").alias("n_features"),
+    )
+    return terms.select(
+        "user_id",
+        "n_features",
+        F.expr("ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6)").alias("shannon"),
+    )
+
+
+_D1_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type
+), terms AS (
+  SELECT user_id, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc,
+         COUNT(*) AS n_features
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, n_features,
+       ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6) AS shannon
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — Bray-Curtis dissimilarity, pairwise over a sample block
+# (rules/diversity_analysis.smk:5-40)
+# ---------------------------------------------------------------------------
+
+_BC_BLOCK = 40  # samples 0..39 → 780 pairs; blocking keeps pairs bounded
+
+
+def d2_bray_curtis(spark: SparkSession, sf: str) -> DataFrame:
+    """BC(a,b) = Σ|xᵢ−yᵢ| / Σ(xᵢ+yᵢ).  Decomposed so only co-occurring
+    features join:  Σ|x−y| = Σ_common|x−y| + (Sa−Σ_common x) + (Sb−Σ_common y),
+    denominator Sa+Sb — all integers, hence exact.  At 100 TB the pair
+    space is bucketed (here: a sample-id block) and features act as the
+    inverted index; no dense matrix ever exists."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < _BC_BLOCK)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
+    a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
+    b = counts.select(F.col("user_id").alias("ub"), "event_type", F.col("c").alias("xb"))
+    common = (
+        a.join(b, "event_type")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.expr("SUM(ABS(xa - xb))").alias("d_common"),
+            F.expr("SUM(xa)").alias("ca"),
+            F.expr("SUM(xb)").alias("cb"),
+        )
+    )
+    ta = totals.select(F.col("user_id").alias("ua"), F.col("s").alias("sa"))
+    tb = totals.select(F.col("user_id").alias("ub"), F.col("s").alias("sb"))
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("ua") < F.col("ub"))
+        .join(common, ["ua", "ub"], "left")
+        .fillna(0, subset=["d_common", "ca", "cb"])
+    )
+    return pairs.select(
+        "ua",
+        "ub",
+        F.expr(
+            "CAST(d_common + (sa - ca) + (sb - cb) AS DOUBLE) / (sa + sb)"
+        ).alias("bray_curtis"),
+    )
+
+
+_D2_SQL = f"""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events
+  WHERE user_id < {_BC_BLOCK} GROUP BY user_id, event_type
+), totals AS (
+  SELECT user_id, SUM(c) AS s FROM counts GROUP BY user_id
+), common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         SUM(ABS(a.c - b.c)) AS d_common, SUM(a.c) AS ca, SUM(b.c) AS cb
+  FROM counts a JOIN counts b
+    ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT ta.user_id AS ua, tb.user_id AS ub,
+       CAST(COALESCE(d_common, 0) + (ta.s - COALESCE(ca, 0))
+            + (tb.s - COALESCE(cb, 0)) AS DOUBLE) / (ta.s + tb.s) AS bray_curtis
+FROM totals ta
+JOIN totals tb ON ta.user_id < tb.user_id
+LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D6 — Kruskal-Wallis H across groups (LEfSe's first stage)
+# (rules/differential_abundance.smk:16-72)
+# ---------------------------------------------------------------------------
+
+
+def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """H over events.value grouped by event_type, with tie-averaged ranks
+    and tie correction.  Ranks ×2 are exact integers (avg of a contiguous
+    run of positions is a half-integer): rank2 = 2·rank_min + (t−1)."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    w = Window.orderBy("value")
+    ranked = ev.withColumn("rmin", F.rank().over(w)).withColumn(
+        "t", F.count("*").over(Window.partitionBy("value"))
+    )
+    # 2× tie-averaged rank, integer-exact
+    r2 = ranked.withColumn("rank2", F.expr("CAST(2 * rmin + (t - 1) AS DECIMAL(38,0))"))
+    g = r2.groupBy("event_type").agg(
+        F.expr("SUM(rank2)").alias("rg2"), F.expr("COUNT(*)").alias("ng")
+    )
+    ties = (
+        ev.groupBy("value")
+        .agg(F.expr("COUNT(*)").alias("t"))
+        .agg(F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)").alias("tie_sum"))
+    )
+    tot = g.crossJoin(F.broadcast(ties)).agg(
+        F.expr("SUM(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4)").alias("sum_r2n"),
+        F.expr("SUM(ng)").alias("n"),
+        F.expr("COUNT(*)").alias("k"),
+        F.expr("MIN(tie_sum)").alias("tie_sum"),
+    )
+    return tot.select(
+        F.expr(
+            "ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n - 3.0 * (n + 1))"
+            " / (1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)"
+        ).alias("h_stat"),
+        F.expr("CAST(k - 1 AS BIGINT)").alias("df"),
+    )
+
+
+_D6_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         RANK() OVER (ORDER BY value) AS rmin,
+         COUNT(*) OVER (PARTITION BY value) AS t
+  FROM events
+), r2 AS (
+  SELECT event_type, CAST(2 * rmin + (t - 1) AS HUGEINT) AS rank2 FROM ranked
+), g AS (
+  SELECT event_type, SUM(rank2) AS rg2, COUNT(*) AS ng FROM r2 GROUP BY event_type
+), ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM events GROUP BY value)
+), tot AS (
+  SELECT SUM(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4) AS sum_r2n,
+         SUM(ng) AS n, COUNT(*) AS k, MIN(tie_sum) AS tie_sum
+  FROM g, ties
+)
+SELECT ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n - 3.0 * (n + 1))
+             / (1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM tot
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
+    "d2_bray_curtis": QuerySpec(d2_bray_curtis, _D2_SQL, "D2 rules/diversity_analysis.smk:5-40"),
+    "d6_kruskal_wallis": QuerySpec(d6_kruskal_wallis, _D6_SQL, "D6 rules/differential_abundance.smk:16-72"),
+}

@@ -1,0 +1,258 @@
+"""Remaining filter / reshape / inference operators from SURVEY §2:
+P8/P9 sample filters, A12 stepwise retention, A15 pairwise splits,
+A16 ordered distinct, F5/F6 type inference, F10 alphabet check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..testdata import table as _t
+from . import QuerySpec
+from .relational import dsum, money
+
+# ---------------------------------------------------------------------------
+# P8 — two-class filter (rules/table_filtering.smk:17-31)
+# ---------------------------------------------------------------------------
+
+
+def p8_two_class_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """qiime filter-samples --p-where "[cat]=='a' OR [cat]=='b'": keep two
+    classes, count per (sample, class)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_P8_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9 — min-frequency sample filter (rules/table_filtering.smk:1-15)
+# ---------------------------------------------------------------------------
+
+_MIN_FREQ = 100.0
+
+
+def p9_min_frequency_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Drop samples whose total reads < sampling depth: aggregate totals →
+    semi-join the long table back (exactly the qiime min-frequency
+    semantics; one shuffle + broadcast-able keep-list)."""
+    li = _t(spark, sf, "lineitem")
+    keep = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("tot"))
+        .filter(F.col("tot") >= F.lit(_MIN_FREQ).cast("decimal(18,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        li.join(keep, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(dsum(money("l_quantity"), "total_qty"), F.count("*").alias("n_items"))
+    )
+
+
+_P9_SQL = f"""
+WITH keep AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2))) >= {_MIN_FREQ}
+)
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_items
+FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM keep)
+GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A12 — stepwise read-retention decomposition (summary_code.txt table_py)
+# ---------------------------------------------------------------------------
+
+
+def a12_stepwise_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """input→filtered→denoised retention analog: per order, the gross,
+    post-discount, and post-tax revenue as stage rows (decimal-exact),
+    long via the stack generator."""
+    li = _t(spark, sf, "lineitem")
+    # computed money values round AFTER ×100 scaling (ROUND(x·100) is the
+    # only per-row rounding both engines agree on for computed doubles —
+    # ROUND(x, 2) diverges at cent boundaries, see module docstring of
+    # operators/__init__.py); exact integer-cent sums, /100 at the end.
+    cents = "CAST(ROUND({expr} * 100) AS DECIMAL(38,0))"
+    stages = li.groupBy("l_orderkey").agg(
+        F.expr("SUM(" + cents.format(expr="l_extendedprice") + ")").alias("gross_c"),
+        F.expr(
+            "SUM(" + cents.format(expr="l_extendedprice * (1 - l_discount)") + ")"
+        ).alias("disc_c"),
+        F.expr(
+            "SUM("
+            + cents.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+            + ")"
+        ).alias("tax_c"),
+    )
+    return stages.selectExpr(
+        "l_orderkey",
+        "stack(3, 'gross', CAST(gross_c AS DOUBLE) / 100,"
+        " 'discounted', CAST(disc_c AS DOUBLE) / 100,"
+        " 'taxed', CAST(tax_c AS DOUBLE) / 100) AS (stage, revenue)",
+    )
+
+
+_A12_SQL = """
+WITH stages AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS gross_c,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS HUGEINT)) AS disc_c,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS HUGEINT)) AS tax_c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, 'gross' AS stage, CAST(gross_c AS DOUBLE) / 100 AS revenue FROM stages
+UNION ALL SELECT l_orderkey, 'discounted', CAST(disc_c AS DOUBLE) / 100 FROM stages
+UNION ALL SELECT l_orderkey, 'taxed', CAST(tax_c AS DOUBLE) / 100 FROM stages
+"""
+
+
+# ---------------------------------------------------------------------------
+# A15 — pairwise class-split planning (rules/common.smk:13-77 lefse_splits)
+# ---------------------------------------------------------------------------
+
+
+def a15_pairwise_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Enumerate category pairs (c1 < c2) where both have ≥2 members —
+    the LEfSe pairwise-comparison planner as a self-join, not a driver
+    loop."""
+    counts = (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    a = counts.select(F.col("event_type").alias("class_a"), F.col("cnt").alias("n_a"))
+    b = counts.select(F.col("event_type").alias("class_b"), F.col("cnt").alias("n_b"))
+    return a.crossJoin(b).filter(F.col("class_a") < F.col("class_b"))
+
+
+_A15_SQL = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type HAVING COUNT(*) >= 2
+)
+SELECT a.event_type AS class_a, a.cnt AS n_a, b.event_type AS class_b, b.cnt AS n_b
+FROM counts a, counts b WHERE a.event_type < b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A16 — first-seen ordered distinct (util.py:1114-1123 grouped mapping file)
+# ---------------------------------------------------------------------------
+
+
+def a16_ordered_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered distinct of a metadata column: order = first appearance
+    (min event_id), made explicit instead of relying on scan order."""
+    ev = _t(spark, sf, "events")
+    firsts = ev.groupBy("event_type").agg(F.min("event_id").alias("first_seen"))
+    return firsts.select(
+        "event_type",
+        F.row_number().over(Window.orderBy("first_seen")).cast("long").alias("appearance_order"),
+    )
+
+
+_A16_SQL = """
+WITH firsts AS (
+  SELECT event_type, MIN(event_id) AS first_seen FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (ORDER BY first_seen) AS BIGINT) AS appearance_order
+FROM firsts
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5/F6 — is_numeric + majority-type inference (util.py:505-550, 613-624)
+# ---------------------------------------------------------------------------
+
+
+def f6_type_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """get_col_type over a mixed string column (half numeric strings, half
+    words): count int/float/string castability, majority wins."""
+    p = _t(spark, sf, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_size").cast("string"))
+        .otherwise(F.col("p_type"))
+        .alias("cell")
+    )
+    counts = mixed.agg(
+        F.expr("SUM(CASE WHEN TRY_CAST(cell AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)").alias("n_int"),
+        F.expr("SUM(CASE WHEN TRY_CAST(cell AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)").alias("n_float"),
+        F.expr("COUNT(cell)").alias("n_total"),
+    )
+    return counts.select(
+        F.expr("CAST(n_int AS BIGINT)").alias("n_int"),
+        F.expr("CAST(n_float AS BIGINT)").alias("n_float"),
+        F.expr("CAST(n_total AS BIGINT)").alias("n_total"),
+        F.expr(
+            "CASE WHEN n_int * 2 > n_total THEN 'Integer'"
+            " WHEN n_float * 2 > n_total THEN 'Number' ELSE 'Text' END"
+        ).alias("inferred_type"),
+    )
+
+
+_F6_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size AS VARCHAR) ELSE p_type END AS cell
+  FROM part
+), counts AS (
+  SELECT SUM(CASE WHEN TRY_CAST(cell AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS n_int,
+         SUM(CASE WHEN TRY_CAST(cell AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS n_float,
+         COUNT(cell) AS n_total
+  FROM mixed
+)
+SELECT CAST(n_int AS BIGINT) AS n_int, CAST(n_float AS BIGINT) AS n_float,
+       CAST(n_total AS BIGINT) AS n_total,
+       CASE WHEN n_int * 2 > n_total THEN 'Integer'
+            WHEN n_float * 2 > n_total THEN 'Number' ELSE 'Text' END AS inferred_type
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10 — restricted-alphabet check (validate.py:187-197 DNA GATC)
+# ---------------------------------------------------------------------------
+
+
+def f10_alphabet_check(spark: SparkSession, sf: str) -> DataFrame:
+    """set(cell) − allowed_alphabet ≠ ∅ → violation rows with the illegal
+    residue, exactly the DNA-alphabet check shape (letters allowed, digits
+    and '#' are the violations here)."""
+    s = _t(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.regexp_replace("s_name", "[A-Za-z]", "").alias("residue"),
+    ).filter(F.col("residue") != "")
+
+
+_F10_SQL = """
+SELECT s_suppkey, s_name, regexp_replace(s_name, '[A-Za-z]', '', 'g') AS residue
+FROM supplier WHERE regexp_replace(s_name, '[A-Za-z]', '', 'g') != ''
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "p8_two_class_filter": QuerySpec(p8_two_class_filter, _P8_SQL, "P8 rules/table_filtering.smk:17-31"),
+    "p9_min_frequency_filter": QuerySpec(p9_min_frequency_filter, _P9_SQL, "P9 rules/table_filtering.smk:1-15"),
+    "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt table_py"),
+    "a15_pairwise_splits": QuerySpec(a15_pairwise_splits, _A15_SQL, "A15 rules/common.smk:13-77"),
+    "a16_ordered_distinct": QuerySpec(a16_ordered_distinct, _A16_SQL, "A16 util.py:1114-1123"),
+    "f6_type_inference": QuerySpec(f6_type_inference, _F6_SQL, "F5/F6 util.py:505-550, 613-624"),
+    "f10_alphabet_check": QuerySpec(f10_alphabet_check, _F10_SQL, "F10 validate.py:187-197"),
+}
