@@ -1,0 +1,12 @@
+"""Structured Streaming counterparts.
+
+The reference has no streams (SURVEY §2.12) — its Watcher loop is job
+orchestration.  A 100 TB training-data pipeline does need incremental
+ingest, so this module provides the streaming shape of the engine's core
+aggregations: watermarked windowed rollups over an events feed and
+exactly-once-style dedup on arrival.
+"""
+
+from .rollup import streaming_event_rollup, streaming_exact_dedup
+
+__all__ = ["streaming_event_rollup", "streaming_exact_dedup"]
