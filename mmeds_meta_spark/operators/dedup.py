@@ -297,7 +297,86 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 """
 
 
+# ---------------------------------------------------------------------------
+# SimHash near-dup — 32-bit fingerprints from token votes, hamming ≤ τ
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 32
+_HAMMING_TAU = 4
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bit_exprs(dialect: str) -> list[str]:
+    """Per-token ±1 vote for each of the 32 bits, from the first 8 hex
+    nibbles of md5(token).  Dialect differences: instr vs strpos, `div`
+    vs `//` integer division."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    div = "div" if dialect == "spark" else "//"
+    exprs = []
+    for j in range(8):  # nibble index
+        nib = f"({pos}('{_HEX}', substr(md5(tok), {j + 1}, 1)) - 1)"
+        for r in range(4):  # bit within nibble
+            bit = f"(({nib} {div} {2 ** r}) % 2)" if dialect == "spark" else f"(({nib} {div} {2 ** r}) % 2)"
+            exprs.append(f"(2 * {bit} - 1)")
+    return exprs  # 32 entries, bit index = 4*j + r
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash: per doc, each token votes ±1 on 32 bits (bit = hex nibble
+    bits of md5(token)); fingerprint bit = sign of the vote sum; near-dups
+    are pairs with Hamming(fp_a, fp_b) ≤ τ via bit_count(a ^ b).
+
+    All integer arithmetic → bit-identical across engines.  At corpus
+    scale the pair space is banded on the top fingerprint bits; here the
+    corpus is small enough for the direct pair join."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    votes = _simhash_bit_exprs("spark")
+    agg = tok.groupBy("doc_id").agg(
+        *[F.expr(f"SUM({v})").alias(f"s{i}") for i, v in enumerate(votes)]
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS INT)"))
+        .filter(F.col("hamming") <= _HAMMING_TAU)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    votes = _simhash_bit_exprs("duck")
+    sums = ",\n         ".join(f"SUM({v}) AS s{i}" for i, v in enumerate(votes))
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), agg AS (
+  SELECT doc_id, {sums}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {fp} AS fingerprint FROM agg
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_simhash": QuerySpec(
+        dedup_simhash, _simhash_sql(), "LLM-pipeline dedup (SimHash fingerprints)"
+    ),
     "dedup_exact_hash": QuerySpec(
         dedup_exact_hash, _EXACT_SQL, "LLM-pipeline dedup (exact); A7 validate.py:222-252 analog"
     ),

@@ -150,7 +150,49 @@ SELECT rank, vec_id, label, bucket, cos_sim FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
+def knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN self-join: every vector's nearest neighbor within its label
+    block (k=1 here; same plan shape for any k via the rank filter).
+    The label block is the blocking structure — at scale it would be an
+    IVF/LSH bucket; candidates never cross blocks."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = F.expr(
+        f"ROUND({_DOT.format(a='va', b='vb')} / (SQRT({_DOT.format(a='va', b='va')})"
+        f" * SQRT({_DOT.format(a='vb', b='vb')})), 4)"
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") != F.col("vec_b")))
+        .withColumn("cos_sim", cos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
+            ),
+        )
+    )
+    return pairs.filter(F.col("rn") == 1).select("vec_a", "vec_b", "label", "cos_sim")
+
+
+_KNN_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         ROUND(list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS rn
+  FROM pairs
+)
+SELECT vec_a, vec_b, label, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _IVF_SQL, "LLM-pipeline similarity (IVF bucketed top-k)"),
+    "knn_join": QuerySpec(knn_join, _KNN_SQL, "LLM-pipeline similarity (blocked kNN self-join)"),
 }
