@@ -98,7 +98,8 @@ def d2_bray_curtis(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (
         ta.crossJoin(tb)
         .filter(F.col("ua") < F.col("ub"))
-        .join(common, ["ua", "ub"], "left")
+        # common is bounded by block_size² rows — always broadcastable
+        .join(F.broadcast(common), ["ua", "ub"], "left")
         .fillna(0, subset=["d_common", "ca", "cb"])
     )
     return pairs.select(

@@ -15,6 +15,8 @@ cohort keys → {study: [RawDataID…]}.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,6 +25,30 @@ from ..normalize import Warehouse
 from .views import build_views
 
 PUBLIC_USER = 1
+
+# P10 — the reference restricts meta-analysis WHERE clauses to flat
+# comparisons joined by AND/OR; no BETWEEN/LIKE/IN (database.py:250-270).
+_WHERE_SPLIT = re.compile(r"\s+(?:AND|OR)\s+", re.IGNORECASE)
+_CLAUSE = re.compile(
+    r"^\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|!=|<>|<=|>=|<|>)\s*(.+?)\s*\)?$"
+)
+
+
+def extract_columns_from_where(where: str) -> list[str]:
+    """Split a restricted WHERE string on AND/OR and return the referenced
+    column names; raises ValueError on unsupported syntax — the
+    reference's guard, kept as a pre-Catalyst sanity check so user-facing
+    errors cite the clause, not an analyzer stack."""
+    banned = re.search(r"\b(BETWEEN|LIKE|IN)\b", where, re.IGNORECASE)
+    if banned:
+        raise ValueError(f"Unsupported operator in WHERE clause: {banned.group(1)}")
+    cols = []
+    for clause in _WHERE_SPLIT.split(where):
+        m = _CLAUSE.match(clause.strip())
+        if not m:
+            raise ValueError(f"Cannot parse WHERE clause: {clause!r}")
+        cols.append(m.group(1))
+    return cols
 
 
 class MmedsSession:
@@ -78,8 +104,14 @@ class MmedsSession:
 
     def query_meta_analysis(self, where: str, *extra_cols: str) -> DataFrame:
         """SELECT DISTINCT RawDataID, StudyName[, cols] FROM MetaAnalysisView
-        WHERE <where> → one row per study with its sorted RawDataID list."""
+        WHERE <where> → one row per study with its sorted RawDataID list.
+        The WHERE string passes the P10 syntax guard, then its columns are
+        checked against the view before Catalyst sees it."""
         meta = self.spark.table("MetaAnalysisView")
+        cols = extract_columns_from_where(where)
+        unknown = [c for c in cols if c not in meta.columns]
+        if unknown:
+            raise ValueError(f"Unknown column(s) in WHERE clause: {unknown}")
         cohort = (
             meta.filter(F.expr(where))
             .select("RawDataID", "StudyName", *extra_cols)
