@@ -214,6 +214,23 @@ class Validator:
                         F.concat(F.lit("Non-GATC characters in barcode '"), c, F.lit("'")),
                     )
                 )
+            if m.declared_type == "Email":
+                checks.append(
+                    _diag(
+                        c.isNotNull()
+                        & ~c.rlike(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"),
+                        m.flat, "error", "invalid_email",
+                        F.concat(F.lit("Invalid email address '"), c, F.lit("'")),
+                    )
+                )
+            if m.declared_type == "Web Address":
+                checks.append(
+                    _diag(
+                        c.isNotNull() & ~c.rlike(r"^https?://\S+$"),
+                        m.flat, "error", "invalid_web_address",
+                        F.concat(F.lit("Invalid web address '"), c, F.lit("'")),
+                    )
+                )
             if m.column == "ICDCode":
                 checks.append(
                     _diag(
