@@ -247,7 +247,72 @@ FROM supplier WHERE regexp_replace(s_name, '[A-Za-z]', '', 'g') != ''
 """
 
 
+# ---------------------------------------------------------------------------
+# W4 — event sessionization (gap-based), the training-pipeline windowing op
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def w4_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds 30 min.  Pure integer µs arithmetic —
+    Spark reads the parquet TIMESTAMP(NANOS) as long ns (`ts div 1000`),
+    DuckDB truncates to µs natively (`epoch_us`), so both engines see
+    identical microsecond values.  lag + running-sum window, one shuffle
+    on user_id."""
+    ev = _t(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_ord", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_ord")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+        .withColumn(
+            "duration_us", F.col("session_end_us") - F.col("session_start_us")
+        )
+        .withColumn("session_ord", F.col("session_ord").cast("long"))
+    )
+
+
+_W4_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_ord
+  FROM flagged
+)
+SELECT user_id, session_ord, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sessions GROUP BY user_id, session_ord
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
     "p8_two_class_filter": QuerySpec(p8_two_class_filter, _P8_SQL, "P8 rules/table_filtering.smk:17-31"),
     "p9_min_frequency_filter": QuerySpec(p9_min_frequency_filter, _P9_SQL, "P9 rules/table_filtering.smk:1-15"),
     "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt table_py"),
