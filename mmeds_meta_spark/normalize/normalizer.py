@@ -140,11 +140,9 @@ def _fk_parent(col: str) -> str:
     return col.rsplit("_id", 1)[1]
 
 
-def normalize_table(
-    wh: Warehouse, work: DataFrame, table: str, user_id: int
-) -> DataFrame:
-    """Normalize one table out of the joined metadata frame; returns the
-    frame with the table's surrogate id attached as ``__id_<table>``."""
+def _table_exprs(work: DataFrame, table: str) -> dict[str, F.Column]:
+    """Column expressions feeding each of the table's natural/FK columns
+    from the joined metadata frame."""
     spec = TABLES[table]
     id_col = f"id{table}"
     exprs: dict[str, F.Column] = {}
@@ -161,8 +159,15 @@ def normalize_table(
         else:
             flat = _flat_lookup(work.columns, table, c)
             exprs[c] = (F.col(flat) if flat else F.lit(None)).cast(dt)
-    key_cols = list(exprs)
+    return exprs
 
+
+def materialize_dim(wh: Warehouse, work: DataFrame, table: str, user_id: int) -> None:
+    """Dedup-or-insert the table's new dimension rows (the write action)."""
+    spec = TABLES[table]
+    id_col = f"id{table}"
+    exprs = _table_exprs(work, table)
+    key_cols = list(exprs)
     cand = work.select(*[v.alias(k) for k, v in exprs.items()]).dropDuplicates()
     existing = wh.table(table)
     anti_cond = reduce(
@@ -179,6 +184,13 @@ def normalize_table(
         )
     wh.append(table, new_keyed)
 
+
+def attach_dim(wh: Warehouse, work: DataFrame, table: str) -> DataFrame:
+    """Null-safe join the materialized dimension back → ``__id_<table>``
+    (lazy; no action)."""
+    id_col = f"id{table}"
+    exprs = _table_exprs(work, table)
+    key_cols = list(exprs)
     dim = wh.table(table).select(
         F.col(id_col).alias(f"__id_{table}"),
         *[F.col(k).alias(f"__k_{k}") for k in key_cols],
@@ -188,6 +200,40 @@ def normalize_table(
         [exprs[k].eqNullSafe(dim[f"__k_{k}"]) for k in key_cols],
     )
     return work.join(dim, join_cond, "left").drop(*[f"__k_{k}" for k in key_cols])
+
+
+def normalize_table(
+    wh: Warehouse, work: DataFrame, table: str, user_id: int
+) -> DataFrame:
+    """Normalize one table then attach its surrogate id (sequential form)."""
+    materialize_dim(wh, work, table, user_id)
+    return attach_dim(wh, work, table)
+
+
+def fk_levels(tables: list[str]) -> list[list[str]]:
+    """Group tables into FK-dependency levels: a table's level is one past
+    its deepest parent — tables within a level share no edges and can be
+    materialized CONCURRENTLY (Spark schedules jobs from threads)."""
+    levels: dict[str, int] = {}
+
+    def level(t: str) -> int:
+        if t in levels:
+            return levels[t]
+        parents = [
+            _fk_parent(c)
+            for c in TABLES[t]
+            if "_id" in c and c != "user_id"
+        ]
+        parents = [p for p in parents if p in TABLES and p != t]
+        levels[t] = 1 + max((level(p) for p in parents), default=-1)
+        return levels[t]
+
+    for t in tables:
+        level(t)
+    out: dict[int, list[str]] = {}
+    for t in tables:
+        out.setdefault(levels[t], []).append(t)
+    return [out[k] for k in sorted(out)]
 
 
 def _junction_rows(wh: Warehouse, work: DataFrame, junction: str, user_id: int) -> None:
@@ -221,13 +267,32 @@ def import_study(
     normalize every table in FK-topological ``TABLE_ORDER``, then fill the
     junction tables.  Returns the joined frame with every ``__id_*``
     attached (useful for audits/tests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..sources.metadata_tsv import join_metadata
 
     work = parse_icd_codes(join_metadata(subject, specimen))
-    for table in TABLE_ORDER:
-        if table in _SKIP or table not in TABLES:
-            continue
-        work = normalize_table(wh, work, table, user_id)
+    tables = [t for t in TABLE_ORDER if t not in _SKIP and t in TABLES]
+    # FK levels: materialize each level's dims concurrently (independent
+    # Spark jobs from threads), then attach that level's ids lazily so the
+    # next level's FK expressions resolve.  `work` is persisted at each
+    # level boundary so the growing attach-join lineage is computed once
+    # per level, not once per table job.
+    cached: list[DataFrame] = []
+    work = work.persist()
+    cached.append(work)
+    for level in fk_levels(tables):
+        if len(level) == 1:
+            materialize_dim(wh, work, level[0], user_id)
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(level))) as ex:
+                list(ex.map(lambda t: materialize_dim(wh, work, t, user_id), level))
+        for table in level:
+            work = attach_dim(wh, work, table)
+        work = work.persist()
+        cached.append(work)
     for junction in JUNCTION_TABLES:
         _junction_rows(wh, work, junction, user_id)
+    for df in cached[:-1]:
+        df.unpersist()
     return work

@@ -141,23 +141,30 @@ LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
 
 def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     """H over events.value grouped by event_type, with tie-averaged ranks
-    and tie correction.  Ranks ×2 are exact integers (avg of a contiguous
-    run of positions is a half-integer): rank2 = 2·rank_min + (t−1)."""
+    and tie correction — WITHOUT a global row sort.
+
+    Tie-averaged rank ×2 for value v is the integer 2·C(v) + t(v) + 1,
+    where t = per-value count and C = count of rows with smaller value
+    (a cumulative sum over DISTINCT values).  Per group:
+    Σ rank2 = Σ_v n(g,v)·(2C+t+1).  The only ordered operation left is
+    the cumsum over distinct values — the distributed-CDF form that
+    survives 100 TB where rank() over all rows cannot."""
     ev = _t(spark, sf, "events").select("event_type", "value")
-    w = Window.orderBy("value")
-    ranked = ev.withColumn("rmin", F.rank().over(w)).withColumn(
-        "t", F.count("*").over(Window.partitionBy("value"))
+    vt = ev.groupBy("value").agg(F.expr("COUNT(*)").alias("t"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vt.withColumn(
+        "c", F.sum("t").over(wv).cast("decimal(38,0)") - F.col("t")
     )
-    # 2× tie-averaged rank, integer-exact
-    r2 = ranked.withColumn("rank2", F.expr("CAST(2 * rmin + (t - 1) AS DECIMAL(38,0))"))
-    g = r2.groupBy("event_type").agg(
-        F.expr("SUM(rank2)").alias("rg2"), F.expr("COUNT(*)").alias("ng")
+    gv = ev.groupBy("event_type", "value").agg(F.expr("COUNT(*)").alias("ngv"))
+    g = (
+        gv.join(vc, "value")
+        .groupBy("event_type")
+        .agg(
+            F.expr("SUM(CAST(ngv AS DECIMAL(38,0)) * (2 * c + t + 1))").alias("rg2"),
+            F.expr("SUM(ngv)").alias("ng"),
+        )
     )
-    ties = (
-        ev.groupBy("value")
-        .agg(F.expr("COUNT(*)").alias("t"))
-        .agg(F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)").alias("tie_sum"))
-    )
+    ties = vt.agg(F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)").alias("tie_sum"))
     tot = g.crossJoin(F.broadcast(ties)).agg(
         F.expr("SUM(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4)").alias("sum_r2n"),
         F.expr("SUM(ng)").alias("n"),
@@ -174,18 +181,22 @@ def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _D6_SQL = """
-WITH ranked AS (
-  SELECT event_type, value,
-         RANK() OVER (ORDER BY value) AS rmin,
-         COUNT(*) OVER (PARTITION BY value) AS t
-  FROM events
-), r2 AS (
-  SELECT event_type, CAST(2 * rmin + (t - 1) AS HUGEINT) AS rank2 FROM ranked
+WITH vt AS (
+  SELECT value, COUNT(*) AS t FROM events GROUP BY value
+), vc AS (
+  SELECT value, t,
+         CAST(SUM(t) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) - t AS c
+  FROM vt
+), gv AS (
+  SELECT event_type, value, COUNT(*) AS ngv FROM events GROUP BY event_type, value
 ), g AS (
-  SELECT event_type, SUM(rank2) AS rg2, COUNT(*) AS ng FROM r2 GROUP BY event_type
+  SELECT event_type,
+         SUM(CAST(ngv AS HUGEINT) * (2 * c + t + 1)) AS rg2,
+         SUM(ngv) AS ng
+  FROM gv JOIN vc USING (value) GROUP BY event_type
 ), ties AS (
-  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
-  FROM (SELECT COUNT(*) AS t FROM events GROUP BY value)
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum FROM vt
 ), tot AS (
   SELECT SUM(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4) AS sum_r2n,
          SUM(ng) AS n, COUNT(*) AS k, MIN(tie_sum) AS tie_sum
