@@ -70,6 +70,12 @@ def read_header(path: str) -> list[ColumnMeta]:
     ]
 
 
+def load_template(path: str) -> list[ColumnMeta]:
+    """S3 — template readers (util.py:140-163 load_*_template read only
+    the header rows; data is ignored)."""
+    return read_header(path)
+
+
 def read_metadata(
     spark: SparkSession, path: str, *, typed: bool = True
 ) -> tuple[DataFrame, list[ColumnMeta]]:
