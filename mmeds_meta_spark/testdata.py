@@ -33,6 +33,10 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); the driver's session may not
+    # have the legacy flag, and it is runtime-settable — set it here so
+    # every query works under ANY session (ts then arrives as long ns).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
