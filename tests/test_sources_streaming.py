@@ -127,3 +127,38 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     total = spark.sql("SELECT COUNT(*) AS n FROM dedup_test").first().n
     assert n == total  # no duplicate event_ids pass through
     assert total == spark.read.parquet(events_dir).select("event_id").distinct().count()
+
+
+def test_streaming_stateful_sessionize(spark, events_dir, tmp_path):
+    from mmeds_meta_spark.streaming.stateful import streaming_sessionize
+
+    q = (
+        streaming_sessionize(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sess_test").collect()
+    assert got, "no sessions emitted"
+    # closed sessions only, exactly once per (user, session_start)
+    seen = set()
+    for r in got:
+        assert r.session_start_us <= r.session_end_us
+        assert r.n_events >= 1
+        key = (r.user_id, r.session_start_us)
+        assert key not in seen, f"session emitted twice: {key}"
+        seen.add(key)
+    # closed-session event totals never exceed the user's true event count
+    import collections
+
+    ev = spark.read.parquet(events_dir)
+    per_user = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    by_user = collections.defaultdict(int)
+    for r in got:
+        by_user[r.user_id] += r.n_events
+    for u, n in by_user.items():
+        assert n <= per_user[u], (u, n, per_user[u])
