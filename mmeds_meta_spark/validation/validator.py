@@ -288,22 +288,7 @@ class Validator:
                     .select(self._mk(m.flat, "error", "different_lengths",
                                      F.concat(F.lit("Barcode length differs: '"), c, F.lit("'"))))
                 )
-            # numeric outliers (validate.py:137-151, numpy pop σ)
-            if m.declared_type in ("Number", "Decimal", "Integer"):
-                x = c.try_cast("double")
-                wl = Window.partitionBy(F.lit(1))
-                stats = (
-                    self.df.withColumn("__x", x)
-                    .withColumn("__mu", F.avg("__x").over(wl))
-                    .withColumn("__sd", F.stddev_pop("__x").over(wl))
-                )
-                parts.append(
-                    stats.filter(
-                        F.col("__x").isNotNull()
-                        & (F.abs(F.col("__x") - F.col("__mu")) > 2 * F.col("__sd"))
-                    ).select(self._mk(m.flat, "warning", "number_out_of_range",
-                                      F.concat(F.lit("Value more than 2σ from mean: '"), c, F.lit("'"))))
-                )
+            # numeric outliers handled in one batched pass below
             # rare categories (validate.py:153-166, pandas sample σ on counts)
             if m.declared_type == "Text" and m.table != "AdditionalMetaData":
                 counts = (
@@ -326,6 +311,29 @@ class Validator:
                     self.df.join(rare, m.flat)
                     .select(self._mk(m.flat, "warning", "categorical_data",
                                      F.concat(F.lit("Rare category '"), c, F.lit("'"))))
+                )
+        # numeric outliers (validate.py:137-151, numpy pop σ): ALL numeric
+        # columns share ONE aggregate pass (partial-agg, no global window)
+        # + one broadcast crossJoin — the scalable form of per-column stats.
+        num_cols = [
+            m for m in self.meta if m.declared_type in ("Number", "Decimal", "Integer")
+        ]
+        if num_cols:
+            aggs = []
+            for m in num_cols:
+                x = F.col(m.flat).try_cast("double")
+                aggs.append(F.avg(x).alias(f"__mu_{m.flat}"))
+                aggs.append(F.stddev_pop(x).alias(f"__sd_{m.flat}"))
+            stats = self.df.agg(*aggs)
+            enriched = self.df.crossJoin(F.broadcast(stats))
+            for m in num_cols:
+                c = F.col(m.flat)
+                x = c.try_cast("double")
+                mu, sd = F.col(f"__mu_{m.flat}"), F.col(f"__sd_{m.flat}")
+                parts.append(
+                    enriched.filter(x.isNotNull() & (F.abs(x - mu) > 2 * sd))
+                    .select(self._mk(m.flat, "warning", "number_out_of_range",
+                                     F.concat(F.lit("Value more than 2σ from mean: '"), c, F.lit("'"))))
                 )
         # StartDate ≤ EndDate pairs within each table (validate.py:365-377)
         by_prefix: dict[tuple[str, str], dict[str, str]] = {}
