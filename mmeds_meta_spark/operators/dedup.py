@@ -167,6 +167,9 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
 
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
+_BUCKET_CAP = 50  # hot-bucket cap: a (band, key) bucket wider than this is
+# dropped before pair generation (its pairs resurface via other bands) —
+# bounds any bucket's pair fan-out at cap² regardless of corpus skew
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -205,11 +208,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         + ", ".join(f"{b}, band{b}" for b in range(_N_HASHES // _BAND_ROWS))
         + ") AS (band_id, band_key)",
     )
-    other = long.select(
+    ok_buckets = (
+        long.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("__w"))
+        .filter(F.col("__w") <= _BUCKET_CAP)
+        .select("band_id", "band_key")
+    )
+    capped = long.join(ok_buckets, ["band_id", "band_key"])
+    other = capped.select(
         F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("band_key").alias("band_key2")
     )
     return (
-        long.join(
+        capped.join(
             other,
             (F.col("band_id") == F.col("band_id2"))
             & (F.col("band_key") == F.col("band_key2"))
@@ -242,11 +252,17 @@ sig AS (
 ), sig_b AS (
   SELECT doc_id, {bands}
   FROM sig
-), long AS ({stack})
+), long AS ({stack}),
+ok_buckets AS (
+  SELECT band_id, band_key FROM long GROUP BY band_id, band_key
+  HAVING COUNT(*) <= {_BUCKET_CAP}
+), capped AS (
+  SELECT l.* FROM long l JOIN ok_buckets USING (band_id, band_key)
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-FROM long a
-JOIN long b ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
+FROM capped a
+JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
