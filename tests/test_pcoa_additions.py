@@ -1,0 +1,82 @@
+"""PCoA ordination + aliquot addition write path + weight cascade + S8 sink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from fixtures import write_specimen, write_subject
+
+from mmeds_meta_spark.functions.pcoa import pcoa
+from mmeds_meta_spark.normalize import Warehouse, import_study
+from mmeds_meta_spark.plans.additions import add_aliquots, remaining_weight, write_query_tsv
+from mmeds_meta_spark.sources.metadata_tsv import read_metadata
+
+
+def test_pcoa_recovers_line_geometry(spark):
+    # 4 points on a line at 0, 1, 2, 3 → distances are |i−j|; PCoA must
+    # put all variance on axis 1 and preserve gaps
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            rows.append((f"s{i}", f"s{j}", float(j - i)))
+    d = spark.createDataFrame(rows, "ua string, ub string, distance double")
+    res = pcoa(d, n_axes=3)
+    assert res.explained[0] == pytest.approx(1.0, abs=1e-9)
+    axis1 = sorted(res.coordinates[:, 0])
+    gaps = np.diff(axis1)
+    assert np.allclose(gaps, 1.0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("adds")
+    subject, _ = read_metadata(spark, str(write_subject(tmp)))
+    specimen, _ = read_metadata(spark, str(write_specimen(tmp)))
+    wh = Warehouse(spark, str(tmp / "wh"))
+    import_study(wh, subject, specimen, user_id=2)
+    return wh
+
+
+def test_add_aliquots_generates_ids_and_appends(spark, warehouse):
+    wh = warehouse
+    n_before = wh.table("Aliquot").count()
+    upload = spark.createDataFrame(
+        [
+            ("StudyAlpha", "SP-000", 1.25, "g"),
+            ("StudyAlpha", "SP-001", 2.5, "g"),
+        ],
+        "StudyName string, SpecimenID string, AliquotWeight double, AliquotWeightUnit string",
+    )
+    new = add_aliquots(wh, upload, user_id=2)
+    got = {r.AliquotID for r in new.collect()}
+    # each specimen already had 1 aliquot from the upload → ordinal 2
+    assert got == {"SP-000-Aliquot2", "SP-001-Aliquot2"}
+    assert wh.table("Aliquot").count() == n_before + 2
+    # surrogate ids continue past the previous max, unique
+    ids = [r.idAliquot for r in wh.table("Aliquot").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_remaining_weight_cascade(spark, warehouse):
+    wh = warehouse
+    rem = {r.SpecimenID: r for r in remaining_weight(wh).collect() if r.SpecimenID}
+    r0 = rem["SP-000"]
+    # fixture: SpecimenWeight=10, import aliquot 2.5 + added 1.25
+    assert float(r0.SpecimenWeight) == 10.0
+    assert float(r0.remaining_weight) == pytest.approx(10.0 - 2.5 - 1.25)
+
+
+def test_write_query_tsv(spark, tmp_path, warehouse):
+    wh = warehouse
+    from mmeds_meta_spark.plans import MmedsSession
+
+    s = MmedsSession(spark, wh, user_id=2)
+    out = s.execute("SELECT StudyName, StudyType FROM Study WHERE StudyName IS NOT NULL")
+    p = tmp_path / "query.tsv"
+    write_query_tsv(out, str(p))
+    lines = p.read_text().splitlines()
+    assert lines[0] == "StudyName\tStudyType"
+    assert lines[1] == "StudyAlpha\tLongitudinal"
