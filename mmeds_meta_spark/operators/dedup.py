@@ -69,6 +69,10 @@ def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     inside one codegen stage (no self-join, no shuffle until the final
     distinct).  ``array_distinct`` pre-dedups per doc before the explode so
     the distinct shuffle carries no within-doc duplicates."""
+    # NOTE: a repartition-before-hash was tried to parallelize the md5
+    # chain past the single-row-group input split and MEASURED SLOWER at
+    # this scale (extra shuffle > ~1s of hashing); at real scale many
+    # input files provide the parallelism natively.
     d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
     shingles = F.expr(
         "CASE WHEN size(toks) >= 2 THEN "
