@@ -124,14 +124,19 @@ def parse_icd_codes(df: DataFrame) -> DataFrame:
 
 
 def _flat_lookup(work_cols: list[str], table: str, column: str) -> str | None:
-    """Find the metadata column feeding (table, column): exact table prefix
-    wins, then any ``*__column`` (AdditionalMetaData / parsed extras)."""
+    """Find the metadata column feeding (table, column): the exact table
+    prefix, else ONLY the legitimate cross-feed sources — user columns
+    (AdditionalMetaData) and the parsed ICD extras.  An any-table suffix
+    fallback is WRONG: e.g. `Sex` exists in both Subjects and
+    AnimalSubjects, and borrowing across subject kinds mints phantom
+    dimension rows (caught by the polymorphic-SubjectType test)."""
     exact = f"{table}{SEP}{column}"
     if exact in work_cols:
         return exact
-    for wc in work_cols:
-        if SEP in wc and wc.split(SEP, 1)[1] == column:
-            return wc
+    for source in ("AdditionalMetaData", "ICDCode"):
+        cand = f"{source}{SEP}{column}"
+        if cand in work_cols:
+            return cand
     return None
 
 

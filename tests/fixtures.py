@@ -152,6 +152,108 @@ def specimen_rows(n: int = 6, *, mutate: dict | None = None) -> list[dict]:
     return rows
 
 
+ANIMAL_COLS = [
+    ("AnimalSubjects", "AnimalSubjectID", True, "Text", "Limit 45 Characters"),
+    ("AnimalSubjects", "BirthDate", False, "Date", "Year-Month-Day"),
+    ("AnimalSubjects", "AnimalWeight", False, "Decimal", "Gram"),
+    ("AnimalSubjects", "Sex", False, "Text", "Limit 45 Characters"),
+    ("SubjectType", "SubjectType", True, "Text", "Human or Animal"),
+    ("Facility", "FacilityName", False, "Text", "Limit 45 Characters"),
+    ("Facility", "FacilityLocation", False, "Text", "Limit 45 Characters"),
+    ("Vendor", "VendorName", False, "Text", "Limit 45 Characters"),
+    ("Vendor", "VendorLocation", False, "Text", "Limit 45 Characters"),
+    ("Vendor", "VendorStrainInfo", False, "Text", "Limit 45 Characters"),
+    ("Strain", "StrainName", False, "Text", "Limit 45 Characters"),
+    ("Strain", "StrainProducer", False, "Text", "Limit 45 Characters"),
+    ("Strain", "StrainID", False, "Text", "Limit 45 Characters"),
+    ("Species", "SpeciesName", False, "Text", "Limit 45 Characters"),
+    ("Husbandry", "BreedingProgram", False, "Text", "Limit 45 Characters"),
+    ("Husbandry", "LightDarkCycle", False, "Text", "Limit 45 Characters"),
+    ("Husbandry", "Temperature", False, "Decimal", "Celsius"),
+    ("Husbandry", "EnvironmentalEnrichment", False, "Text", "Limit 45 Characters"),
+    ("Housing", "TypeOfFacility", False, "Text", "Limit 45 Characters"),
+    ("Housing", "TypeOfBedding", False, "Text", "Limit 45 Characters"),
+    ("Housing", "TypeOfHousing", False, "Text", "Limit 45 Characters"),
+    ("Housing", "NumberOfCageCompanions", False, "Integer", "Count"),
+    ("Housing", "TankShape", False, "Text", "Limit 45 Characters"),
+    ("Housing", "TankMaterial", False, "Text", "Limit 45 Characters"),
+    ("Housing", "TankID", False, "Text", "Limit 45 Characters"),
+    ("HousingDates", "HousingStartDate", False, "Date", "Year-Month-Day"),
+    ("HousingDates", "HousingEndDate", False, "Date", "Year-Month-Day"),
+    ("ChowDates", "ChowStartDate", False, "Date", "Year-Month-Day"),
+    ("ChowDates", "ChowEndDate", False, "Date", "Year-Month-Day"),
+    ("Chow", "Company", False, "Text", "Limit 45 Characters"),
+    ("Chow", "ProductName", False, "Text", "Limit 45 Characters"),
+    ("Chow", "ProductCode", False, "Text", "Limit 45 Characters"),
+]
+
+
+def animal_rows(n: int = 4) -> list[dict]:
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "AnimalSubjectID": f"AS-{i:03d}",
+                "BirthDate": "2021-06-01",
+                "AnimalWeight": f"{20 + i}.5",
+                "Sex": "F" if i % 2 else "M",
+                "SubjectType": "Animal",
+                "FacilityName": "Vivarium-1",
+                "FacilityLocation": "Basement",
+                "VendorName": "LabStock",
+                "VendorLocation": "Remote",
+                "VendorStrainInfo": "wild-type",
+                "StrainName": "WT-A",
+                "StrainProducer": "LabStock",
+                "StrainID": "ST-1",
+                "SpeciesName": "Mus musculus",
+                "BreedingProgram": "inbred",
+                "LightDarkCycle": "12:12",
+                "Temperature": "22.5",
+                "EnvironmentalEnrichment": "wheel",
+                "TypeOfFacility": "SPF",
+                "TypeOfBedding": "chip",
+                "TypeOfHousing": "cage",
+                "NumberOfCageCompanions": str(2 + i % 2),
+                "TankShape": "NA",
+                "TankMaterial": "NA",
+                "TankID": "NA",
+                "HousingStartDate": "2021-06-15",
+                "HousingEndDate": "2021-12-15",
+                "ChowStartDate": "2021-06-15",
+                "ChowEndDate": "2021-12-15",
+                "Company": "ChowCo",
+                "ProductName": "StandardDiet",
+                "ProductCode": "SD-01",
+            }
+        )
+    return rows
+
+
+def specimen_rows_for_animals(n: int = 4) -> list[dict]:
+    rows = specimen_rows(n)
+    for i, r in enumerate(rows):
+        r["SubjectIdCol"] = f"AS-{i:03d}"
+        r["StudyName"] = "StudyZoo"
+        r["RawDataID"] = f"ZRD-{i:03d}"
+        r["SpecimenID"] = f"ZSP-{i:03d}"
+        r["ResultsProtocolID"] = f"ZRESP-{i:03d}"
+        r["SampleProtocolID"] = f"ZSAMP-{i:03d}"
+        r["AliquotID"] = f"ZSP-{i:03d}-Aliquot1"
+        r["SampleID"] = f"ZSP-{i:03d}-Sample1"
+    return rows
+
+
+def write_animal_subject(tmpdir: Path, *, rows=None) -> Path:
+    return _write(tmpdir / "animal_subject.tsv", ANIMAL_COLS, rows or animal_rows())
+
+
+def write_animal_specimen(tmpdir: Path, *, rows=None) -> Path:
+    return _write(
+        tmpdir / "animal_specimen.tsv", SPECIMEN_COLS, rows or specimen_rows_for_animals()
+    )
+
+
 def write_subject(tmpdir: Path, *, rows=None, mutate=None) -> Path:
     return _write(tmpdir / "subject.tsv", SUBJECT_COLS, rows or subject_rows(mutate=mutate))
 
