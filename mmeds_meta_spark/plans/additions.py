@@ -59,6 +59,43 @@ def add_aliquots(wh: Warehouse, upload: DataFrame, *, user_id: int) -> DataFrame
     return new_rows
 
 
+def add_samples(wh: Warehouse, upload: DataFrame, *, user_id: int) -> DataFrame:
+    """Sample upload (FIXTURES §6): (StudyName, AliquotID, SampleWeight,
+    SampleWeightUnit[, SampleID]) rows → new Sample dimension rows, IDs
+    continuing per aliquot."""
+    from .ids import generate_sample_ids
+
+    ali = wh.table("Aliquot").select("idAliquot", "AliquotID")
+    resolved = upload.join(ali, "AliquotID", "inner")
+    if "SampleID" not in upload.columns:
+        resolved = generate_sample_ids(wh, resolved).withColumnRenamed(
+            "generated_id", "SampleID"
+        )
+    existing = wh.table("Sample")
+    mx = existing.agg(F.max("idSample")).first()[0] or 0
+    w = Window.orderBy("SampleID")
+    new_rows = (
+        resolved.withColumn("idSample", (F.lit(mx) + F.row_number().over(w)).cast("int"))
+        .withColumn("user_id", F.lit(user_id).cast("int"))
+        .select(
+            "idSample",
+            F.lit(1).cast("int").alias("SampleProtocol_idSampleProtocol"),
+            F.col("idAliquot").alias("Aliquot_idAliquot"),
+            "user_id",
+            "SampleID",
+            F.col("SampleWeight").cast("decimal(18,9)"),
+            (
+                F.col("SampleWeightUnit").cast("string")
+                if "SampleWeightUnit" in resolved.columns
+                else F.lit(None).cast("string")
+            ).alias("SampleWeightUnit"),
+            F.lit(1).cast("int").alias("StorageLocation_idStorageLocation"),
+        )
+    )
+    wh.append("Sample", new_rows)
+    return new_rows
+
+
 def remaining_weight(wh: Warehouse) -> DataFrame:
     """F19 — the weight cascade as a recompute: specimen initial weight
     minus the sum of its aliquots' weights (sql/triggers.sql:5-18 without

@@ -80,3 +80,20 @@ def test_write_query_tsv(spark, tmp_path, warehouse):
     lines = p.read_text().splitlines()
     assert lines[0] == "StudyName\tStudyType"
     assert lines[1] == "StudyAlpha\tLongitudinal"
+
+
+def test_add_samples_generates_ids(spark, warehouse):
+    from mmeds_meta_spark.plans.additions import add_samples
+
+    wh = warehouse
+    n_before = wh.table("Sample").count()
+    upload = spark.createDataFrame(
+        [("StudyAlpha", "SP-000-Aliquot1", 0.5, "g")],
+        "StudyName string, AliquotID string, SampleWeight double, SampleWeightUnit string",
+    )
+    new = add_samples(wh, upload, user_id=2)
+    rows = new.collect()
+    assert len(rows) == 1
+    # the aliquot already carries 1 sample from the import → ordinal 2
+    assert rows[0].SampleID == "SP-000-Aliquot1-Sample2"
+    assert wh.table("Sample").count() == n_before + 1
