@@ -1,0 +1,144 @@
+"""The reference's core analysis dataflow (snakemake rules → one Spark
+pipeline): feature table → min-frequency filter → taxonomic collapse per
+level → rarefaction → alpha metrics (+ group mean/SEM) → Bray-Curtis →
+PCoA → PERMANOVA → differential abundance.
+
+Reference provenance: rules/table_filtering.smk (P8/P9),
+rules/taxonomy.smk:71-85 (collapse), rules/diversity_analysis.smk
+(alpha/beta/significance), rules/differential_abundance.smk (LEfSe),
+driven by the config YAML (util.py:323-407) — orchestrated there by
+snakemake + LSF with MMEDS_STAGE_{i} restart markers
+(tools/analysis.py:435-448).
+
+Here each stage is a DataFrame; passing ``out_dir`` materializes every
+stage as parquet, which IS the restart capability (re-running skips
+stages whose output exists) — SURVEY §3's "materialized intermediate
+tables give free restart".
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.diff_abundance import differential_abundance
+from ..functions.pcoa import PcoaResult, pcoa
+from ..functions.permanova import PermanovaResult, permanova
+from ..sources.feature_table import (
+    alpha_over_rarefactions,
+    merge_feature_tables,
+    rarefy,
+    taxa_collapse,
+)
+
+
+def _materialize(df: DataFrame, out_dir: str | None, name: str, spark: SparkSession) -> DataFrame:
+    """Stage checkpoint: write-once parquet; existing output = restart hit."""
+    if out_dir is None:
+        return df
+    path = os.path.join(out_dir, name)
+    if not os.path.exists(path):
+        df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_core_analysis(
+    spark: SparkSession,
+    feature_table: DataFrame,          # (feature_id, sample_id, count)
+    taxonomy: DataFrame,               # (feature_id, lineage)
+    sample_meta: DataFrame,            # (sample_id, <class cols>)
+    config: dict,
+    *,
+    out_dir: str | None = None,
+) -> dict:
+    """Run the full flow per the analysis config; returns a dict of stage
+    outputs (DataFrames + the small driver-side stats results)."""
+    results: dict = {}
+    depth = int(config["sampling_depth"])
+    class_col = config.get("class_column")
+
+    # P9 — drop samples below sampling depth
+    keep = (
+        feature_table.groupBy("sample_id")
+        .agg(F.sum("count").alias("__tot"))
+        .filter(F.col("__tot") >= depth)
+        .select("sample_id")
+    )
+    filtered = feature_table.join(keep, "sample_id", "left_semi")
+    filtered = _materialize(filtered, out_dir, "filtered", spark)
+    results["filtered"] = filtered
+
+    # A13 — taxonomic collapse per configured level
+    collapsed: dict[int, DataFrame] = {}
+    for level in config["taxa_levels"]:
+        c = taxa_collapse(filtered, taxonomy, level).withColumnRenamed("taxon", "feature_id")
+        collapsed[level] = _materialize(c, out_dir, f"taxa_l{level}", spark)
+    results["collapsed"] = collapsed
+
+    # D1 — rarefaction + alpha (on the un-collapsed table)
+    rarefied = rarefy(
+        filtered, depth=depth, iterations=int(config.get("rarefaction_iterations", 5))
+    )
+    rarefied = _materialize(rarefied, out_dir, "rarefied", spark)
+    results["rarefied"] = rarefied
+    alpha = alpha_over_rarefactions(rarefied)
+    if class_col:
+        alpha = alpha.join(sample_meta.select("sample_id", class_col), "sample_id")
+        results["alpha_group_summary"] = (
+            alpha.groupBy(class_col).agg(
+                F.avg("mean_shannon").alias("group_mean_shannon"),
+                (F.stddev_samp("mean_shannon") / F.sqrt(F.count("*"))).alias("group_sem_shannon"),
+                F.count("*").alias("n_samples"),
+            )
+        )
+    results["alpha"] = _materialize(alpha, out_dir, "alpha", spark)
+
+    # D2 — Bray-Curtis on relative abundances of the filtered table
+    counts = filtered.groupBy("sample_id", "feature_id").agg(F.sum("count").alias("c"))
+    totals = counts.groupBy("sample_id").agg(F.sum("c").alias("s"))
+    a = counts.select(F.col("sample_id").alias("ua"), "feature_id", F.col("c").alias("xa"))
+    b = counts.select(F.col("sample_id").alias("ub"), "feature_id", F.col("c").alias("xb"))
+    common = (
+        a.join(b, "feature_id")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("d_common"),
+            F.sum("xa").alias("ca"),
+            F.sum("xb").alias("cb"),
+        )
+    )
+    ta = totals.select(F.col("sample_id").alias("ua"), F.col("s").alias("sa"))
+    tb = totals.select(F.col("sample_id").alias("ub"), F.col("s").alias("sb"))
+    beta = (
+        ta.crossJoin(tb)
+        .filter(F.col("ua") < F.col("ub"))
+        .join(F.broadcast(common), ["ua", "ub"], "left")
+        .fillna(0, subset=["d_common", "ca", "cb"])
+        .select(
+            "ua",
+            "ub",
+            (
+                (F.col("d_common") + (F.col("sa") - F.col("ca")) + (F.col("sb") - F.col("cb")))
+                / (F.col("sa") + F.col("sb"))
+            ).alias("distance"),
+        )
+    )
+    beta = _materialize(beta, out_dir, "beta_braycurtis", spark)
+    results["beta"] = beta
+
+    # ordination + significance (driver-side over samples², like the refs)
+    results["pcoa"]: PcoaResult = pcoa(beta, n_axes=3)
+    if class_col:
+        groups = sample_meta.select("sample_id", class_col).join(keep, "sample_id", "left_semi")
+        results["permanova"]: PermanovaResult = permanova(
+            beta, groups, n_permutations=int(config.get("permanova_permutations", 199))
+        )
+        # D5/D6 — differential abundance at each collapsed level
+        results["diff_abundance"] = {
+            level: differential_abundance(collapsed[level], sample_meta, class_col=class_col)
+            for level in config["taxa_levels"]
+        }
+    return results
