@@ -341,14 +341,34 @@ def _simhash_bit_exprs(dialect: str) -> list[str]:
     return exprs  # 32 entries, bit index = 4*j + r
 
 
+def _simhash_band_bounds() -> list[tuple[int, int]]:
+    """(offset, width) for τ+1 contiguous bit bands covering the 32 bits.
+    Pigeonhole: two fingerprints within Hamming τ differ in ≤ τ bands, so
+    they MUST agree exactly on at least one of the τ+1 bands."""
+    n_bands = _HAMMING_TAU + 1
+    base, extra = divmod(_SH_BITS, n_bands)
+    bounds, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash: per doc, each token votes ±1 on 32 bits (bit = hex nibble
     bits of md5(token)); fingerprint bit = sign of the vote sum; near-dups
     are pairs with Hamming(fp_a, fp_b) ≤ τ via bit_count(a ^ b).
 
-    All integer arithmetic → bit-identical across engines.  At corpus
-    scale the pair space is banded on the top fingerprint bits; here the
-    corpus is small enough for the direct pair join."""
+    All integer arithmetic → bit-identical across engines.  Pair
+    generation is BANDED, not pairwise: the fingerprint splits into τ+1
+    bit bands and candidates come from equi-joins on (band_id, band bits)
+    — by pigeonhole this finds EXACTLY the pairs the direct O(n²) join
+    would (≤ τ flipped bits leave ≥ 1 band untouched), so the oracle
+    stays the direct pairwise SQL.  At corpus scale each band join is a
+    bucket-local shuffle keyed by band value; a pathological bucket (many
+    identical band values) would additionally be salted/capped like the
+    LSH path."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     votes = _simhash_bit_exprs("spark")
@@ -360,13 +380,31 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(_SH_BITS)
     )
     sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint"))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"))
+    band_rows = [
+        f"({b}, CAST(shiftright(fingerprint, {off}) & {(1 << width) - 1} AS BIGINT))"
+        for b, (off, width) in enumerate(_simhash_band_bounds())
+    ]
+    long = sigs.selectExpr(
+        "doc_id",
+        "fingerprint",
+        f"inline(array({', '.join('struct' + r for r in band_rows)})) AS (band_id, band_key)",
+    )
+    other = long.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fb"),
+        "band_id",
+        "band_key",
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS INT)"))
+        long.join(other, ["band_id", "band_key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.expr("CAST(bit_count(fingerprint ^ fb) AS INT)").alias("hamming"),
+        )
         .filter(F.col("hamming") <= _HAMMING_TAU)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
