@@ -43,6 +43,7 @@ def registry() -> dict[str, QuerySpec]:
         diversity,
         filters_misc,
         multimodal,
+        phylo,
         relational,
         similarity,
         stats,
@@ -50,6 +51,6 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo):
         merged.update(mod.QUERIES)
     return merged

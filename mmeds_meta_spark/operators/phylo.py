@@ -1,0 +1,275 @@
+"""Tree-based diversity: Faith's PD + unweighted/weighted UniFrac.
+
+The reference computes these through QIIME2 (``faith_pd`` and UniFrac in
+rules/diversity_analysis.smk:5-75) against a phylogenetic tree built by
+mafft/fasttree (rules/process_sequencing_data.smk:75-92).  SURVEY §2.10
+deferred them for lack of a tree; here the engine supplies the missing
+piece natively: the tree is modeled as a *branch-membership relation*
+``(sample, branch, descendant-count)`` and every metric becomes plain
+joins + integer aggregation — the representation a 100 TB run needs
+anyway, because a real tree's branches are just another table.
+
+Tree construction (deterministic, identical in both engines): a feature's
+root-path is the first 3 hex nibbles of ``md5(feature)``; its branches are
+the 3 proper prefixes (internal edges, shared between features with a
+common prefix) plus one leaf edge per feature.  Branch length is an
+integer in 1..256 derived from ``md5(branch_id)`` — so lengths, sums, and
+every UniFrac numerator/denominator are exact integers and the single
+final division is bit-identical across Spark and DuckDB.
+
+* Faith's PD(sample)    = Σ length over branches with ≥1 present descendant.
+* unweighted UniFrac    = (T_a + T_b − 2·S) / (T_a + T_b − S)
+                          with T = per-sample branch-length total and
+                          S = shared-branch length — the same
+                          decomposition trick as Bray-Curtis, so only
+                          co-occurring branches ever join.
+* weighted UniFrac      = Σ_b len·|c_a/N_a − c_b/N_b| rewritten as
+                          integers:  (Σ_common len·|c_a·N_b − c_b·N_a|
+                          + N_b·(W_a−SC_a) + N_a·(W_b−SC_b)) / (N_a·N_b).
+
+Scale: membership is 4 rows per (sample, feature) — linear; pair
+generation is branch-inverted-index within a sample block (never a dense
+matrix); at 100 TB the block key becomes the study/cohort partition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
+from . import QuerySpec
+
+_DEPTH = 3  # internal-edge prefix nibbles per feature
+_BLOCK = 40  # pairwise operators: samples 0.._BLOCK-1 (as d2_bray_curtis)
+_HEX = "0123456789abcdef"
+
+
+def _len_expr(dialect: str, branch: str) -> str:
+    """Integer branch length 1..256 from md5(branch): value of the first
+    two hex nibbles + 1.  Portable: instr (Spark) / strpos (DuckDB)."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    n1 = f"({pos}('{_HEX}', substr(md5({branch}), 1, 1)) - 1)"
+    n2 = f"({pos}('{_HEX}', substr(md5({branch}), 2, 1)) - 1)"
+    return f"({n1} * 16 + {n2} + 1)"
+
+
+def _branch_array(feature: str) -> list[str]:
+    """The 4 branch ids (3 shared prefixes + 1 leaf edge) of a feature."""
+    return [
+        f"concat('p', substr(md5({feature}), 1, {k}))" for k in range(1, _DEPTH + 1)
+    ] + [f"concat('L', {feature})"]
+
+
+def _cov(spark: SparkSession, sf: str, *, block: int | None) -> DataFrame:
+    """(user_id, branch, len, cb): per-sample branch coverage — cb is the
+    total abundance under the branch, len its integer length."""
+    ev = _t(spark, sf, "events")
+    if block is not None:
+        ev = ev.filter(F.col("user_id") < block)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    mem = counts.select(
+        "user_id",
+        "c",
+        F.explode(F.array(*[F.expr(b) for b in _branch_array("event_type")])).alias(
+            "branch"
+        ),
+    )
+    return (
+        mem.groupBy("user_id", "branch")
+        .agg(F.expr("SUM(c)").alias("cb"))
+        .withColumn("len", F.expr(_len_expr("spark", "branch")).cast("long"))
+    )
+
+
+def _cov_sql(*, block: int | None) -> str:
+    where = f"WHERE user_id < {block}" if block is not None else ""
+    branches = ", ".join(_branch_array("event_type"))
+    return f"""
+  counts AS (
+    SELECT user_id, event_type, COUNT(*) AS c FROM events {where}
+    GROUP BY user_id, event_type
+  ), mem AS (
+    SELECT user_id, c, unnest([{branches}]) AS branch FROM counts
+  ), cov AS (
+    SELECT user_id, branch, SUM(c) AS cb,
+           CAST({_len_expr('duck', 'branch')} AS BIGINT) AS len
+    FROM mem GROUP BY user_id, branch
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Faith's PD  (qiime diversity alpha --p-metric faith_pd)
+# ---------------------------------------------------------------------------
+
+
+def d1_faith_pd(spark: SparkSession, sf: str) -> DataFrame:
+    """PD = Σ branch length over the sample's covered branches.  One
+    narrow 4-way branch expansion + one groupBy — linear, no pairs."""
+    cov = _cov(spark, sf, block=None)
+    return cov.groupBy("user_id").agg(
+        F.expr("COUNT(*)").alias("n_branches"),
+        F.expr("SUM(len)").cast("long").alias("pd"),
+    )
+
+
+_FAITH_SQL = f"""
+WITH {_cov_sql(block=None)}
+SELECT user_id, COUNT(*) AS n_branches, CAST(SUM(len) AS BIGINT) AS pd
+FROM cov GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unweighted UniFrac — presence/absence branch overlap
+# ---------------------------------------------------------------------------
+
+
+def d2_unifrac_unweighted(spark: SparkSession, sf: str) -> DataFrame:
+    """UF(a,b) = (Ta + Tb − 2S) / (Ta + Tb − S): only shared branches join
+    (branch-inverted index); unshared mass comes from the per-sample
+    totals — integers throughout, one exact final division."""
+    cov = _cov(spark, sf, block=_BLOCK)
+    tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
+    a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
+    b = cov.select(F.col("user_id").alias("ub"), "branch")
+    shared = (
+        a.join(b, "branch")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.expr("SUM(la)").alias("s"))
+    )
+    ta = tot.select(F.col("user_id").alias("ua"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("user_id").alias("ub"), F.col("t").alias("tb"))
+    return (
+        ta.crossJoin(tb)
+        .filter(F.col("ua") < F.col("ub"))
+        .join(F.broadcast(shared), ["ua", "ub"], "left")
+        .fillna(0, subset=["s"])
+        .select(
+            "ua",
+            "ub",
+            F.expr("CAST(ta + tb - 2 * s AS DOUBLE) / (ta + tb - s)").alias(
+                "unifrac_u"
+            ),
+        )
+    )
+
+
+_UF_U_SQL = f"""
+WITH {_cov_sql(block=_BLOCK)},
+tot AS (
+  SELECT user_id, SUM(len) AS t FROM cov GROUP BY user_id
+), shared AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, SUM(a.len) AS s
+  FROM cov a JOIN cov b ON a.branch = b.branch AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT ta.user_id AS ua, tb.user_id AS ub,
+       CAST(ta.t + tb.t - 2 * COALESCE(s, 0) AS DOUBLE)
+       / (ta.t + tb.t - COALESCE(s, 0)) AS unifrac_u
+FROM tot ta
+JOIN tot tb ON ta.user_id < tb.user_id
+LEFT JOIN shared ON ua = ta.user_id AND ub = tb.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted UniFrac — abundance-weighted branch differences
+# ---------------------------------------------------------------------------
+
+
+def d2_unifrac_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
+    is an integer until the single final division by N_a·N_b."""
+    cov = _cov(spark, sf, block=_BLOCK)
+    # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
+    nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
+        F.expr("SUM(cb)").alias("n")
+    )
+    wt = cov.groupBy("user_id").agg(
+        F.expr("SUM(CAST(len AS DECIMAL(38,0)) * cb)").alias("w")
+    )
+    na = nt.select(F.col("user_id").alias("ua"), F.col("n").alias("na"))
+    nb = nt.select(F.col("user_id").alias("ub"), F.col("n").alias("nb"))
+    a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"), F.col("cb").alias("ca"))
+    b = cov.select(F.col("user_id").alias("ub"), "branch", F.col("cb").alias("cb2"))
+    common = (
+        a.join(b, "branch")
+        .filter(F.col("ua") < F.col("ub"))
+        .join(F.broadcast(na), "ua")
+        .join(F.broadcast(nb), "ub")
+        .groupBy("ua", "ub")
+        .agg(
+            F.expr(
+                "SUM(CAST(la AS DECIMAL(38,0)) * ABS(ca * nb - cb2 * na))"
+            ).alias("ncommon"),
+            F.expr("SUM(CAST(la AS DECIMAL(38,0)) * ca)").alias("sca"),
+            F.expr("SUM(CAST(la AS DECIMAL(38,0)) * cb2)").alias("scb"),
+        )
+    )
+    wa = wt.select(F.col("user_id").alias("ua"), F.col("w").alias("wa"))
+    wb = wt.select(F.col("user_id").alias("ub"), F.col("w").alias("wb"))
+    return (
+        na.crossJoin(nb)
+        .filter(F.col("ua") < F.col("ub"))
+        .join(wa, "ua")
+        .join(wb, "ub")
+        .join(F.broadcast(common), ["ua", "ub"], "left")
+        .fillna(0, subset=["ncommon", "sca", "scb"])
+        .select(
+            "ua",
+            "ub",
+            F.expr(
+                "CAST(ncommon + nb * (wa - sca) + na * (wb - scb) AS DOUBLE)"
+                " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+            ).alias("unifrac_w"),
+        )
+    )
+
+
+_UF_W_SQL = f"""
+WITH {_cov_sql(block=_BLOCK)},
+nt AS (
+  SELECT user_id, SUM(cb) AS n FROM cov WHERE branch LIKE 'L%' GROUP BY user_id
+), wt AS (
+  SELECT user_id, SUM(CAST(len AS HUGEINT) * cb) AS w FROM cov GROUP BY user_id
+), common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         SUM(CAST(a.len AS HUGEINT) * ABS(a.cb * nb.n - b.cb * na.n)) AS ncommon,
+         SUM(CAST(a.len AS HUGEINT) * a.cb) AS sca,
+         SUM(CAST(a.len AS HUGEINT) * b.cb) AS scb
+  FROM cov a
+  JOIN cov b ON a.branch = b.branch AND a.user_id < b.user_id
+  JOIN nt na ON na.user_id = a.user_id
+  JOIN nt nb ON nb.user_id = b.user_id
+  GROUP BY 1, 2
+)
+SELECT na.user_id AS ua, nb.user_id AS ub,
+       CAST(COALESCE(ncommon, 0) + nb.n * (wa.w - COALESCE(sca, 0))
+            + na.n * (wb.w - COALESCE(scb, 0)) AS DOUBLE)
+       / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS unifrac_w
+FROM nt na
+JOIN nt nb ON na.user_id < nb.user_id
+JOIN wt wa ON wa.user_id = na.user_id
+JOIN wt wb ON wb.user_id = nb.user_id
+LEFT JOIN common ON ua = na.user_id AND ub = nb.user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "d1_faith_pd": QuerySpec(
+        d1_faith_pd, _FAITH_SQL, "D1 rules/diversity_analysis.smk:42-75 (faith_pd)"
+    ),
+    "d2_unifrac_unweighted": QuerySpec(
+        d2_unifrac_unweighted,
+        _UF_U_SQL,
+        "D2 rules/diversity_analysis.smk:5-40 (unweighted UniFrac)",
+    ),
+    "d2_unifrac_weighted": QuerySpec(
+        d2_unifrac_weighted,
+        _UF_W_SQL,
+        "D2 rules/diversity_analysis.smk:5-40 (weighted UniFrac)",
+    ),
+}
