@@ -177,6 +177,46 @@ FROM firsts
 
 
 # ---------------------------------------------------------------------------
+# A9 — sequencing-run name dedup (util.py:409-411 get_sequencing_run_names)
+# ---------------------------------------------------------------------------
+
+
+def a9_distinct_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """`df[col].unique()` as a distributed distinct: the run-name analog is
+    the documents `source` column.  One partial-agg shuffle over a
+    bounded-cardinality key."""
+    return _t(spark, sf, "documents").select("source").distinct()
+
+
+_A9_SQL = "SELECT DISTINCT source FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# A17 — stats counters (config.py:174-177; spawn.py:239-259 update_stats)
+# ---------------------------------------------------------------------------
+
+
+def a17_stats_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """The homepage study/user/doc counters as one row of global counts —
+    three partial-agg scans cross-joined (each side is a single row)."""
+    users = _t(spark, sf, "events").agg(
+        F.expr("COUNT(DISTINCT user_id)").alias("user_count")
+    )
+    docs = _t(spark, sf, "documents").agg(F.expr("COUNT(*)").alias("doc_count"))
+    studies = _t(spark, sf, "embeddings").agg(
+        F.expr("COUNT(DISTINCT label)").alias("study_count")
+    )
+    return users.crossJoin(docs).crossJoin(studies)
+
+
+_A17_SQL = """
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS user_count,
+       (SELECT COUNT(*) FROM documents) AS doc_count,
+       (SELECT COUNT(DISTINCT label) FROM embeddings) AS study_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # F5/F6 — is_numeric + majority-type inference (util.py:505-550, 613-624)
 # ---------------------------------------------------------------------------
 
@@ -318,6 +358,8 @@ QUERIES: dict[str, QuerySpec] = {
     "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt table_py"),
     "a15_pairwise_splits": QuerySpec(a15_pairwise_splits, _A15_SQL, "A15 rules/common.smk:13-77"),
     "a16_ordered_distinct": QuerySpec(a16_ordered_distinct, _A16_SQL, "A16 util.py:1114-1123"),
+    "a9_distinct_runs": QuerySpec(a9_distinct_runs, _A9_SQL, "A9 util.py:409-411"),
+    "a17_stats_counters": QuerySpec(a17_stats_counters, _A17_SQL, "A17 config.py:174-177, spawn.py:239-259"),
     "f6_type_inference": QuerySpec(f6_type_inference, _F6_SQL, "F5/F6 util.py:505-550, 613-624"),
     "f10_alphabet_check": QuerySpec(f10_alphabet_check, _F10_SQL, "F10 validate.py:187-197"),
 }

@@ -129,8 +129,12 @@ FROM cov GROUP BY user_id
 def d2_unifrac_unweighted(spark: SparkSession, sf: str) -> DataFrame:
     """UF(a,b) = (Ta + Tb − 2S) / (Ta + Tb − S): only shared branches join
     (branch-inverted index); unshared mass comes from the per-sample
-    totals — integers throughout, one exact final division."""
-    cov = _cov(spark, sf, block=_BLOCK)
+    totals — integers throughout, one exact final division.
+
+    cov is cached: it is block-bounded (≤ block × branches rows) and
+    consumed by differently-pruned subplans that would otherwise each
+    re-scan events (no exchange reuse across pruned copies)."""
+    cov = _cov(spark, sf, block=_BLOCK).cache()
     tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
     b = cov.select(F.col("user_id").alias("ub"), "branch")
@@ -183,7 +187,7 @@ LEFT JOIN shared ON ua = ta.user_id AND ub = tb.user_id
 def d2_unifrac_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
     is an integer until the single final division by N_a·N_b."""
-    cov = _cov(spark, sf, block=_BLOCK)
+    cov = _cov(spark, sf, block=_BLOCK).cache()
     # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
     nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
         F.expr("SUM(cb)").alias("n")
