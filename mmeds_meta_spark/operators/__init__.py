@@ -45,12 +45,13 @@ def registry() -> dict[str, QuerySpec]:
         multimodal,
         phylo,
         relational,
+        sampling,
         similarity,
         stats,
         text,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling):
         merged.update(mod.QUERIES)
     return merged

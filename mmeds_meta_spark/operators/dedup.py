@@ -431,7 +431,96 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# near-dup cluster formation — connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the SimHash near-dup pair graph:
+    cluster_id = MIN(doc_id) in the component — the "keep one per
+    cluster" step every corpus-scale dedup pipeline runs after pair
+    generation.
+
+    Iterative min-label propagation as a driver loop of joins: each
+    round every node adopts the minimum label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup
+    components are shallow — chains of near-identical docs).  The edge
+    set and the evolving label frame are persisted per round; at 100 TB
+    you would swap in large-star/small-star pointer-jumping
+    (O(log d) rounds) — same join primitives, same fixpoint contract.
+
+    Output: (doc_id, cluster_id) for every doc in ≥1 near-dup pair.
+    """
+    pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b")
+    # localCheckpoint truncates lineage: without it every round's plan
+    # embeds all previous rounds' joins (exponential plan growth — the
+    # standard iterative-graph pitfall).
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _components_sql() -> str:
+    """Recursive-CTE oracle: a label reaches every node on a path from
+    its origin (the pruning guard lab < node only ever drops labels that
+    cannot be a component minimum), so MIN per node = component min."""
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+comp AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT e.dst AS node, c.lab FROM comp c JOIN edges e ON e.src = c.node
+  WHERE c.lab < e.dst
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM comp GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cluster_components": QuerySpec(
+        dedup_cluster_components,
+        _components_sql(),
+        "cluster step after near-dup pairs (iterative CC; oracle = recursive CTE)",
+    ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, _simhash_sql(), "LLM-pipeline dedup (SimHash fingerprints)"
     ),
