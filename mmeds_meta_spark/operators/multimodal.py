@@ -110,6 +110,110 @@ def decode_media(df: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, *, use_fake_codec: bool = False
+) -> DataFrame:
+    """Resize plumbing (payload → payload): Arrow-batched ``mapInPandas``
+    with the same stub seam as :func:`decode_media`.  The fake codec
+    truncates/cycles the byte stream to exactly width×height bytes so
+    tests can assert output sizes and determinism; a real implementation
+    swaps in PIL/ffmpeg inside the batch loop — the Spark-side contract
+    (schema, batch shape, binary-in/binary-out) is unchanged."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not use_fake_codec:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass use_fake_codec=True or plug a real resizer here"
+                )
+            n = width * height
+            out = [
+                bytes((p * (n // max(len(p), 1) + 1))[:n]) for p in map(bytes, pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FEATURE_CHARS = "aeio "  # deterministic char-frequency feature basis
+
+FEATURE_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType()), T.StructField("n_bytes", T.LongType())]
+    + [
+        T.StructField(f"f_{c.strip() or 'sp'}", T.DoubleType())
+        for c in FEATURE_CHARS
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``: each
+    feature is an exact integer ratio (byte-count / payload length), so
+    the Python-side result bit-matches a SQL oracle — the Arrow batch
+    boundary does not break the engine's exactness discipline."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            ns = [len(p) for p in payloads]
+            cols = {
+                "media_id": pdf["media_id"].values,
+                "n_bytes": ns,
+            }
+            for c in FEATURE_CHARS:
+                key = f"f_{c.strip() or 'sp'}"
+                cols[key] = [
+                    p.count(c.encode()) / n if n else 0.0
+                    for p, n in zip(payloads, ns)
+                ]
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """queries() surface for the Arrow-batched feature extractor."""
+    return extract_features(media_table(spark, sf))
+
+
+def _feature_sql() -> str:
+    # character counts via the length-difference trick; the documents
+    # fixture is ASCII so char counts == byte counts.
+    feats = ",\n       ".join(
+        "CAST(length(text) - length(replace(text, '{c}', '')) AS DOUBLE)"
+        " / octet_length(CAST(text AS BLOB)) AS f_{k}".format(
+            c=c, k=c.strip() or "sp"
+        )
+        for c in FEATURE_CHARS
+    )
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       {feats}
+FROM documents
+"""
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled offset —
     pure-relational explode of a generated offset sequence (no UDF)."""
@@ -158,5 +262,10 @@ FROM media GROUP BY media_type
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta_profile": QuerySpec(
         multimodal_meta_profile, _META_SQL, "LLM-pipeline multimodal (binary columns + metadata)"
+    ),
+    "multimodal_feature_extract": QuerySpec(
+        multimodal_feature_extract,
+        _feature_sql(),
+        "LLM-pipeline multimodal (Arrow-batched feature extraction, exact ratios)",
     ),
 }

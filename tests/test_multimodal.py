@@ -9,9 +9,13 @@ from conftest import SF_SMOKE
 
 from mmeds_meta_spark.operators.multimodal import (
     DECODED_SCHEMA,
+    FEATURE_CHARS,
+    RESIZED_SCHEMA,
     _fake_decode,
     decode_media,
+    extract_features,
     media_table,
+    resize_media,
     sample_frames,
 )
 
@@ -52,3 +56,35 @@ def test_sample_frames(spark):
     for r in got:
         expected = (sizes[r.media_id] - 1) // 50 + 1
         assert r["count"] == expected
+
+
+def test_resize_media_fake_codec(spark):
+    m = media_table(spark, SF_SMOKE).limit(10)
+    out = resize_media(m, 8, 6, use_fake_codec=True)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.width, r.height) == (8, 6)
+        assert len(bytes(r.payload)) == 48
+    # deterministic: same input -> same resized bytes
+    again = {r.media_id: bytes(r.payload) for r in resize_media(m, 8, 6, use_fake_codec=True).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
+
+
+def test_resize_media_stub_raises(spark):
+    m = media_table(spark, SF_SMOKE).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs unavailable"):
+        resize_media(m, 4, 4).collect()
+
+
+def test_extract_features_exact_ratios(spark):
+    m = media_table(spark, SF_SMOKE).limit(20)
+    out = {r.media_id: r for r in extract_features(m).collect()}
+    for r in m.collect():
+        p = bytes(r.payload)
+        got = out[r.media_id]
+        assert got.n_bytes == len(p)
+        for c in FEATURE_CHARS:
+            key = f"f_{c.strip() or 'sp'}"
+            assert got[key] == p.count(c.encode()) / len(p)
