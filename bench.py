@@ -30,6 +30,8 @@ HEADLINE = [
     "a11_grouped_mean_sem",
     "r1_unpivot_melt",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "d2_unifrac_weighted",
     "text_quality_score",
     "ann_cosine_topk",
 ]

@@ -467,13 +467,17 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels only ever decrease elementwise, so the global label sum is a
+    # monotone potential: unchanged sum ⟺ fixpoint.  One scalar agg per
+    # round instead of a join+count convergence probe.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new = (
+        labels = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
@@ -481,15 +485,10 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
