@@ -48,7 +48,12 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.time()
         reg[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # operators that .cache() block-bounded intermediates (phylo cov,
+        # jaccard shingles) get their blocks released here — scoped cache,
+        # no accumulation across a long-lived session
+        spark.catalog.clearCache()
+        return dt
 
     run(HEADLINE[0])  # warm-up: JVM + codegen + parquet footer cache
     times = {name: round(run(name), 3) for name in HEADLINE}

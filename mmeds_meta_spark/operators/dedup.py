@@ -355,20 +355,80 @@ def _simhash_band_bounds() -> list[tuple[int, int]]:
     return bounds
 
 
+_SH_BUCKET_TARGET = 50  # rows per salted band sub-bucket
+
+
+def _simhash_banded_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded near-dup pairs from a (doc_id, fingerprint) relation.
+
+    Pigeonhole banding: the fingerprint splits into τ+1 bit bands and
+    candidates come from equi-joins on (band_id, band bits) — EXACTLY the
+    pairs the direct O(n²) join finds (≤ τ flipped bits leave ≥ 1 band
+    untouched), so the oracle stays the direct pairwise SQL.
+
+    Hot-bucket salting: a (band_id, band_key) bucket of width w makes one
+    join task do w² comparisons (boilerplate-heavy corpora share band
+    values).  Buckets wider than the target are split: the probe side gets
+    a deterministic salt in 0..nsalt-1, the build side is replicated
+    across all nsalt salts — the SAME pair set (each unordered pair
+    appears once after doc_id < doc_b), but no task is quadratic in the
+    bucket width.  Cold buckets keep nsalt=1 and pay nothing; the width
+    table is aggregated once and AQE broadcasts it when small.
+    """
+    band_rows = [
+        f"({b}, CAST(shiftright(fingerprint, {off}) & {(1 << width) - 1} AS BIGINT))"
+        for b, (off, width) in enumerate(_simhash_band_bounds())
+    ]
+    long = sigs.selectExpr(
+        "doc_id",
+        "fingerprint",
+        f"inline(array({', '.join('struct' + r for r in band_rows)})) AS (band_id, band_key)",
+    )
+    hot = (
+        long.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("__w"))
+        .filter(F.col("__w") > _SH_BUCKET_TARGET)
+        .select(
+            "band_id",
+            "band_key",
+            F.ceil(F.col("__w") / _SH_BUCKET_TARGET).cast("int").alias("nsalt"),
+        )
+    )
+    salted = long.join(hot, ["band_id", "band_key"], "left").withColumn(
+        "nsalt", F.coalesce("nsalt", F.lit(1))
+    )
+    probe = salted.withColumn(
+        "salt", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.col("nsalt")).cast("int")
+    )
+    build = salted.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fb"),
+        "band_id",
+        "band_key",
+        F.explode(F.expr("sequence(0, nsalt - 1)")).alias("salt"),
+    )
+    return (
+        probe.join(build, ["band_id", "band_key", "salt"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.expr("CAST(bit_count(fingerprint ^ fb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_TAU)
+        .distinct()
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash: per doc, each token votes ±1 on 32 bits (bit = hex nibble
     bits of md5(token)); fingerprint bit = sign of the vote sum; near-dups
     are pairs with Hamming(fp_a, fp_b) ≤ τ via bit_count(a ^ b).
 
     All integer arithmetic → bit-identical across engines.  Pair
-    generation is BANDED, not pairwise: the fingerprint splits into τ+1
-    bit bands and candidates come from equi-joins on (band_id, band bits)
-    — by pigeonhole this finds EXACTLY the pairs the direct O(n²) join
-    would (≤ τ flipped bits leave ≥ 1 band untouched), so the oracle
-    stays the direct pairwise SQL.  At corpus scale each band join is a
-    bucket-local shuffle keyed by band value; a pathological bucket (many
-    identical band values) would additionally be salted/capped like the
-    LSH path."""
+    generation is banded + hot-bucket-salted (see
+    :func:`_simhash_banded_pairs`); the oracle is the direct pairwise
+    join, which the banding provably reproduces."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     votes = _simhash_bit_exprs("spark")
@@ -380,32 +440,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(_SH_BITS)
     )
     sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint"))
-    band_rows = [
-        f"({b}, CAST(shiftright(fingerprint, {off}) & {(1 << width) - 1} AS BIGINT))"
-        for b, (off, width) in enumerate(_simhash_band_bounds())
-    ]
-    long = sigs.selectExpr(
-        "doc_id",
-        "fingerprint",
-        f"inline(array({', '.join('struct' + r for r in band_rows)})) AS (band_id, band_key)",
-    )
-    other = long.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("fingerprint").alias("fb"),
-        "band_id",
-        "band_key",
-    )
-    return (
-        long.join(other, ["band_id", "band_key"])
-        .filter(F.col("doc_id") < F.col("doc_b"))
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            F.expr("CAST(bit_count(fingerprint ^ fb) AS INT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _HAMMING_TAU)
-        .distinct()
-    )
+    return _simhash_banded_pairs(sigs)
 
 
 def _simhash_sql() -> str:
@@ -468,8 +503,13 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     )
     # labels only ever decrease elementwise, so the global label sum is a
     # monotone potential: unchanged sum ⟺ fixpoint.  One scalar agg per
-    # round instead of a join+count convergence probe.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # round instead of a join+count convergence probe.  Summed as
+    # DECIMAL(38,0): a wrapped long sum could alias the previous round's
+    # value and terminate early at corpus-scale id ranges.
+    def _label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     while True:
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -493,7 +533,7 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

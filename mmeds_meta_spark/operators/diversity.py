@@ -139,6 +139,9 @@ LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
 # ---------------------------------------------------------------------------
 
 
+_KW_BUCKETS = 1024  # range buckets for the two-level distributed CDF
+
+
 def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     """H over events.value grouped by event_type, with tie-averaged ranks
     and tie correction — WITHOUT a global row sort.
@@ -146,14 +149,40 @@ def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     Tie-averaged rank ×2 for value v is the integer 2·C(v) + t(v) + 1,
     where t = per-value count and C = count of rows with smaller value
     (a cumulative sum over DISTINCT values).  Per group:
-    Σ rank2 = Σ_v n(g,v)·(2C+t+1).  The only ordered operation left is
-    the cumsum over distinct values — the distributed-CDF form that
-    survives 100 TB where rank() over all rows cannot."""
+    Σ rank2 = Σ_v n(g,v)·(2C+t+1).
+
+    The CDF C is a TWO-LEVEL cumulative sum: distinct values are range-
+    bucketed (width_bucket over min..max, a 1-row broadcast), the cumsum
+    runs per-bucket (partitioned window — parallel), and each bucket adds
+    an exclusive prefix of per-bucket totals (a window over ≤ B rows).
+    No global single-partition window ever sees the distinct values — the
+    form that survives a CONTINUOUS measure (distincts ≈ rows) at 100 TB,
+    where a global orderBy window funnels the whole CDF into one task."""
     ev = _t(spark, sf, "events").select("event_type", "value")
     vt = ev.groupBy("value").agg(F.expr("COUNT(*)").alias("t"))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    vc = vt.withColumn(
-        "c", F.sum("t").over(wv).cast("decimal(38,0)") - F.col("t")
+    bounds = vt.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+    vb = vt.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("vlo") == F.col("vhi"), F.lit(1)).otherwise(
+            F.least(
+                F.lit(_KW_BUCKETS),
+                F.expr(f"width_bucket(value, vlo, vhi, {_KW_BUCKETS})"),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = vb.withColumn("cum_in", F.sum("t").over(w_in))
+    bt = vb.groupBy("bkt").agg(F.sum("t").alias("bt"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    prefix = bt.withColumn("pre", F.sum("bt").over(w_b) - F.col("bt")).select(
+        "bkt", "pre"
+    )
+    vc = (
+        within.join(F.broadcast(prefix), "bkt")
+        .withColumn("c", (F.col("pre") + F.col("cum_in")).cast("decimal(38,0)") - F.col("t"))
+        .select("value", "t", "c")
     )
     gv = ev.groupBy("event_type", "value").agg(F.expr("COUNT(*)").alias("ngv"))
     g = (

@@ -139,8 +139,12 @@ def resize_media(
                     "pass use_fake_codec=True or plug a real resizer here"
                 )
             n = width * height
+            # empty payloads pad with NUL so the output is ALWAYS exactly
+            # width*height bytes (b'' * k is empty — the contract would
+            # silently break on zero-length media otherwise)
             out = [
-                bytes((p * (n // max(len(p), 1) + 1))[:n]) for p in map(bytes, pdf["payload"])
+                bytes(((p or b"\x00") * (n // max(len(p), 1) + 1))[:n])
+                for p in map(bytes, pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

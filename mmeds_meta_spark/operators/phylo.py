@@ -206,8 +206,12 @@ def d2_unifrac_weighted(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nb), "ub")
         .groupBy("ua", "ub")
         .agg(
+            # cb·N products are DECIMAL(38,0) BEFORE multiplying: at corpus
+            # scale count×total exceeds 2^63 and non-ANSI long arithmetic
+            # would wrap silently (the oracle's HUGEINT would not).
             F.expr(
-                "SUM(CAST(la AS DECIMAL(38,0)) * ABS(ca * nb - cb2 * na))"
+                "SUM(CAST(la AS DECIMAL(38,0)) * ABS(CAST(ca AS DECIMAL(38,0)) * nb"
+                " - CAST(cb2 AS DECIMAL(38,0)) * na))"
             ).alias("ncommon"),
             F.expr("SUM(CAST(la AS DECIMAL(38,0)) * ca)").alias("sca"),
             F.expr("SUM(CAST(la AS DECIMAL(38,0)) * cb2)").alias("scb"),
@@ -226,7 +230,8 @@ def d2_unifrac_weighted(spark: SparkSession, sf: str) -> DataFrame:
             "ua",
             "ub",
             F.expr(
-                "CAST(ncommon + nb * (wa - sca) + na * (wb - scb) AS DOUBLE)"
+                "CAST(ncommon + CAST(nb AS DECIMAL(38,0)) * (wa - sca)"
+                " + CAST(na AS DECIMAL(38,0)) * (wb - scb) AS DOUBLE)"
                 " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
             ).alias("unifrac_w"),
         )
@@ -241,7 +246,8 @@ nt AS (
   SELECT user_id, SUM(CAST(len AS HUGEINT) * cb) AS w FROM cov GROUP BY user_id
 ), common AS (
   SELECT a.user_id AS ua, b.user_id AS ub,
-         SUM(CAST(a.len AS HUGEINT) * ABS(a.cb * nb.n - b.cb * na.n)) AS ncommon,
+         SUM(CAST(a.len AS HUGEINT) * ABS(CAST(a.cb AS HUGEINT) * nb.n
+                                          - CAST(b.cb AS HUGEINT) * na.n)) AS ncommon,
          SUM(CAST(a.len AS HUGEINT) * a.cb) AS sca,
          SUM(CAST(a.len AS HUGEINT) * b.cb) AS scb
   FROM cov a
@@ -251,8 +257,8 @@ nt AS (
   GROUP BY 1, 2
 )
 SELECT na.user_id AS ua, nb.user_id AS ub,
-       CAST(COALESCE(ncommon, 0) + nb.n * (wa.w - COALESCE(sca, 0))
-            + na.n * (wb.w - COALESCE(scb, 0)) AS DOUBLE)
+       CAST(COALESCE(ncommon, 0) + CAST(nb.n AS HUGEINT) * (wa.w - COALESCE(sca, 0))
+            + CAST(na.n AS HUGEINT) * (wb.w - COALESCE(scb, 0)) AS DOUBLE)
        / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS unifrac_w
 FROM nt na
 JOIN nt nb ON na.user_id < nb.user_id

@@ -1,7 +1,9 @@
 """Similarity search over an embedding column (array<float>).
 
 * brute-force cosine top-k — the correctness baseline; one pass over the
-  vectors, JVM-side zip_with/aggregate arithmetic, top-k via window rank.
+  vectors, JVM-side zip_with/aggregate arithmetic, top-k via
+  ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition partial
+  top-k reduced on the driver — never a global single-partition window).
 * IVF (centroid-bucketed) top-k — the scale path: assign every vector to
   its nearest seed centroid (a broadcast of K centroids), then search only
   the query's bucket.  At 100 TB the bucket assignment is a narrow map and
@@ -42,13 +44,23 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         f"ROUND({_DOT.format(a='v', b='qv')} / (SQRT({_DOT.format(a='v', b='v')})"
         f" * SQRT({_DOT.format(a='qv', b='qv')})), 4)"
     )
-    ranked = cand.withColumn("cos_sim", cos).withColumn(
+    # Top-k via sort+limit → TakeOrderedAndProject: each task keeps its
+    # local k, the driver merges P·k rows.  The rank window then runs over
+    # exactly k rows that are ALREADY single-partition (TakeOrdered output
+    # partitioning satisfies the window's distribution — no Exchange), so
+    # no full candidate set ever funnels through one task.
+    topk = (
+        cand.withColumn("cos_sim", cos)
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+    return topk.withColumn(
         "rank",
         F.row_number()
         .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
         .cast("long"),
-    )
-    return ranked.filter(F.col("rank") <= _TOP_K).select("rank", "vec_id", "label", "cos_sim")
+    ).select("rank", "vec_id", "label", "cos_sim")
 
 
 _TOPK_SQL = f"""
@@ -108,15 +120,20 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         f"ROUND({_DOT.format(a='v', b='qv')} / (SQRT({_DOT.format(a='v', b='v')})"
         f" * SQRT({_DOT.format(a='qv', b='qv')})), 4)"
     )
-    ranked = cand.withColumn("cos_sim", cos_q).withColumn(
+    # Same distributed top-k as ann_cosine_topk: TakeOrdered + a k-row
+    # rank window (no global-window funnel over the bucket's candidates).
+    topk = (
+        cand.withColumn("cos_sim", cos_q)
+        .select("vec_id", "label", "bucket", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+    return topk.withColumn(
         "rank",
         F.row_number()
         .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
         .cast("long"),
-    )
-    return ranked.filter(F.col("rank") <= _TOP_K).select(
-        "rank", "vec_id", "label", "bucket", "cos_sim"
-    )
+    ).select("rank", "vec_id", "label", "bucket", "cos_sim")
 
 
 _IVF_SQL = f"""

@@ -22,6 +22,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.sampling import _EVAL_PCT, _bucket_expr
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -32,19 +34,16 @@ DOCS_SCHEMA = T.StructType(
     ]
 )
 
-_HEX = "0123456789abcdef"
-_EVAL_PCT = 10
-
-
 def ingest_profile(docs: DataFrame) -> DataFrame:
     """The intake projection, batch or streaming alike: content
     fingerprint, token count, stopword-free quality ratio, deterministic
     split.  All md5/instr arithmetic — identical values on every engine
-    and on both execution modes."""
-    bucket = F.expr(
-        f"(instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16"
-        f" + (instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"
-    )
+    and on both execution modes.
+
+    The split bucket is ``operators.sampling._bucket_expr`` — ONE
+    definition shared with the batch ``sample_hash_split`` so streaming
+    and batch splits can never drift apart."""
+    bucket = F.expr(_bucket_expr("spark", "CAST(doc_id AS STRING)"))
     toks = F.split("text", " ")
     return docs.select(
         "doc_id",

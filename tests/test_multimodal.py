@@ -88,3 +88,12 @@ def test_extract_features_exact_ratios(spark):
         for c in FEATURE_CHARS:
             key = f"f_{c.strip() or 'sp'}"
             assert got[key] == p.count(c.encode()) / len(p)
+
+def test_resize_media_empty_payload(spark):
+    # b'' * k is always empty — the empty payload must still come back as
+    # exactly width*height (NUL-padded) bytes
+    m = spark.createDataFrame([(1, bytearray(b"")), (2, bytearray(b"ab"))], "media_id LONG, payload BINARY")
+    rows = {r.media_id: bytes(r.payload) for r in resize_media(m, 4, 3, use_fake_codec=True).collect()}
+    assert rows[1] == b"\x00" * 12
+    assert rows[2] == (b"ab" * 6)[:12]
+    assert all(len(p) == 12 for p in rows.values())

@@ -99,6 +99,8 @@ def main():
             print(f"ERR  {name}")
             traceback.print_exc()
             fail += 1
+        finally:
+            spark.catalog.clearCache()  # release operator-scoped .cache() blocks
     print(f"\n{ok} ok, {fail} fail, {skip} rows-only")
     sys.exit(1 if fail else 0)
 
