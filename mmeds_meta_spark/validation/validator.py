@@ -231,15 +231,10 @@ class Validator:
                         F.concat(F.lit("Invalid web address '"), c, F.lit("'")),
                     )
                 )
-            if m.column == "ICDCode":
-                checks.append(
-                    _diag(
-                        c.isNotNull()
-                        & ~c.rlike(r"^[A-Z][0-9X][0-9X]\.[0-9X]{4}$"),
-                        m.flat, "error", "invalid_icd_code",
-                        F.concat(F.lit("Invalid ICD-10 code '"), c, F.lit("'")),
-                    )
-                )
+            # ICD codes are validated against the ICD-10-CM dictionary in
+            # aggregate_diagnostics (broadcast anti-join, util.py:553-572
+            # X-padded prefix semantics) — a format regex alone would accept
+            # well-formed but nonexistent codes the reference rejects.
         arr = F.array_compact(F.array(*checks))
         return self.df.select(F.explode(arr).alias("d")).select("d.*")
 
@@ -250,6 +245,35 @@ class Validator:
         run_col = next(
             (m.flat for m in self.meta if m.column == "RawDataProtocolID"), None
         )
+        # F2 — ICD dictionary membership (mmeds/util.py:553-572,
+        # validate.py:199-212): broadcast anti-join against the ICD-10-CM
+        # (prefix, suffix) relation; every known prefix admits the XXXX
+        # wildcard suffix.  One broadcast join per ICD column — at 100 TB
+        # the 17k-code dimension broadcasts to every executor once.
+        icd_cols = [m for m in self.meta if m.column == "ICDCode"]
+        if icd_cols:
+            from .golden import _icd_dim
+
+            dim = _icd_dim(self.spark)
+            for m in icd_cols:
+                c = F.col(m.flat)
+                cells = self.df.filter(c.isNotNull()).select(
+                    ROW_IDX,
+                    c.alias("__v"),
+                    F.split_part(c, F.lit("."), F.lit(1)).alias("pre"),
+                    F.when(
+                        F.size(F.split(c, r"\.")) == 2,
+                        F.split_part(c, F.lit("."), F.lit(2)),
+                    ).alias("suf"),
+                )
+                parts.append(
+                    cells.join(F.broadcast(dim), ["pre", "suf"], "left_anti")
+                    .select(
+                        self._mk(m.flat, "error", "invalid_icd_code",
+                                 F.concat(F.lit("Invalid ICD-10 code '"),
+                                          F.col("__v"), F.lit("'")))
+                    )
+                )
         for m in self.meta:
             c = F.col(m.flat)
             # duplicate detection for unique-typed columns (validate.py:421-426)

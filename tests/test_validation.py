@@ -46,6 +46,9 @@ def test_clean_file_has_no_errors(spark, tmp_path):
         ({"row": 4, "set": {"Nationality": "n/a"}}, "non_standard_na", "Nationality"),
         ({"row": 2, "set": {"HostSubjectId": "HS-001"}}, "duplicate_value", "HostSubjectId"),
         ({"row": 1, "set": {"ICDCode": "ZZZZZ"}}, "invalid_icd_code", "ICDCode"),
+        # well-formed but nonexistent prefix: only the dictionary join can
+        # reject this (a format regex accepts it)
+        ({"row": 2, "set": {"ICDCode": "A97.XXXX"}}, "invalid_icd_code", "ICDCode"),
         ({"row": 0, "set": {"HostSubjectId": "NA"}}, "missing_required_value", "HostSubjectId"),
         (
             {"row": 3, "set": {"IllnessEndDate": "2019-04-01", "IllnessStartDate": "2019-05-01"}},
