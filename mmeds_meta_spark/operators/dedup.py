@@ -486,7 +486,10 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: (doc_id, cluster_id) for every doc in ≥1 near-dup pair.
     """
-    pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b")
+    # Materialize pairs BEFORE the symmetrizing union: union(pairs,
+    # swapped) otherwise executes the salted band-join subplan twice
+    # inside the one edges materialization.
+    pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b").localCheckpoint()
     # localCheckpoint truncates lineage: without it every round's plan
     # embeds all previous rounds' joins (exponential plan growth — the
     # standard iterative-graph pitfall).

@@ -296,12 +296,16 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 def w4_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
-    the previous event exceeds 30 min.  Pure integer µs arithmetic —
-    Spark reads the parquet TIMESTAMP(NANOS) as long ns (`ts div 1000`),
-    DuckDB truncates to µs natively (`epoch_us`), so both engines see
-    identical microsecond values.  lag + running-sum window, one shuffle
-    on user_id."""
-    ev = _t(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    the previous event exceeds 30 min.  Pure integer µs arithmetic — the
+    ``ts`` column is normalized to long µs by the dtype-dispatched
+    ``event_time_us`` helper (works for both the long-ns and timestamp[us]
+    parquet encodings the driver has shipped), and DuckDB truncates to µs
+    natively (`epoch_us`), so both engines see identical microsecond
+    values.  lag + running-sum window, one shuffle on user_id."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(
         "new_session",

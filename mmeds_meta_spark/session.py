@@ -37,7 +37,10 @@ def get_spark(app_name: str = "mmeds-meta-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+        # Some driver data generations encoded events.ts as TIMESTAMP(NANOS);
+        # this flag makes such files readable (as long ns) instead of erroring.
+        # It is a no-op for µs timestamps.  Consumers never assume either
+        # encoding — they dispatch on dtype via functions/event_time.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,7 +1,10 @@
 """Streaming rollups over the events feed.
 
-``events.parquet`` carries TIMESTAMP(NANOS) which arrives as long ns (see
-session.py); the streams convert to a proper timestamp for watermarking.
+The ``ts`` encoding of ``events.parquet`` has changed between driver data
+regenerations (long ns vs timestamp[us]); the stream schema is therefore
+taken from the files actually present (one driver-side footer read) and
+event time is derived via the dtype-dispatched helpers in
+functions/event_time.py — never a hardcoded encoding.
 
 Both builders return un-started streaming DataFrames: callers attach
 their own sink/trigger (tests use availableNow + memory sink, production
@@ -15,23 +18,23 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..functions.event_time import event_ts
+
+
+def events_schema(spark: SparkSession, events_dir: str) -> T.StructType:
+    """Schema of the events feed as the files actually encode it (footer
+    read only — no data scan).  Streaming sources require an explicit
+    schema; inferring it from the live directory is what keeps the stream
+    correct across driver data regenerations."""
+    return spark.read.parquet(events_dir).schema
 
 
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    schema = events_schema(spark, events_dir)
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(events_dir)
-        .withColumn("event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("event_ts", event_ts(schema))
     )
 
 

@@ -14,12 +14,12 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Iterator
 
-import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .rollup import EVENTS_SCHEMA
+from ..functions.event_time import event_time_us, event_ts
+from .rollup import events_schema
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -54,9 +54,11 @@ def _sessionize(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         out.append((user_id, start, last, n))
         state.remove()
     else:
+        # ts_us is normalized to long µs Spark-side (event_time_us), so the
+        # UDF never sees the raw encoding
         ts = []
         for pdf in pdfs:
-            ts.extend((pdf["ts"] // 1000).tolist())
+            ts.extend(pdf["ts_us"].tolist())
         ts.sort()
         start, last, n = state.get if state.exists else (None, None, 0)
         for t in ts:
@@ -81,10 +83,12 @@ def streaming_sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
     """Gap-based streaming sessions: groupBy(user).applyInPandasWithState
     with event-time timeout = last event + gap.  Arrow-batched; state is
     3 longs per open session — bounded by active users, not history."""
+    schema = events_schema(spark, events_dir)
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(events_dir)
-        .withColumn("event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts_us", event_time_us(schema))
+        .withColumn("event_ts", event_ts(schema))
         .withWatermark("event_ts", "1 hour")
     )
     return ev.groupBy("user_id").applyInPandasWithState(

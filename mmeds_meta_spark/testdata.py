@@ -33,9 +33,10 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); the driver's session may not
-    # have the legacy flag, and it is runtime-settable — set it here so
-    # every query works under ANY session (ts then arrives as long ns).
+    # If the driver's data generation encoded events.ts as TIMESTAMP(NANOS),
+    # this runtime-settable flag keeps the file readable (as long ns) under
+    # ANY session; it is a no-op for µs timestamps.  Consumers dispatch on
+    # the column's actual dtype (functions/event_time.py) either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -98,9 +98,11 @@ def test_streaming_rollup_matches_batch(spark, events_dir, tmp_path):
     # append mode emits only watermark-closed windows; with availableNow on a
     # finite feed the last window stays open, so compare against the batch
     # aggregate restricted to emitted windows
+    from mmeds_meta_spark.functions.event_time import event_ts
+
+    raw = spark.read.parquet(events_dir)
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        raw.withColumn("event_ts", event_ts(raw.schema))
         .groupBy(F.window("event_ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
