@@ -43,6 +43,13 @@ class QuerySpec:
 # so they yield their gate slot to operators with no other driver evidence.
 # Every entry — head or tail — still runs in tools/verify_local.py and CI.
 _GATE_TAIL: tuple[str, ...] = (
+    # displaced round 3 (each has driver-green rows in r01+r02 and a gated
+    # shape-twin): j2 ⊂ j3's chained dim joins; d2_bray_curtis = the
+    # pairwise decomposition of the gated d2_unifrac_*; balanced_topk =
+    # w1's partitioned-window shape
+    "j2_snowflake_join",
+    "d2_bray_curtis",
+    "sample_balanced_topk",
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",

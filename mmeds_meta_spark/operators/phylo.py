@@ -268,9 +268,135 @@ LEFT JOIN common ON ua = na.user_id AND ub = nb.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Real-tree variants: same metrics through the Newick loader
+# (sources/newick.py) + the generic branch-relation algebra
+# (functions/tree_metrics.py).  The demo tree is a fixed 5-leaf Newick over
+# the event_type domain with INTEGER branch lengths, so every intermediate
+# is an exact integer in doubles (< 2^53) and the Spark/DuckDB results are
+# bit-identical; real fasttree float-length trees run through the exact
+# same code path (pytest-verified against hand-computed fixtures).
+# ---------------------------------------------------------------------------
+
+_NEWICK_DEMO = "((click:2,view:1)0.83:3,(purchase:4,signup:2)0.91:1,error:5);"
+
+
+def _demo_membership_rows() -> list[tuple[str, float, str, bool]]:
+    from ..sources.newick import membership_rows, parse_newick
+
+    return membership_rows(parse_newick(_NEWICK_DEMO))
+
+
+def _demo_feats(spark: SparkSession, sf: str, *, block: int | None) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    if block is not None:
+        ev = ev.filter(F.col("user_id") < block)
+    return ev.groupBy(
+        F.col("user_id").alias("sample"), F.col("event_type").alias("feature")
+    ).agg(F.count("*").cast("double").alias("count"))
+
+
+def d1_faith_pd_newick(spark: SparkSession, sf: str) -> DataFrame:
+    """Faith's PD against a REAL parsed Newick tree (D1 closure: the
+    reference's rooted_tree artifact, rules/process_sequencing_data.smk:
+    75-92, is now ingestible instead of only the synthetic relation)."""
+    from ..functions.tree_metrics import faith_pd, tree_cov
+    from ..sources.newick import read_newick
+
+    cov = tree_cov(
+        _demo_feats(spark, sf, block=None), read_newick(spark, _NEWICK_DEMO)
+    )
+    return faith_pd(cov).select(
+        F.col("sample").alias("user_id"), "n_branches", "pd"
+    )
+
+
+def d2_unifrac_weighted_newick(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted UniFrac against a REAL parsed Newick tree — the D2 closure
+    twin of :func:`d1_faith_pd_newick`."""
+    from ..functions.tree_metrics import tree_cov, unifrac_weighted
+    from ..sources.newick import read_newick
+
+    cov = tree_cov(
+        _demo_feats(spark, sf, block=_BLOCK), read_newick(spark, _NEWICK_DEMO)
+    )
+    return unifrac_weighted(cov).select(
+        F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_w"
+    )
+
+
+def _demo_membership_values() -> str:
+    return ",\n    ".join(
+        f"('{b}', {ln!r}, '{leaf}', {str(is_l).upper()})"
+        for b, ln, leaf, is_l in _demo_membership_rows()
+    )
+
+
+def _newick_cov_sql(*, block: int | None) -> str:
+    where = f"WHERE user_id < {block}" if block is not None else ""
+    return f"""
+  membership(branch, length, leaf, is_leaf_edge) AS (VALUES
+    {_demo_membership_values()}
+  ), counts AS (
+    SELECT user_id AS sample, event_type AS feature,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM events {where} GROUP BY 1, 2
+  ), cov AS (
+    SELECT c.sample, m.branch, SUM(c.cnt) AS cb, MIN(m.length) AS len,
+           BOOL_OR(m.is_leaf_edge) AS is_leaf_edge
+    FROM counts c JOIN membership m ON c.feature = m.leaf
+    GROUP BY 1, 2
+  )
+"""
+
+
+_FAITH_NEWICK_SQL = f"""
+WITH {_newick_cov_sql(block=None)}
+SELECT sample AS user_id, COUNT(*) AS n_branches, SUM(len) AS pd
+FROM cov GROUP BY sample
+"""
+
+_UF_W_NEWICK_SQL = f"""
+WITH {_newick_cov_sql(block=_BLOCK)},
+nt AS (
+  SELECT sample, SUM(cb) AS n FROM cov WHERE is_leaf_edge GROUP BY sample
+), wt AS (
+  SELECT sample, SUM(len * cb) AS w FROM cov GROUP BY sample
+), common AS (
+  SELECT a.sample AS ua, b.sample AS ub,
+         SUM(a.len * ABS(a.cb * nb.n - b.cb * na.n)) AS ncommon,
+         SUM(a.len * a.cb) AS sca,
+         SUM(a.len * b.cb) AS scb
+  FROM cov a
+  JOIN cov b ON a.branch = b.branch AND a.sample < b.sample
+  JOIN nt na ON na.sample = a.sample
+  JOIN nt nb ON nb.sample = b.sample
+  GROUP BY 1, 2
+)
+SELECT na.sample AS ua, nb.sample AS ub,
+       (COALESCE(ncommon, 0) + nb.n * (wa.w - COALESCE(sca, 0))
+        + na.n * (wb.w - COALESCE(scb, 0))) / (na.n * nb.n) AS unifrac_w
+FROM nt na
+JOIN nt nb ON na.sample < nb.sample
+JOIN wt wa ON wa.sample = na.sample
+JOIN wt wb ON wb.sample = nb.sample
+LEFT JOIN common ON ua = na.sample AND ub = nb.sample
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "d1_faith_pd": QuerySpec(
         d1_faith_pd, _FAITH_SQL, "D1 rules/diversity_analysis.smk:42-75 (faith_pd)"
+    ),
+    "d1_faith_pd_newick": QuerySpec(
+        d1_faith_pd_newick,
+        _FAITH_NEWICK_SQL,
+        "D1 via real Newick ingest: rules/process_sequencing_data.smk:75-92 tree artifact",
+    ),
+    "d2_unifrac_weighted_newick": QuerySpec(
+        d2_unifrac_weighted_newick,
+        _UF_W_NEWICK_SQL,
+        "D2 via real Newick ingest: rules/diversity_analysis.smk:5-40 on a parsed tree",
     ),
     "d2_unifrac_unweighted": QuerySpec(
         d2_unifrac_unweighted,
