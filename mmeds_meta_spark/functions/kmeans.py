@@ -68,3 +68,77 @@ def kmeans_fit(
     final = _assign(vectors, centroids).select("vec_id", "cluster", "dist2")
     vectors.unpersist()
     return final, centroids
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact variant: quantized-decimal Lloyd
+# ---------------------------------------------------------------------------
+
+_QT = "DECIMAL(9,4)"  # coordinate quantization — 4dp, exact in both engines
+
+
+def _exact_assign(e, cents: dict[int, list[str]]):
+    """Nearest centroid by squared L2 over DECIMAL(9,4)-quantized
+    coordinates: every distance is an exact decimal (accumulator
+    DECIMAL(30,8) so Spark's precision cap never forces scale loss), so
+    the argmin is a pure rational comparison — bit-identical in any
+    engine, no FP summation-order hazard.  K×dim centroid literals are
+    embedded in the expression (a broadcast in all but name): the
+    assignment is a narrow map, no shuffle."""
+    import pyspark.sql.functions as F
+
+    structs = []
+    for cid in sorted(cents):
+        arr = ", ".join(f"CAST('{c}' AS {_QT})" for c in cents[cid])
+        d2 = F.expr(
+            f"aggregate(zip_with(qv, array({arr}), (a, b) -> (a - b) * (a - b)), "
+            f"CAST(0 AS DECIMAL(30,8)), (acc, z) -> CAST(acc + z AS DECIMAL(30,8)))"
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*structs))
+    return e.withColumn("bucket", best["cid"])
+
+
+def kmeans_buckets_exact(e, *, k: int, iters: int):
+    """Deterministic, cross-engine-reproducible k-means bucketing.
+
+    ``e`` must carry ``vec_id`` and ``qv: array<decimal(9,4)>`` (the
+    quantized embedding).  Seeds = vectors 0..k-1; exactly ``iters``
+    Lloyd rounds; centroid update = exact decimal per-dim sums cast to
+    DOUBLE, divided by the count, re-quantized to DECIMAL(9,4).  Every
+    step is either exact decimal arithmetic or an identical double
+    expression on identical inputs, and a double→DECIMAL(9,4) rounding
+    tie (…xxxx5 exactly) is never representable in binary — so an
+    unrolled SQL transcription of this loop produces byte-identical
+    buckets (see dedup._ivf_sql).  Returns ``e`` + ``bucket``.
+
+    Scale shape: per round, one narrow assignment pass (broadcast
+    K×dim literals) + one partial-agg shuffle for the update — the same
+    physical plan as :func:`kmeans_fit`, with only K×dim decimal strings
+    crossing the driver boundary per round.
+    """
+    import pyspark.sql.functions as F
+
+    dim = len(e.select("qv").first().qv)
+    seeds = e.filter(F.col("vec_id") < k).select("vec_id", "qv").orderBy("vec_id").collect()
+    cents = {int(r.vec_id): [str(x) for x in r.qv] for r in seeds}
+    for _ in range(iters):
+        assigned = _exact_assign(e, cents)
+        upd = (
+            assigned.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .select(
+                "bucket",
+                *[
+                    F.expr(f"CAST(CAST(s{i} AS DOUBLE) / n AS {_QT})").alias(f"c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        got = {int(r.bucket): [str(r[f"c{i}"]) for i in range(dim)] for r in upd}
+        cents = {cid: got.get(cid, old) for cid, old in cents.items()}  # empty keeps seat
+    return _exact_assign(e, cents)

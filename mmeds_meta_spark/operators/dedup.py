@@ -318,6 +318,106 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup on LEARNED IVF buckets — kmeans blocking
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 2
+
+
+def dedup_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup vector pairs (cosine ≥ τ) blocked on LEARNED k-means IVF
+    buckets — the production blocking for :func:`dedup_embedding_cosine`,
+    whose ``label`` blocking silently misses cross-label near-dups.
+
+    Composition: functions/kmeans.kmeans_buckets_exact (seeds = first K
+    vectors, 2 Lloyd rounds on DECIMAL(9,4)-quantized coordinates — every
+    distance/centroid exactly reproducible in SQL, so the unrolled DuckDB
+    oracle assigns byte-identical buckets) + the cosine pair join of
+    dedup_embedding_cosine restricted to each bucket.  Pair generation is
+    bucket-local: candidates per vector scale with N/K, never N."""
+    from ..functions.kmeans import kmeans_buckets_exact
+
+    e = (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
+    )
+    assigned = kmeans_buckets_exact(e, k=_IVF_K, iters=_IVF_ITERS).persist()
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket2")
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+    na = F.expr("SQRT(aggregate(zip_with(va, va, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))")
+    nb = F.expr("SQRT(aggregate(zip_with(vb, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))")
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim", F.round(dot / (na * nb), 4))
+        .filter(F.col("cos_sim") >= _COS_TAU)
+        .select("vec_a", "vec_b", "bucket", "cos_sim")
+    )
+
+
+def _ivf_sql() -> str:
+    """Unrolled transcription of kmeans_buckets_exact: seeds → (assign →
+    update)×ITERS → final assign → bucket-local cosine pairs.  All bucket
+    arithmetic on DECIMAL(9,4) quantized coordinates (exact, order-free);
+    centroid updates CAST(exact-decimal-sum AS DOUBLE)/n re-quantized —
+    the identical-double-expression rule, so buckets match Spark's."""
+    k, iters = _IVF_K, _IVF_ITERS
+    cte = [
+        "e AS (\n  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)",
+        "el AS (\n  SELECT vec_id, u.i, CAST(u.x AS DECIMAL(9,4)) AS q\n"
+        "  FROM (SELECT vec_id, unnest(list_transform(v, (x, i) -> {'x': x, 'i': i})) AS u FROM e)\n)",
+        f"c0 AS (\n  SELECT vec_id AS cid, i, q AS cq FROM el WHERE vec_id < {k}\n)",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 2):  # iters updates + 1 final assignment
+        cte.append(
+            f"d{t} AS (\n  SELECT el.vec_id, c.cid, SUM((el.q - c.cq) * (el.q - c.cq)) AS d2\n"
+            f"  FROM el JOIN {prev} c ON el.i = c.i GROUP BY 1, 2\n)"
+        )
+        cte.append(
+            f"a{t} AS (\n  SELECT vec_id, cid AS bucket FROM (\n"
+            f"    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
+            f"    FROM d{t}) WHERE rn = 1\n)"
+        )
+        if t <= iters:
+            cte.append(
+                f"u{t} AS (\n  SELECT a.bucket AS cid, el.i,\n"
+                f"         CAST(CAST(SUM(el.q) AS DOUBLE) / COUNT(*) AS DECIMAL(9,4)) AS cq\n"
+                f"  FROM el JOIN a{t} a USING (vec_id) GROUP BY 1, 2\n)"
+            )
+            cte.append(
+                f"c{t} AS (\n  SELECT p.cid, p.i, COALESCE(u{t}.cq, p.cq) AS cq\n"
+                f"  FROM {prev} p LEFT JOIN u{t} ON u{t}.cid = p.cid AND u{t}.i = p.i\n)"
+            )
+            prev = f"c{t}"
+    fin = f"a{iters + 1}"
+    cos = (
+        "ROUND(list_dot_product(ea.v, eb.v) / (SQRT(list_dot_product(ea.v, ea.v))"
+        " * SQRT(list_dot_product(eb.v, eb.v))), 4)"
+    )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b, fa.bucket, {cos} AS cos_sim
+FROM {fin} fa
+JOIN {fin} fb ON fa.bucket = fb.bucket AND fa.vec_id < fb.vec_id
+JOIN e ea ON ea.vec_id = fa.vec_id
+JOIN e eb ON eb.vec_id = fb.vec_id
+WHERE {cos} >= {_COS_TAU}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup — 32-bit fingerprints from token votes, hamming ≤ τ
 # ---------------------------------------------------------------------------
 
@@ -573,6 +673,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, _simhash_sql(), "LLM-pipeline dedup (SimHash fingerprints)"
+    ),
+    "dedup_embedding_ivf": QuerySpec(
+        dedup_embedding_ivf,
+        _ivf_sql(),
+        "LLM-pipeline near-dup on LEARNED kmeans IVF buckets (kmeans_buckets_exact + bucket-local cosine)",
     ),
     "dedup_exact_hash": QuerySpec(
         dedup_exact_hash, _EXACT_SQL, "LLM-pipeline dedup (exact); A7 validate.py:222-252 analog"
