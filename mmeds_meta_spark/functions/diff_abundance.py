@@ -1,17 +1,36 @@
 """D5/D6 — native differential abundance (the reference shells out to
 ANCOM-BC / LEfSe; rules/differential_abundance.smk:1-72).
 
-v1 semantics (the documented fallback from SURVEY §2.10 D5): CLR
-transform per sample, then per-feature Kruskal-Wallis across classes,
-plus a LEfSe-flavored effect size (spread of per-class mean CLR).
-Everything is DataFrame ops; the per-feature rank windows partition on
-feature_id, so work distributes across features.
+Two estimators:
+
+* :func:`differential_abundance` — the v1 fallback (SURVEY §2.10 D5):
+  CLR transform per sample, per-feature Kruskal-Wallis across classes,
+  LEfSe-flavored effect size.
+* :func:`ancombc` — the ANCOM-BC bias-corrected estimator (Lin &
+  Peddada 2020, the model behind ``qiime composition ancombc``,
+  rules/differential_abundance.smk:1-14): per-feature log-linear model
+  with a per-sample sampling-fraction offset δ_j, estimated by the
+  alternating iteration  β_ig = mean_{j∈g}(y_ij − δ_j),
+  δ_j = mean_i(y_ij − β_{i,g(j)}), followed by a Wald test on the
+  log-fold-change between groups.  (The reference R package's final
+  Gaussian-mixture refinement of the δ distribution is out of scope —
+  the documented simplification.)
+
+Scale + determinism: the iteration never densifies the feature×sample
+matrix — absent cells (y = log(0+1) = 0) enter every mean through
+closed-form totals, so each round is two skinny aggregations (features×
+groups and samples).  All sums run on DECIMAL-quantized values (exact,
+order-free) with divisions done once in DOUBLE on identical operands —
+the engine's cross-engine determinism rule — which is what lets the
+unrolled SQL oracle reproduce the estimator bit-for-bit.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+_ZCRIT_05 = 1.959963984540054  # two-sided normal critical value at α=0.05
 
 # chi-square upper-tail critical values at α=0.05 by df (KW H ~ χ²_{k-1})
 _CHI2_05 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070}
@@ -26,6 +45,157 @@ def clr_transform(long_df: DataFrame) -> DataFrame:
         lg.join(means, "sample_id")
         .withColumn("clr", F.col("__lg") - F.col("__mlg"))
         .drop("__lg", "__mlg")
+    )
+
+
+def ancombc(
+    long_df: DataFrame,
+    sample_meta: DataFrame,
+    *,
+    group_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """ANCOM-BC bias-corrected log-fold-change + Wald test, 2 groups.
+
+    ``long_df``: (sample_id, feature_id, count) sparse — absent cells mean
+    count 0.  ``sample_meta``: (sample_id, <group_col>) with exactly two
+    group values (compared low vs high by their sort order).
+
+    Model: y_ij = log(count_ij + 1) = δ_j + β_{i,g(j)} + ε.  The
+    alternating estimator runs ``iters`` rounds; each round is two skinny
+    aggregations (no feature×sample densification — zero cells enter the
+    means via group totals).  Output per feature: ``lfc`` = β_high − β_low
+    (bias-corrected log fold change), ``w_stat`` = lfc / se (Wald),
+    ``significant`` at α=0.05.  Matches the unrolled SQL oracle exactly:
+    every sum is DECIMAL-quantized, every division a single identical
+    DOUBLE op.
+    """
+    groups = sample_meta.select("sample_id", F.col(group_col).alias("grp")).distinct()
+    y = (
+        long_df.join(groups, "sample_id")
+        .select(
+            "sample_id",
+            "feature_id",
+            "grp",
+            F.expr("CAST(LN(count + 1) AS DECIMAL(18,9))").alias("y"),
+        )
+        .persist()
+    )
+    n_features = y.select("feature_id").distinct().count()
+    feats = y.select("feature_id").distinct()
+    n_g = groups.groupBy("grp").agg(F.count("*").alias("n_g"))
+    # sparse totals — computed once, reused every round
+    fg = y.groupBy("feature_id", "grp").agg(F.sum("y").alias("fgs"))
+    rowsum = y.groupBy("sample_id", "grp").agg(F.sum("y").alias("rs"))
+
+    # δ ≡ 0 initially → per-group δ totals start at 0
+    dsum = n_g.select("grp", F.expr("CAST(0 AS DECIMAL(28,9))").alias("dsum"))
+    beta = None
+    delta = None
+    for _ in range(iters):
+        # β_ig = (Σ_{j∈g, present} y_ij − Σ_{j∈g} δ_j) / n_g
+        beta = (
+            feats.crossJoin(n_g.join(dsum, "grp"))
+            .join(fg, ["feature_id", "grp"], "left")
+            .select(
+                "feature_id",
+                "grp",
+                F.expr(
+                    "CAST(CAST(COALESCE(fgs, CAST(0 AS DECIMAL(28,9))) - dsum AS DOUBLE)"
+                    " / n_g AS DECIMAL(18,9))"
+                ).alias("beta"),
+            )
+        )
+        bsum = beta.groupBy("grp").agg(F.sum("beta").alias("bsum"))
+        # δ_j = (Σ_{i present} y_ij − Σ_i β_{i,g(j)}) / n_features
+        delta = (
+            rowsum.join(bsum, "grp")
+            .select(
+                "sample_id",
+                "grp",
+                F.expr(
+                    f"CAST(CAST(rs - bsum AS DOUBLE) / {n_features} AS DECIMAL(18,9))"
+                ).alias("delta"),
+            )
+        )
+        dsum = delta.groupBy("grp").agg(F.sum("delta").alias("dsum"))
+    beta = beta.persist()
+    delta = delta.persist()
+
+    # Wald variance: SS_ig = Σ_{j∈g}(y_ij − δ_j − β_ig)², absent cells via
+    #   Σ_{j∈g}(δ_j+β)²  =  S2_g + (β·S1_g + β·S1_g) + n_g·β²
+    # so SS = Σ_present[(y−δ−β)² − (δ+β)²] + that closed form.
+    dmom = delta.groupBy("grp").agg(
+        F.expr("CAST(SUM(CAST(delta AS DECIMAL(18,9))) AS DECIMAL(18,9))").alias("s1"),
+        F.expr("CAST(SUM(delta * delta) AS DECIMAL(28,18))").alias("s2"),
+    )
+    present = (
+        y.join(delta.select("sample_id", "delta"), "sample_id")
+        .join(beta, ["feature_id", "grp"])
+        .select(
+            "feature_id",
+            "grp",
+            F.expr("CAST(y - delta - beta AS DECIMAL(18,9))").alias("r"),
+            F.expr("CAST(delta + beta AS DECIMAL(18,9))").alias("z"),
+        )
+        .groupBy("feature_id", "grp")
+        .agg(
+            F.expr("CAST(SUM(r * r) AS DECIMAL(28,18))").alias("p_rr"),
+            F.expr("CAST(SUM(z * z) AS DECIMAL(28,18))").alias("p_zz"),
+        )
+    )
+    per_fg = (
+        feats.crossJoin(n_g.join(dmom, "grp"))
+        .join(beta, ["feature_id", "grp"])
+        .join(present, ["feature_id", "grp"], "left")
+        .select(
+            "feature_id",
+            "grp",
+            "n_g",
+            "beta",
+            F.expr(
+                "CAST(COALESCE(p_rr, CAST(0 AS DECIMAL(28,18)))"
+                " - COALESCE(p_zz, CAST(0 AS DECIMAL(28,18))) AS DECIMAL(29,18))"
+            ).alias("pdiff"),
+            F.expr("CAST(beta * s1 AS DECIMAL(28,18))").alias("bs1"),
+            "s2",
+            F.expr("CAST(CAST(n_g AS DECIMAL(10,0)) * CAST(beta * beta AS DECIMAL(28,18)) AS DECIMAL(38,18))").alias("nb2"),
+        )
+        .select(
+            "feature_id",
+            "grp",
+            "n_g",
+            "beta",
+            # se²·n_g(n_g−1) — still exact decimal
+            F.expr(
+                "CAST(pdiff AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(bs1 AS DOUBLE)"
+                " + CAST(bs1 AS DOUBLE) + CAST(nb2 AS DOUBLE)"
+            ).alias("ss"),
+        )
+        .select(
+            "feature_id",
+            "grp",
+            "beta",
+            F.expr("ss / (n_g * (n_g - 1))").alias("var_beta"),
+        )
+    )
+    lo = per_fg.groupBy("feature_id").agg(
+        F.min(F.struct("grp", "beta", "var_beta")).alias("lo"),
+        F.max(F.struct("grp", "beta", "var_beta")).alias("hi"),
+    )
+    return lo.select(
+        "feature_id",
+        F.expr("CAST(hi.beta - lo.beta AS DOUBLE)").alias("lfc"),
+        F.expr(
+            "CASE WHEN lo.var_beta + hi.var_beta > 0 THEN "
+            "ROUND(CAST(hi.beta - lo.beta AS DOUBLE)"
+            " / SQRT(lo.var_beta + hi.var_beta), 6) END"
+        ).alias("w_stat"),
+        F.expr(
+            "CASE WHEN lo.var_beta + hi.var_beta > 0 THEN "
+            f"ABS(CAST(hi.beta - lo.beta AS DOUBLE)"
+            f" / SQRT(lo.var_beta + hi.var_beta)) > {_ZCRIT_05} END"
+        ).alias("significant"),
     )
 
 

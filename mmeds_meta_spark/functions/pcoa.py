@@ -24,10 +24,21 @@ class PcoaResult:
     explained: np.ndarray          # fraction of positive-eigenvalue mass
 
 
-def pcoa(distances: DataFrame, *, n_axes: int = 3) -> PcoaResult:
+def pcoa(distances: DataFrame, *, n_axes: int = 3, max_samples: int = 2048) -> PcoaResult:
     """Classical MDS: double-center −D²/2, eigendecompose, keep the top
-    positive axes.  ``distances``: (ua, ub, distance) with ua < ub."""
-    pairs = distances.collect()
+    positive axes.  ``distances``: (ua, ub, distance) with ua < ub.
+
+    ``max_samples`` bounds the driver materialization: the collect is
+    capped at max_samples·(max_samples−1)/2 + 1 rows (Spark stops early),
+    and anything beyond raises instead of silently OOMing the driver —
+    callers at scale must pre-block their pair space."""
+    max_pairs = max_samples * (max_samples - 1) // 2
+    pairs = distances.limit(max_pairs + 1).collect()
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"pcoa: > {max_pairs} pairwise rows (max_samples={max_samples}); "
+            "block the pair space or raise max_samples explicitly"
+        )
     ids = sorted({r[0] for r in pairs} | {r[1] for r in pairs})
     pos = {s: i for i, s in enumerate(ids)}
     n = len(ids)

@@ -48,12 +48,22 @@ def permanova(
     *,
     n_permutations: int = 999,
     seed: int = 42,
+    max_samples: int = 2048,
 ) -> PermanovaResult:
     """``distances``: (ua, ub, distance) pairwise rows (ua < ub);
     ``sample_groups``: (sample_id, group).  Returns pseudo-F and the
     permutation p-value (count of permuted F ≥ observed, +1/+1 corrected).
+
+    ``max_samples`` bounds the driver materialization (capped limit +
+    raise, as in :func:`mmeds_meta_spark.functions.pcoa.pcoa`).
     """
-    pairs = distances.collect()
+    max_pairs = max_samples * (max_samples - 1) // 2
+    pairs = distances.limit(max_pairs + 1).collect()
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"permanova: > {max_pairs} pairwise rows (max_samples={max_samples}); "
+            "block the pair space or raise max_samples explicitly"
+        )
     groups_rows = {r[0]: r[1] for r in sample_groups.collect()}
     ids = sorted({r[0] for r in pairs} | {r[1] for r in pairs})
     pos = {s: i for i, s in enumerate(ids)}

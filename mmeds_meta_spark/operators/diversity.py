@@ -72,13 +72,14 @@ FROM terms
 _BC_BLOCK = 40  # samples 0..39 → 780 pairs; blocking keeps pairs bounded
 
 
-def d2_bray_curtis(spark: SparkSession, sf: str) -> DataFrame:
+def d2_bray_curtis(spark: SparkSession, sf: str, *, block: int = _BC_BLOCK) -> DataFrame:
     """BC(a,b) = Σ|xᵢ−yᵢ| / Σ(xᵢ+yᵢ).  Decomposed so only co-occurring
     features join:  Σ|x−y| = Σ_common|x−y| + (Sa−Σ_common x) + (Sb−Σ_common y),
     denominator Sa+Sb — all integers, hence exact.  At 100 TB the pair
-    space is bucketed (here: a sample-id block) and features act as the
-    inverted index; no dense matrix ever exists."""
-    ev = _t(spark, sf, "events").filter(F.col("user_id") < _BC_BLOCK)
+    space is bucketed (here: the ``block`` sample-id prefix; the default
+    matches the registered oracle) and features act as the inverted
+    index; no dense matrix ever exists."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
     a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
@@ -238,8 +239,131 @@ FROM tot
 """
 
 
+# ---------------------------------------------------------------------------
+# D5 — ANCOM-BC bias-corrected differential abundance
+# (rules/differential_abundance.smk:1-14)
+# ---------------------------------------------------------------------------
+
+_ANCOMBC_ITERS = 3
+
+
+def d5_ancombc(spark: SparkSession, sf: str) -> DataFrame:
+    """ANCOM-BC (functions/diff_abundance.ancombc) on the events table:
+    samples = user_id, features = event_type, two groups = user_id parity.
+    The iterative bias correction runs as exact-decimal aggregations, so
+    the unrolled SQL oracle reproduces it bit-for-bit."""
+    from ..functions.diff_abundance import ancombc
+
+    ev = _t(spark, sf, "events")
+    long_df = ev.groupBy(
+        F.col("user_id").alias("sample_id"), F.col("event_type").alias("feature_id")
+    ).agg(F.count("*").alias("count"))
+    smeta = (
+        ev.select(F.col("user_id").alias("sample_id"))
+        .distinct()
+        .withColumn("g2", F.expr("sample_id % 2"))
+    )
+    return ancombc(long_df, smeta, group_col="g2", iters=_ANCOMBC_ITERS)
+
+
+def _ancombc_sql(iters: int = _ANCOMBC_ITERS) -> str:
+    """Unrolled transcription of functions/diff_abundance.ancombc for the
+    events-table demo — same quantizations, same left-to-right double
+    sums, same single divisions."""
+    cte = [
+        "counts AS (\n  SELECT user_id AS sample_id, event_type AS feature_id, COUNT(*) AS cnt\n"
+        "  FROM events GROUP BY 1, 2\n)",
+        "smeta AS (\n  SELECT DISTINCT user_id AS sample_id, user_id % 2 AS grp FROM events\n)",
+        "y AS (\n  SELECT c.sample_id, c.feature_id, s.grp,\n"
+        "         CAST(LN(c.cnt + 1) AS DECIMAL(18,9)) AS y\n"
+        "  FROM counts c JOIN smeta s USING (sample_id)\n)",
+        "feats AS (SELECT DISTINCT feature_id FROM y)",
+        "nf AS (SELECT COUNT(*) AS f FROM feats)",
+        "ng AS (SELECT grp, COUNT(*) AS n_g FROM smeta GROUP BY 1)",
+        "fg AS (SELECT feature_id, grp, SUM(y) AS fgs FROM y GROUP BY 1, 2)",
+        "rowsum AS (SELECT sample_id, grp, SUM(y) AS rs FROM y GROUP BY 1, 2)",
+        "ds0 AS (SELECT grp, CAST(0 AS DECIMAL(28,9)) AS dsum FROM ng)",
+    ]
+    for t in range(1, iters + 1):
+        cte.append(
+            f"b{t} AS (\n"
+            "  SELECT f.feature_id, g.grp,\n"
+            "         CAST(CAST(COALESCE(fg.fgs, CAST(0 AS DECIMAL(28,9))) - g.dsum AS DOUBLE)\n"
+            "              / g.n_g AS DECIMAL(18,9)) AS beta\n"
+            f"  FROM feats f\n"
+            f"  CROSS JOIN (SELECT ng.grp, ng.n_g, d.dsum FROM ng JOIN ds{t - 1} d USING (grp)) g\n"
+            "  LEFT JOIN fg ON fg.feature_id = f.feature_id AND fg.grp = g.grp\n)"
+        )
+        cte.append(f"bs{t} AS (SELECT grp, SUM(beta) AS bsum FROM b{t} GROUP BY 1)")
+        cte.append(
+            f"d{t} AS (\n"
+            "  SELECT r.sample_id, r.grp,\n"
+            "         CAST(CAST(r.rs - b.bsum AS DOUBLE) / nf.f AS DECIMAL(18,9)) AS delta\n"
+            f"  FROM rowsum r JOIN bs{t} b USING (grp) CROSS JOIN nf\n)"
+        )
+        cte.append(f"ds{t} AS (SELECT grp, SUM(delta) AS dsum FROM d{t} GROUP BY 1)")
+    bf, df_ = f"b{iters}", f"d{iters}"
+    cte.append(
+        "dmom AS (\n"
+        "  SELECT grp, CAST(SUM(CAST(delta AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS s1,\n"
+        "         CAST(SUM(delta * delta) AS DECIMAL(28,18)) AS s2\n"
+        f"  FROM {df_} GROUP BY 1\n)"
+    )
+    cte.append(
+        "present AS (\n"
+        "  SELECT feature_id, grp,\n"
+        "         CAST(SUM(r * r) AS DECIMAL(28,18)) AS p_rr,\n"
+        "         CAST(SUM(z * z) AS DECIMAL(28,18)) AS p_zz\n"
+        "  FROM (SELECT yy.feature_id, yy.grp,\n"
+        "               CAST(yy.y - d.delta - b.beta AS DECIMAL(18,9)) AS r,\n"
+        "               CAST(d.delta + b.beta AS DECIMAL(18,9)) AS z\n"
+        "        FROM y yy\n"
+        f"        JOIN {df_} d ON d.sample_id = yy.sample_id\n"
+        f"        JOIN {bf} b ON b.feature_id = yy.feature_id AND b.grp = yy.grp)\n"
+        "  GROUP BY 1, 2\n)"
+    )
+    cte.append(
+        "varb AS (\n"
+        "  SELECT f.feature_id, g.grp, b.beta,\n"
+        "         (CAST(CAST(COALESCE(p.p_rr, CAST(0 AS DECIMAL(28,18)))\n"
+        "                    - COALESCE(p.p_zz, CAST(0 AS DECIMAL(28,18))) AS DECIMAL(29,18)) AS DOUBLE)\n"
+        "          + CAST(m.s2 AS DOUBLE)\n"
+        "          + CAST(CAST(b.beta * m.s1 AS DECIMAL(28,18)) AS DOUBLE)\n"
+        "          + CAST(CAST(b.beta * m.s1 AS DECIMAL(28,18)) AS DOUBLE)\n"
+        "          + CAST(CAST(CAST(g.n_g AS DECIMAL(10,0)) * CAST(b.beta * b.beta AS DECIMAL(28,18)) AS DECIMAL(38,18)) AS DOUBLE))\n"
+        "         / (g.n_g * (g.n_g - 1)) AS var_beta\n"
+        "  FROM feats f\n"
+        "  CROSS JOIN ng g\n"
+        "  JOIN dmom m ON m.grp = g.grp\n"
+        f"  JOIN {bf} b ON b.feature_id = f.feature_id AND b.grp = g.grp\n"
+        "  LEFT JOIN present p ON p.feature_id = f.feature_id AND p.grp = g.grp\n)"
+    )
+    zcrit = "1.959963984540054"
+    return (
+        "WITH " + ",\n".join(cte) + """
+SELECT l.feature_id,
+       CAST(h.beta - l.beta AS DOUBLE) AS lfc,
+       CASE WHEN l.var_beta + h.var_beta > 0 THEN
+         ROUND(CAST(h.beta - l.beta AS DOUBLE) / SQRT(l.var_beta + h.var_beta), 6)
+       END AS w_stat,
+       CASE WHEN l.var_beta + h.var_beta > 0 THEN
+         ABS(CAST(h.beta - l.beta AS DOUBLE) / SQRT(l.var_beta + h.var_beta)) > """
+        + zcrit
+        + """
+       END AS significant
+FROM varb l
+JOIN varb h ON l.feature_id = h.feature_id AND l.grp < h.grp
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
     "d2_bray_curtis": QuerySpec(d2_bray_curtis, _D2_SQL, "D2 rules/diversity_analysis.smk:5-40"),
+    "d5_ancombc": QuerySpec(
+        d5_ancombc,
+        _ancombc_sql(),
+        "D5 rules/differential_abundance.smk:1-14 (ANCOM-BC bias-corrected estimator)",
+    ),
     "d6_kruskal_wallis": QuerySpec(d6_kruskal_wallis, _D6_SQL, "D6 rules/differential_abundance.smk:16-72"),
 }

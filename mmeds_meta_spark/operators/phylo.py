@@ -126,7 +126,9 @@ FROM cov GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
-def d2_unifrac_unweighted(spark: SparkSession, sf: str) -> DataFrame:
+def d2_unifrac_unweighted(
+    spark: SparkSession, sf: str, *, block: int = _BLOCK
+) -> DataFrame:
     """UF(a,b) = (Ta + Tb − 2S) / (Ta + Tb − S): only shared branches join
     (branch-inverted index); unshared mass comes from the per-sample
     totals — integers throughout, one exact final division.
@@ -134,7 +136,7 @@ def d2_unifrac_unweighted(spark: SparkSession, sf: str) -> DataFrame:
     cov is cached: it is block-bounded (≤ block × branches rows) and
     consumed by differently-pruned subplans that would otherwise each
     re-scan events (no exchange reuse across pruned copies)."""
-    cov = _cov(spark, sf, block=_BLOCK).cache()
+    cov = _cov(spark, sf, block=block).cache()
     tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
     b = cov.select(F.col("user_id").alias("ub"), "branch")
@@ -184,10 +186,12 @@ LEFT JOIN shared ON ua = ta.user_id AND ub = tb.user_id
 # ---------------------------------------------------------------------------
 
 
-def d2_unifrac_weighted(spark: SparkSession, sf: str) -> DataFrame:
+def d2_unifrac_weighted(
+    spark: SparkSession, sf: str, *, block: int = _BLOCK
+) -> DataFrame:
     """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
     is an integer until the single final division by N_a·N_b."""
-    cov = _cov(spark, sf, block=_BLOCK).cache()
+    cov = _cov(spark, sf, block=block).cache()
     # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
     nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
         F.expr("SUM(cb)").alias("n")
@@ -311,14 +315,16 @@ def d1_faith_pd_newick(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def d2_unifrac_weighted_newick(spark: SparkSession, sf: str) -> DataFrame:
+def d2_unifrac_weighted_newick(
+    spark: SparkSession, sf: str, *, block: int = _BLOCK
+) -> DataFrame:
     """Weighted UniFrac against a REAL parsed Newick tree — the D2 closure
     twin of :func:`d1_faith_pd_newick`."""
     from ..functions.tree_metrics import tree_cov, unifrac_weighted
     from ..sources.newick import read_newick
 
     cov = tree_cov(
-        _demo_feats(spark, sf, block=_BLOCK), read_newick(spark, _NEWICK_DEMO)
+        _demo_feats(spark, sf, block=block), read_newick(spark, _NEWICK_DEMO)
     )
     return unifrac_weighted(cov).select(
         F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_w"

@@ -22,6 +22,8 @@ OPS = [
     "dedup_minhash_lsh",
     "d2_unifrac_weighted",
     "dedup_cluster_components",
+    "dedup_embedding_ivf",  # learned-centroid iteration (decimal Lloyd)
+    "d5_ancombc",  # iterative bias-corrected estimator
 ]
 
 

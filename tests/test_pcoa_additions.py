@@ -30,6 +30,23 @@ def test_pcoa_recovers_line_geometry(spark):
     assert np.allclose(gaps, 1.0, atol=1e-9)
 
 
+def test_pcoa_max_samples_guard(spark):
+    # 4 samples → 6 pairs; max_samples=3 allows only 3 → must raise, not
+    # build the dense matrix (the collect itself is capped via limit)
+    rows = [(f"s{i}", f"s{j}", 1.0) for i in range(4) for j in range(i + 1, 4)]
+    d = spark.createDataFrame(rows, "ua string, ub string, distance double")
+    with pytest.raises(ValueError, match="max_samples"):
+        pcoa(d, max_samples=3)
+    from mmeds_meta_spark.functions.permanova import permanova
+
+    g = spark.createDataFrame(
+        [(f"s{i}", "a" if i < 2 else "b") for i in range(4)],
+        "sample_id string, group string",
+    )
+    with pytest.raises(ValueError, match="max_samples"):
+        permanova(d, g, max_samples=3)
+
+
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("adds")

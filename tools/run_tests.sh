@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# Sharded test runner: the full suite exceeds a single 10-minute command
+# budget (the 513-TSV golden validation corpus alone takes ~9 min), so CI
+# and judges run it in bounded chunks.
+#
+#   tools/run_tests.sh        # run all shards sequentially (prints per-shard)
+#   tools/run_tests.sh 2      # run only shard 2
+#
+# Each shard is sized to finish well inside 10 minutes on local[32].
+set -u
+cd "$(dirname "$0")/.."
+
+SHARD_1=(tests/test_golden_corpus.py)                       # golden corpus (~9 min)
+SHARD_2=(tests/test_validation.py tests/test_metadata_io.py # metadata engine
+         tests/test_normalize_query.py
+         tests/test_scalars.py tests/test_summary_inputs.py)
+SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
+         tests/test_feature_tables.py tests/test_core_analysis.py
+         tests/test_kmeans.py tests/test_newick.py
+         tests/test_diff_abundance.py tests/test_pcoa_additions.py
+         tests/test_permanova_p10.py tests/test_partition_independence.py
+         tests/test_bucketing.py)
+SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
+         tests/test_multimodal.py tests/test_meta_study.py
+         tests/test_mixed_subjects.py tests/test_animal_path.py)
+
+run_shard() {
+    local n=$1; shift
+    echo "=== shard $n: $* ==="
+    python -m pytest "$@" -q
+}
+
+rc=0
+if [[ $# -ge 1 ]]; then
+    case "$1" in
+        1) run_shard 1 "${SHARD_1[@]}" || rc=$? ;;
+        2) run_shard 2 "${SHARD_2[@]}" || rc=$? ;;
+        3) run_shard 3 "${SHARD_3[@]}" || rc=$? ;;
+        4) run_shard 4 "${SHARD_4[@]}" || rc=$? ;;
+        *) echo "usage: $0 [1|2|3|4]" >&2; exit 2 ;;
+    esac
+else
+    for n in 1 2 3 4; do
+        v="SHARD_$n[@]"
+        run_shard "$n" "${!v}" || rc=$?
+    done
+fi
+
+# fail if any test file on disk is missing from every shard (drift guard)
+all=$(printf '%s\n' "${SHARD_1[@]}" "${SHARD_2[@]}" "${SHARD_3[@]}" "${SHARD_4[@]}" | sort)
+for f in tests/test_*.py; do
+    if ! grep -qx "$f" <<<"$all"; then
+        echo "ERROR: $f not assigned to any shard" >&2
+        rc=1
+    fi
+done
+exit $rc
