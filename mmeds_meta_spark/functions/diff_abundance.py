@@ -82,11 +82,16 @@ def ancombc(
         .persist()
     )
     n_features = y.select("feature_id").distinct().count()
-    feats = y.select("feature_id").distinct()
-    n_g = groups.groupBy("grp").agg(F.count("*").alias("n_g"))
+    # every frame the iteration re-reads is skinny — materialize each once
+    # (localCheckpoint also truncates lineage, keeping the per-round plan
+    # constant instead of tripling it every iteration)
+    feats = y.select("feature_id").distinct().localCheckpoint()
+    n_g = groups.groupBy("grp").agg(F.count("*").alias("n_g")).localCheckpoint()
     # sparse totals — computed once, reused every round
-    fg = y.groupBy("feature_id", "grp").agg(F.sum("y").alias("fgs"))
-    rowsum = y.groupBy("sample_id", "grp").agg(F.sum("y").alias("rs"))
+    fg = y.groupBy("feature_id", "grp").agg(F.sum("y").alias("fgs")).localCheckpoint()
+    rowsum = (
+        y.groupBy("sample_id", "grp").agg(F.sum("y").alias("rs")).localCheckpoint()
+    )
 
     # δ ≡ 0 initially → per-group δ totals start at 0
     dsum = n_g.select("grp", F.expr("CAST(0 AS DECIMAL(28,9))").alias("dsum"))
@@ -118,9 +123,11 @@ def ancombc(
                 ).alias("delta"),
             )
         )
+        # truncate the per-round lineage: β_t would otherwise embed the
+        # whole δ_{t-1} → β_{t-1} → … chain (plan size grows ~3× per round)
+        beta = beta.localCheckpoint()
+        delta = delta.localCheckpoint()
         dsum = delta.groupBy("grp").agg(F.sum("delta").alias("dsum"))
-    beta = beta.persist()
-    delta = delta.persist()
 
     # Wald variance: SS_ig = Σ_{j∈g}(y_ij − δ_j − β_ig)², absent cells via
     #   Σ_{j∈g}(δ_j+β)²  =  S2_g + (β·S1_g + β·S1_g) + n_g·β²

@@ -323,9 +323,11 @@ def d2_unifrac_weighted_newick(
     from ..functions.tree_metrics import tree_cov, unifrac_weighted
     from ..sources.newick import read_newick
 
+    # cov is block-bounded and read by 5 differently-pruned consumers
+    # (nt/wt/a/b/common) — cache it or each re-scans events
     cov = tree_cov(
         _demo_feats(spark, sf, block=block), read_newick(spark, _NEWICK_DEMO)
-    )
+    ).cache()
     return unifrac_weighted(cov).select(
         F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_w"
     )
