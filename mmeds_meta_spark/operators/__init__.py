@@ -50,6 +50,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "j2_snowflake_join",
     "d2_bray_curtis",
     "sample_balanced_topk",
+    "a10_grouped_mean_of_means",  # two-stage groupBy-avg: a11/a13 shape
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",

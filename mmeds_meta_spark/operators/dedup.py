@@ -665,6 +665,87 @@ SELECT node AS doc_id, MIN(lab) AS cluster_id FROM comp GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# canonical-doc selection — keep the best document per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The end step of every corpus dedup pipeline: after pair generation
+    (SimHash) and clustering (connected components), keep ONE canonical
+    document per cluster — the one with the highest type-token ratio
+    (vocab richness), doc_id as the deterministic tie-break.  Docs in no
+    near-dup pair are their own singleton cluster.
+
+    Scale shape: the per-cluster argmax is a partial aggregation
+    (max over a (ratio, doc_id) struct), NOT a window — a boilerplate-
+    heavy corpus with one giant near-dup cluster produces a hot GROUP
+    key, which map-side combine absorbs, where a rank window would
+    funnel the whole cluster through one task."""
+    comp = dedup_cluster_components(spark, sf)
+    d = _t(spark, sf, "documents")
+    full = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ratio = tok.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)").alias("ratio")
+    )
+    return (
+        full.join(ratio, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.struct(F.col("ratio"), F.col("doc_id"))).alias("__best"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("__best.doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("__best.ratio").alias("keep_ratio"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+comp AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT e.dst AS node, c.lab FROM comp c JOIN edges e ON e.src = c.node
+  WHERE c.lab < e.dst
+),
+clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM comp GROUP BY node),
+fullc AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+ratio AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS ratio
+  FROM tok GROUP BY doc_id
+),
+best AS (
+  SELECT f.cluster_id,
+         MAX({{'ratio': r.ratio, 'doc_id': f.doc_id}}) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM fullc f JOIN ratio r USING (doc_id)
+  GROUP BY f.cluster_id
+)
+SELECT cluster_id, b.doc_id AS keep_doc_id, n_members, b.ratio AS keep_ratio
+FROM best
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components,
@@ -690,5 +771,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, _EMB_COS_SQL, "LLM-pipeline dedup (embedding cosine, blocked)"
+    ),
+    "dedup_keep_best": QuerySpec(
+        dedup_keep_best,
+        _keep_best_sql(),
+        "LLM-pipeline canonical-doc selection per near-dup cluster (argmax quality, partial-agg)",
     ),
 }
