@@ -474,6 +474,12 @@ def _simhash_banded_pairs(sigs: DataFrame) -> DataFrame:
     appears once after doc_id < doc_b), but no task is quadratic in the
     bucket width.  Cold buckets keep nsalt=1 and pay nothing; the width
     table is aggregated once and AQE broadcasts it when small.
+
+    Cross-band dedup is the FIRST-AGREEING-BAND rule, not a distinct():
+    a pair matching in several bands is kept only in its lowest agreeing
+    band (cheap bitwise checks on the two fingerprints already in the
+    row), so no candidate-set shuffle exists — at corpus scale that
+    distinct() on the candidate pairs is a full extra exchange.
     """
     band_rows = [
         f"({b}, CAST(shiftright(fingerprint, {off}) & {(1 << width) - 1} AS BIGINT))"
@@ -507,16 +513,21 @@ def _simhash_banded_pairs(sigs: DataFrame) -> DataFrame:
         "band_key",
         F.explode(F.expr("sequence(0, nsalt - 1)")).alias("salt"),
     )
+    first_band = " AND ".join(
+        f"(band_id <= {b} OR (shiftright(fingerprint, {off}) & {(1 << w) - 1})"
+        f" != (shiftright(fb, {off}) & {(1 << w) - 1}))"
+        for b, (off, w) in enumerate(_simhash_band_bounds())
+    )
     return (
         probe.join(build, ["band_id", "band_key", "salt"])
         .filter(F.col("doc_id") < F.col("doc_b"))
+        .filter(F.expr(first_band))
         .select(
             F.col("doc_id").alias("doc_a"),
             "doc_b",
             F.expr("CAST(bit_count(fingerprint ^ fb) AS INT)").alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_TAU)
-        .distinct()
     )
 
 
@@ -539,7 +550,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
         for i in range(_SH_BITS)
     )
-    sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint"))
+    # Materialize the fingerprints: the banding subplan reads sigs from
+    # three differently-pruned branches (hot-bucket agg, probe, build),
+    # and the pruning difference defeats exchange reuse — without this
+    # the 32-sum vote aggregation executes three times.
+    sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint")).localCheckpoint()
     return _simhash_banded_pairs(sigs)
 
 
