@@ -204,6 +204,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(_N_HASHES // _BAND_ROWS)
     ]
     sig_b = sig.select("doc_id", *bands)
+    # Materialize the banded signatures: bucket-width agg, probe, and
+    # build read `long` with different prunings, which defeats exchange
+    # reuse — without this the k-hash min aggregation executes three
+    # times (same pathology as the SimHash fingerprints).
     long = sig_b.selectExpr(
         "doc_id",
         "stack("
@@ -211,7 +215,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         + ", "
         + ", ".join(f"{b}, band{b}" for b in range(_N_HASHES // _BAND_ROWS))
         + ") AS (band_id, band_key)",
-    )
+    ).localCheckpoint()
     ok_buckets = (
         long.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("__w"))
