@@ -51,6 +51,8 @@ _GATE_TAIL: tuple[str, ...] = (
     "d2_bray_curtis",
     "sample_balanced_topk",
     "a10_grouped_mean_of_means",  # two-stage groupBy-avg: a11/a13 shape
+    "f9_date_range_check",  # row filter: p3/p9's gated filter shape
+    "text_fingerprint_bag",  # token-bag agg: text_token_stats' gated shape
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",

@@ -86,11 +86,108 @@ WHERE rk <= {_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# exact stratified sampling — largest-remainder allocation, md5 order
+# ---------------------------------------------------------------------------
+
+_STRAT_DEN = 5  # sample 1 in 5
+
+
+def _h8_expr(dialect: str, key: str) -> str:
+    """Integer value of the first 8 md5 hex nibbles (0 .. 2³²−1)."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    terms = [
+        # widen BEFORE multiplying: nibble * 16^7 overflows int32 (ANSI error)
+        f"CAST({pos}('{_HEX}', substr(md5({key}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sample_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count stratified sample (1/5 of the corpus, proportional per
+    lang): integer largest-remainder allocation (k_g = n_g div 5, the
+    N div 5 − Σ floor remainder seats go to the largest n_g mod 5, lang
+    tie-break), selection = lowest md5 order within each stratum.
+
+    Scale shape: the per-stratum rank window never sees the stratum — a
+    deterministic md5-range PRE-FILTER (keep h8/2³² < min(1, 4·k/n))
+    cuts survivors to ≈4k per stratum first, so the window ranks a
+    bounded candidate set instead of funneling a giant stratum through
+    one task.  Allocation windows run over #strata rows.  Everything is
+    integer or mirrored-double arithmetic — no rand(), identical output
+    on every engine/retry/partitioning."""
+    den = _STRAT_DEN
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    ng = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = ng.agg(
+        F.sum("n").alias("nn"), F.sum(F.expr(f"n div {den}")).alias("base")
+    )
+    wr = Window.orderBy(F.expr(f"n % {den}").desc(), F.col("lang").asc())
+    alloc = (
+        ng.crossJoin(F.broadcast(tot))
+        .withColumn("extra_rank", F.row_number().over(wr))
+        .withColumn(
+            "k",
+            F.expr(f"n div {den}")
+            + F.when(
+                F.col("extra_rank") <= F.expr(f"nn div {den} - base"), 1
+            ).otherwise(0),
+        )
+        .select("lang", "n", F.col("k").cast("long").alias("k"))
+    )
+    h = d.withColumn("h8", F.expr(_h8_expr("spark", "CAST(doc_id AS STRING)")))
+    surv = h.join(F.broadcast(alloc), "lang").filter(
+        F.expr("(CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * k / n, 1.0)")
+    )
+    wk = Window.partitionBy("lang").orderBy("h8", "doc_id")
+    return (
+        surv.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )
+
+
+_STRAT_SQL = f"""
+WITH ng AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn, SUM(n // {_STRAT_DEN}) AS base FROM ng),
+alloc AS (
+  SELECT lang, n,
+         CAST(n // {_STRAT_DEN}
+              + CASE WHEN ROW_NUMBER() OVER (ORDER BY n % {_STRAT_DEN} DESC, lang)
+                          <= nn // {_STRAT_DEN} - base
+                     THEN 1 ELSE 0 END AS BIGINT) AS k
+  FROM ng, tot
+),
+h AS (
+  SELECT doc_id, lang, {_h8_expr('duck', 'CAST(doc_id AS VARCHAR)')} AS h8
+  FROM documents
+),
+surv AS (
+  SELECT h.doc_id, h.lang, h.h8, a.k
+  FROM h JOIN alloc a USING (lang)
+  WHERE (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * a.k / a.n, 1.0)
+),
+ranked AS (
+  SELECT doc_id, lang, k,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h8, doc_id) AS rn
+  FROM surv
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_hash_split": QuerySpec(
         sample_hash_split, _SPLIT_SQL, "deterministic train/eval hash split"
     ),
     "sample_balanced_topk": QuerySpec(
         sample_balanced_topk, _TOPK_SQL, "per-group cap / class-balanced top-k"
+    ),
+    "sample_stratified_exact": QuerySpec(
+        sample_stratified_exact,
+        _STRAT_SQL,
+        "exact-count stratified sample (largest remainder + md5-range prefilter)",
     ),
 }

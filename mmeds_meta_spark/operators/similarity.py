@@ -208,8 +208,52 @@ SELECT vec_a, vec_b, label, cos_sim FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — training-data prep for vector stores
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|,
+    q_i = ⌊127·x_i/scale + 0.5⌋ (explicit floor(+0.5) — engine rounding
+    modes differ on .5 ties, floor does not).  Narrow map, no shuffle;
+    the all-zero vector quantizes to zeros with scale 0 instead of
+    dividing by zero."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    return (
+        e.withColumn("scale", F.expr("array_max(transform(v, x -> abs(x)))"))
+        .select(
+            "vec_id",
+            "scale",
+            F.expr(
+                "CASE WHEN scale = 0 THEN transform(v, x -> 0)"
+                " ELSE transform(v, x -> CAST(FLOOR(x * 127.0 / scale + 0.5) AS INT)) END"
+            ).alias("q"),
+        )
+    )
+
+
+_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / scale + 0.5) AS INTEGER))
+       END AS q
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
+    "embed_quantize_int8": QuerySpec(
+        embed_quantize_int8,
+        _QUANT_SQL,
+        "LLM-pipeline embedding prep (symmetric int8 quantization, narrow map)",
+    ),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _IVF_SQL, "LLM-pipeline similarity (IVF bucketed top-k)"),
     "knn_join": QuerySpec(knn_join, _KNN_SQL, "LLM-pipeline similarity (blocked kNN self-join)"),
 }

@@ -23,7 +23,7 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
-         tests/test_qza.py)
+         tests/test_qza.py tests/test_sampling_ops.py)
 
 run_shard() {
     local n=$1; shift
