@@ -53,6 +53,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "a10_grouped_mean_of_means",  # two-stage groupBy-avg: a11/a13 shape
     "f9_date_range_check",  # row filter: p3/p9's gated filter shape
     "text_fingerprint_bag",  # token-bag agg: text_token_stats' gated shape
+    "j7_semi_join_probe",  # left-semi: j9's gated anti-join twin
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",
@@ -79,12 +80,13 @@ def registry() -> dict[str, QuerySpec]:
         relational,
         sampling,
         similarity,
+        sketches,
         stats,
         text,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}

@@ -56,3 +56,38 @@ def test_quantize_bounds_and_zero_vector(spark):
         .first()
     )
     assert out.q == [0, 0]
+
+
+def test_kmv_sketch_error_and_small_set_exactness(spark):
+    import duckdb
+
+    from mmeds_meta_spark.operators.sketches import sketch_kmv_distinct
+
+    est = sketch_kmv_distinct(spark, SF_SMOKE).first()
+    exact = duckdb.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT CAST(doc_id AS VARCHAR) || '|' ||"
+        f" unnest(string_split(text, ' ')) FROM '{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(est.est_distinct - exact) / exact < 0.15  # bottom-k, k=1024
+    # small-set regime: < k unique hashes → the sketch is EXACT
+    tiny = spark.createDataFrame(
+        [(i, f"tok{i} shared") for i in range(10)], "doc_id long, text string"
+    )
+    tiny.createOrReplaceTempView("documents_tiny")
+    import pyspark.sql.functions as FF
+    from mmeds_meta_spark.operators.sketches import _K, _frac48_expr
+
+    pair = (
+        tiny.select("doc_id", FF.explode(FF.split("text", " ")).alias("tok"))
+        .select(FF.concat_ws("|", FF.col("doc_id").cast("string"), "tok").alias("pk"))
+        .distinct()
+    )
+    frac = pair.select(FF.expr(_frac48_expr("spark", "pk")).alias("f"))
+    got = (
+        frac.orderBy("f").limit(_K)
+        .agg(FF.expr(f"CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)"
+                     f" ELSE ({_K} - 1) / MAX(f) END").alias("est"))
+        .first()
+        .est
+    )
+    assert got == 20.0  # 10 doc-specific + 10 shared pairs, exactly
