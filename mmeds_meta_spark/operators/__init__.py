@@ -54,6 +54,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "f9_date_range_check",  # row filter: p3/p9's gated filter shape
     "text_fingerprint_bag",  # token-bag agg: text_token_stats' gated shape
     "j7_semi_join_probe",  # left-semi: j9's gated anti-join twin
+    "a6_zscore_outliers",  # exact-moment agg+filter: a5/d3's gated shape
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",

@@ -178,9 +178,79 @@ SELECT doc_id, lang FROM ranked WHERE rn <= k
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing — assemble fixed-token-budget training batches
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed batch
+_PACK_BUCKETS = 64  # parallel packing streams
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign documents to fixed-budget training batches: docs are
+    spread across ``_PACK_BUCKETS`` md5 streams, ordered deterministically
+    within each stream (md5, doc_id), and batched by the running token
+    total — batch_id = (bucket, floor(cum_before/budget)).
+
+    Scale shape: the running sum partitions on the bucket — 64 (or 64k)
+    independent streams, never one global cumulative window; batch
+    numbering is per-stream so streams never coordinate.  The boundary
+    doc that straddles a budget edge stays in its starting batch
+    (budget-approximate by ≤1 doc — the standard streaming-packing
+    trade; exact bin packing is NP-hard and needs no more fidelity
+    here).  Deterministic: same batches on every engine/retry."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr("size(split(text, ' '))").cast("long").alias("n_tok")
+    )
+    bucket = F.expr(f"{_bucket_expr('spark', 'CAST(doc_id AS STRING)')} % {_PACK_BUCKETS}")
+    w = Window.partitionBy("bucket").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), F.col("doc_id")
+    )
+    return (
+        d.withColumn("bucket", bucket.cast("int"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tok",
+            F.expr(f"CAST(cum_before div {_PACK_BUDGET} AS BIGINT)").alias("batch_in_bucket"),
+        )
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST({_bucket_expr('duck', 'CAST(doc_id AS VARCHAR)')} % {_PACK_BUCKETS} AS INTEGER) AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY bucket
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM d
+)
+SELECT doc_id, bucket, n_tok,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS batch_in_bucket
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_hash_split": QuerySpec(
         sample_hash_split, _SPLIT_SQL, "deterministic train/eval hash split"
+    ),
+    "pack_sequences": QuerySpec(
+        pack_sequences,
+        _PACK_SQL,
+        "beyond-reference: fixed-budget training-batch packing (bucketed running sum)",
     ),
     "sample_balanced_topk": QuerySpec(
         sample_balanced_topk, _TOPK_SQL, "per-group cap / class-balanced top-k"

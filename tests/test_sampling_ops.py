@@ -91,3 +91,24 @@ def test_kmv_sketch_error_and_small_set_exactness(spark):
         .est
     )
     assert got == 20.0  # 10 doc-specific + 10 shared pairs, exactly
+
+
+def test_pack_sequences_budget_property(spark):
+    import collections
+
+    from mmeds_meta_spark.operators.sampling import _PACK_BUDGET, pack_sequences
+
+    rows = pack_sequences(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    sums = collections.defaultdict(int)
+    max_tok = max(r.n_tok for r in rows)
+    batches = collections.defaultdict(set)
+    for r in rows:
+        sums[(r.bucket, r.batch_in_bucket)] += r.n_tok
+        batches[r.bucket].add(r.batch_in_bucket)
+    # streaming next-fit: a batch holds at most budget + one straddling doc
+    for k, s in sums.items():
+        assert s <= _PACK_BUDGET + max_tok, (k, s)
+    # batch ids within a bucket are contiguous from 0
+    for b, ids in batches.items():
+        assert ids == set(range(len(ids))), (b, sorted(ids))
