@@ -136,6 +136,9 @@ def sample_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(0),
         )
         .select("lang", "n", F.col("k").cast("long").alias("k"))
+        # #strata rows; materialized so the survivor join doesn't re-scan
+        # the fact table through the allocation lineage
+        .localCheckpoint()
     )
     h = d.withColumn("h8", F.expr(_h8_expr("spark", "CAST(doc_id AS STRING)")))
     surv = h.join(F.broadcast(alloc), "lang").filter(
