@@ -24,6 +24,8 @@ OPS = [
     "dedup_cluster_components",
     "dedup_embedding_ivf",  # learned-centroid iteration (decimal Lloyd)
     "d5_ancombc",  # iterative bias-corrected estimator
+    "sample_stratified_exact",  # windowed selection after md5 prefilter
+    "sketch_kmv_distinct",  # bottom-k estimate must not depend on layout
 ]
 
 
