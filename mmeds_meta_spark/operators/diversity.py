@@ -80,7 +80,8 @@ def d2_bray_curtis(spark: SparkSession, sf: str, *, block: int = _BC_BLOCK) -> D
     matches the registered oracle) and features act as the inverted
     index; no dense matrix ever exists."""
     ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # block-bounded; read by totals + both join sides (different prunings)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c")).cache()
     totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
     a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
     b = counts.select(F.col("user_id").alias("ub"), "event_type", F.col("c").alias("xb"))
@@ -160,7 +161,10 @@ def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     form that survives a CONTINUOUS measure (distincts ≈ rows) at 100 TB,
     where a global orderBy window funnels the whole CDF into one task."""
     ev = _t(spark, sf, "events").select("event_type", "value")
-    vt = ev.groupBy("value").agg(F.expr("COUNT(*)").alias("t"))
+    # persist: bounds, the bucketed CDF, and the tie correction all read
+    # vt with different prunings (no exchange reuse across them); sized
+    # by DISTINCT values, and persist() spills to disk if that is large
+    vt = ev.groupBy("value").agg(F.expr("COUNT(*)").alias("t")).persist()
     bounds = vt.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
     vb = vt.crossJoin(F.broadcast(bounds)).withColumn(
         "bkt",
