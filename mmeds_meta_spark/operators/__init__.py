@@ -55,6 +55,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_fingerprint_bag",  # token-bag agg: text_token_stats' gated shape
     "j7_semi_join_probe",  # left-semi: j9's gated anti-join twin
     "a6_zscore_outliers",  # exact-moment agg+filter: a5/d3's gated shape
+    "a12_stepwise_retention",  # column arithmetic + unpivot: r1's gated shape
     "a2_count_per_parent",
     "a4_group_collect",
     "a9_distinct_runs",

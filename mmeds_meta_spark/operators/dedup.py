@@ -562,26 +562,118 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return _simhash_banded_pairs(sigs)
 
 
-def _simhash_sql() -> str:
+def _simhash_sigs_cte() -> str:
+    """The shared CTE prologue: documents → token votes → fingerprints."""
     votes = _simhash_bit_exprs("duck")
     sums = ",\n         ".join(f"SUM({v}) AS s{i}" for i, v in enumerate(votes))
     fp = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
         for i in range(_SH_BITS)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), agg AS (
   SELECT doc_id, {sums}
   FROM tok GROUP BY doc_id
 ), sigs AS (
   SELECT doc_id, {fp} AS fingerprint FROM agg
-)
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_sigs_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup — new batch vs existing corpus, no all-pairs redo
+# ---------------------------------------------------------------------------
+
+_NEW_FRAC = 0.9  # doc_id >= floor(0.9·(max_id+1)) plays the "new batch"
+
+
+def dedup_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SimHash near-dup: only pairs touching the NEW batch
+    (here: the top-10% doc_id range standing in for a fresh ingest) are
+    generated — old×old pairs are already known from prior runs.
+
+    Scale shape: the probe side of the band join is restricted to the
+    new batch BEFORE the join, so incremental cost is |new| × bucket
+    density, never |corpus|².  In production the build side's
+    fingerprints come from the stored signature table instead of being
+    recomputed; banding and first-agreeing-band dedup are shared with
+    the full-corpus operator.  A task's work is bounded by
+    |new ∩ bucket| × bucket width — already probe-limited; for corpora
+    whose buckets exceed the cap, compose with the full operator's
+    hot-bucket salting.  A new×new pair is kept only from its lower-id
+    probe (no duplicates by construction).
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, ≥1 side new."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    votes = _simhash_bit_exprs("spark")
+    agg = tok.groupBy("doc_id").agg(
+        *[F.expr(f"SUM({v})").alias(f"s{i}") for i, v in enumerate(votes)]
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    sigs = agg.select("doc_id", F.expr(fp).alias("fingerprint")).localCheckpoint()
+    thresh = sigs.agg(
+        F.expr(f"CAST(FLOOR({_NEW_FRAC} * (MAX(doc_id) + 1)) AS BIGINT)").alias("t")
+    )
+    band_rows = [
+        f"({b}, CAST(shiftright(fingerprint, {off}) & {(1 << width) - 1} AS BIGINT))"
+        for b, (off, width) in enumerate(_simhash_band_bounds())
+    ]
+    long = sigs.selectExpr(
+        "doc_id",
+        "fingerprint",
+        f"inline(array({', '.join('struct' + r for r in band_rows)})) AS (band_id, band_key)",
+    )
+    probe = long.crossJoin(F.broadcast(thresh)).filter(F.col("doc_id") >= F.col("t"))
+    build = long.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fb"),
+        "band_id",
+        "band_key",
+    )
+    first_band = " AND ".join(
+        f"(band_id <= {b} OR (shiftright(fingerprint, {off}) & {(1 << w) - 1})"
+        f" != (shiftright(fb, {off}) & {(1 << w) - 1}))"
+        for b, (off, w) in enumerate(_simhash_band_bounds())
+    )
+    return (
+        probe.join(build, ["band_id", "band_key"])
+        # old docs pair with any probe; a new build doc only with a
+        # lower-id probe (the pair's other orientation is dropped)
+        .filter((F.col("doc_b") > F.col("doc_id")) | (F.col("doc_b") < F.col("t")))
+        .filter(F.expr(first_band))
+        .select(
+            F.least("doc_id", "doc_b").alias("doc_a"),
+            F.greatest("doc_id", "doc_b").alias("doc_b"),
+            F.expr("CAST(bit_count(fingerprint ^ fb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_TAU)
+    )
+
+
+def _simhash_incremental_sql() -> str:
+    return f"""
+WITH {_simhash_sigs_cte()}, t AS (
+  SELECT CAST(FLOOR({_NEW_FRAC} * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM sigs
+)
+SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       GREATEST(a.doc_id, b.doc_id) AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id CROSS JOIN t
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
+  AND GREATEST(a.doc_id, b.doc_id) >= t.t
 """
 
 
@@ -795,5 +887,10 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_keep_best,
         _keep_best_sql(),
         "LLM-pipeline canonical-doc selection per near-dup cluster (argmax quality, partial-agg)",
+    ),
+    "dedup_simhash_incremental": QuerySpec(
+        dedup_simhash_incremental,
+        _simhash_incremental_sql(),
+        "LLM-pipeline incremental near-dup: new batch vs corpus, probe-restricted band join",
     ),
 }

@@ -56,3 +56,32 @@ def test_simhash_salting_leaves_cold_buckets_alone(spark):
     got = {(r.doc_a, r.doc_b, r.hamming) for r in _simhash_banded_pairs(sigs).collect()}
     want = {(r.doc_a, r.doc_b, r.hamming) for r in _direct_pairs(sigs).collect()}
     assert got == want
+
+
+def test_incremental_simhash_equals_filtered_full(spark):
+    """Incremental pairs = full-corpus pairs restricted to those touching
+    the new-batch id range; no duplicates, normalized orientation."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from mmeds_meta_spark.operators.dedup import (
+        _NEW_FRAC,
+        dedup_simhash,
+        dedup_simhash_incremental,
+    )
+
+    full = dedup_simhash(spark, SF_SMOKE)
+    max_id = full.agg(F.max(F.greatest("doc_a", "doc_b"))).first()[0]
+    import math
+
+    # threshold from the documents table, as the operator computes it
+    docs_max = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").agg(F.max("doc_id")).first()[0]
+    )
+    t = math.floor(_NEW_FRAC * (docs_max + 1))
+    expected = sorted(
+        map(tuple, full.filter(F.greatest("doc_a", "doc_b") >= t).collect())
+    )
+    got = sorted(map(tuple, dedup_simhash_incremental(spark, SF_SMOKE).collect()))
+    assert got == expected
+    assert len(got) == len(set(got))
