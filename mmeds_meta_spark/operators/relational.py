@@ -225,11 +225,14 @@ def j6_dedup_or_insert(spark: SparkSession, sf: str) -> DataFrame:
     ``max(id) + dense_rank(natural_key)`` — the deterministic replacement for
     the reference's per-row MAX(id)+1 recursion (SURVEY §7 hard-part 1)."""
     part = _t(spark, sf, "part")
+    # dim-sized; read by the anti-join, MAX-key, and the final union —
+    # materialize once (in production this IS the stored dimension table)
     existing = (
         part.filter(F.col("p_partkey") < 500)
         .select("p_brand")
         .distinct()
         .withColumn("brand_id", F.dense_rank().over(Window.orderBy("p_brand")).cast("long"))
+        .localCheckpoint()
     )
     incoming = part.select("p_brand").distinct()
     new = incoming.join(existing, "p_brand", "left_anti")
