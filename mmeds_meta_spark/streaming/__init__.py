@@ -7,6 +7,11 @@ aggregations: watermarked windowed rollups over an events feed and
 exactly-once-style dedup on arrival.
 """
 
+from .incremental_dedup import start_incremental_dedup
 from .rollup import streaming_event_rollup, streaming_exact_dedup
 
-__all__ = ["streaming_event_rollup", "streaming_exact_dedup"]
+__all__ = [
+    "start_incremental_dedup",
+    "streaming_event_rollup",
+    "streaming_exact_dedup",
+]

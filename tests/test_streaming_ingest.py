@@ -35,3 +35,50 @@ def test_streaming_matches_batch(spark, tmp_path):
     # split fractions are deterministic: every doc_id lands where md5 says
     splits = {r[-1] for r in batch}
     assert splits <= {"train", "eval"}
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Micro-batched incremental dedup over a growing signature store must
+    discover exactly the batch operator's full pair set, regardless of
+    arrival order — each pair surfaces when its later document lands."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from mmeds_meta_spark.operators.dedup import dedup_simhash
+    from mmeds_meta_spark.streaming.incremental_dedup import start_incremental_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # two arrival waves → at least two micro-batches (maxFilesPerTrigger=1
+    # is a file-source option; two separate files suffice here)
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(feed / "wave0"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(feed / "wave1"))
+    # flatten: file source watches one dir of files
+    import shutil
+
+    for i, wave in enumerate(sorted(feed.glob("wave*/*.parquet"))):
+        shutil.move(str(wave), str(feed / f"w{i}.parquet"))
+    shutil.rmtree(feed / "wave0")
+    shutil.rmtree(feed / "wave1")
+
+    store, pairs, ck = (str(tmp_path / d) for d in ("store", "pairs", "ck"))
+    sq = start_incremental_dedup(
+        spark,
+        str(feed),
+        store_dir=store,
+        pairs_dir=pairs,
+        checkpoint_dir=ck,
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(pairs).select("doc_a", "doc_b", "hamming").collect())
+    )
+    expected = sorted(map(tuple, dedup_simhash(spark, SF_SMOKE).collect()))
+    assert got == expected
+    # ≥2 micro-batches actually ran (the store has ≥2 batch partitions)
+    import os
+
+    assert len([d for d in os.listdir(store) if d.startswith("batch_id=")]) >= 2
