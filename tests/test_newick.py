@@ -191,3 +191,65 @@ def test_read_newick_from_file(spark, tmp_path):
     p = tmp_path / "tree.nwk"
     p.write_text(_SMALL + "\n")
     assert read_newick(spark, str(p)).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# property-based: random trees round-trip through serialize → parse
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _tree_strategy():
+    """Random rooted trees as nested (children, name, length) tuples."""
+    leaf = st.tuples(
+        st.just(()),
+        st.text(alphabet="ABCDEFGHij0123456789", min_size=1, max_size=6),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+    )
+    return st.recursive(
+        leaf,
+        lambda kids: st.tuples(
+            st.lists(kids, min_size=1, max_size=4),
+            st.text(alphabet="xyz0.", max_size=4),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+        ).map(lambda t: (tuple(t[0]), t[1], t[2])),
+        max_leaves=12,
+    )
+
+
+def _serialize(node) -> str:
+    kids, name, length = node
+    if not kids:
+        return f"{name}:{length!r}"
+    inner = ",".join(_serialize(k) for k in kids)
+    return f"({inner}){name}:{length!r}"
+
+
+def _expected_rows(node, path=""):
+    kids, name, length = node
+    rows = []
+    if not kids:
+        if path:
+            rows.append((path, float(length), name, True))
+        return rows, [name]
+    leaves = []
+    for i, k in enumerate(kids):
+        sub_rows, sub_leaves = _expected_rows(k, f"{path}.{i}" if path else str(i))
+        rows.extend(sub_rows)
+        leaves.extend(sub_leaves)
+    if path:
+        rows.extend((path, float(length), leaf, False) for leaf in leaves)
+    return rows, leaves
+
+
+@settings(max_examples=60, deadline=None)
+@given(_tree_strategy())
+def test_newick_roundtrip_property(tree):
+    kids, name, length = tree
+    if not kids:  # a bare leaf is not a tree; wrap it
+        tree = ((tree,), "r", 0.0)
+    text = f"({','.join(_serialize(k) for k in tree[0])}){tree[1]};"
+    got = membership_rows(parse_newick(text))
+    expected, _ = _expected_rows((tuple(tree[0]), tree[1], 0.0))
+    assert sorted(got) == sorted(expected)
