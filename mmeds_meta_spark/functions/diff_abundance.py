@@ -263,3 +263,99 @@ def differential_abundance(
         F.round("effect_size", 6).alias("effect_size"),
         F.col("__top.cls").alias("top_class"),
     )
+
+
+def lefse_lda(
+    long_df: DataFrame, sample_meta: DataFrame, *, class_col: str
+) -> DataFrame:
+    """D6 — LEfSe's LDA effect size, per pairwise class split.
+
+    The reference's ``run_lefse`` (rules/differential_abundance.smk:16-72)
+    ranks features by a class-discriminating LDA score.  For one feature
+    at a time (LEfSe fits each feature's discriminant axis independently
+    of the others when covariances are diagonal), the two-class LDA is
+    closed-form: the discriminant direction is w = Δm / s_w² and the
+    class separation along it is the Fisher criterion
+
+        J = (m_hi − m_lo)² / s_w²,   s_w² = (SS_lo + SS_hi) / (n−2)
+
+    — a ratio of per-(feature, class) moment aggregates (n, Σclr, Σclr²),
+    the same exact-decimal moments the ANOVA/KW paths use.  The reported
+    ``lda_score`` is LEfSe's log10 scaling of the separation,
+    log10(1 + J); ``top_class`` is the enriched class (sign of Δm).
+
+    CLR features use the engine's convention (``clr_transform``): present
+    cells only, log(count+1) quantized to DECIMAL(18,9), per-sample mean
+    via one DOUBLE division on exact decimal sums — which is what lets
+    the DuckDB oracle reproduce every value bit-for-bit.
+
+    One pair of skinny aggregations + a per-feature self-join on class
+    pairs (k·(k−1)/2 rows per feature, k = #classes — tiny); no feature×
+    sample densification, no global sort.  Scale-safe at 100 TB.
+    """
+    y = long_df.select(
+        "sample_id",
+        "feature_id",
+        F.expr("CAST(LN(count + 1) AS DECIMAL(18,9))").alias("y"),
+    )
+    m = y.groupBy("sample_id").agg(
+        F.sum("y").alias("ys"), F.count("*").alias("yn")
+    ).select(
+        "sample_id",
+        F.expr("CAST(CAST(ys AS DOUBLE) / yn AS DECIMAL(18,9))").alias("mlg"),
+    )
+    cls = sample_meta.select("sample_id", F.col(class_col).alias("cls")).distinct()
+    clr = (
+        y.join(m, "sample_id")
+        .join(cls, "sample_id")
+        .select(
+            "feature_id",
+            "cls",
+            F.expr("CAST(y - mlg AS DECIMAL(19,9))").alias("clr"),
+        )
+    )
+    mom = clr.groupBy("feature_id", "cls").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(clr) AS DECIMAL(28,9))").alias("s1"),
+        F.expr("CAST(SUM(clr * clr) AS DECIMAL(38,18))").alias("s2"),
+    )
+    a, b = mom.alias("a"), mom.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.feature_id") == F.col("b.feature_id"))
+        & (F.col("a.cls") < F.col("b.cls")),
+    )
+    return pair.select(
+        F.col("a.feature_id").alias("feature_id"),
+        F.col("a.cls").alias("class_lo"),
+        F.col("b.cls").alias("class_hi"),
+        F.col("a.n").alias("n_lo"),
+        F.col("b.n").alias("n_hi"),
+        F.expr(
+            "ROUND(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 6)"
+        ).alias("delta_clr"),
+        F.expr(
+            "ROUND(CASE WHEN a.n + b.n > 2 AND "
+            " (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n"
+            "  + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)"
+            " / (a.n + b.n - 2) > 0 THEN"
+            " POW(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 2)"
+            " / ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n"
+            "     + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)"
+            "    / (a.n + b.n - 2)) END, 6)"
+        ).alias("lda_j"),
+        F.expr(
+            "ROUND(LOG10(1 + CASE WHEN a.n + b.n > 2 AND "
+            " (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n"
+            "  + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)"
+            " / (a.n + b.n - 2) > 0 THEN"
+            " POW(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 2)"
+            " / ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n"
+            "     + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)"
+            "    / (a.n + b.n - 2)) ELSE 0 END), 6)"
+        ).alias("lda_score"),
+        F.expr(
+            "CASE WHEN CAST(b.s1 AS DOUBLE) / b.n >= CAST(a.s1 AS DOUBLE) / a.n"
+            " THEN b.cls ELSE a.cls END"
+        ).alias("top_class"),
+    )

@@ -1,5 +1,5 @@
 """Set-based snowflake normalization (SURVEY §7 step 4)."""
 
-from .normalizer import Warehouse, import_study, parse_icd_codes
+from .normalizer import MetaDataError, Warehouse, import_study, parse_icd_codes
 
-__all__ = ["Warehouse", "import_study", "parse_icd_codes"]
+__all__ = ["MetaDataError", "Warehouse", "import_study", "parse_icd_codes"]

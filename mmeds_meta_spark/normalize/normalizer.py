@@ -49,12 +49,21 @@ from ..sources.metadata_tsv import SEP
 _SKIP = {"ICDCode", "AdditionalMetaData"}  # no SQL table (catalog §1.2)
 
 
+class MetaDataError(RuntimeError):
+    """Raised when a user-data delete would orphan surviving rows —
+    the parquet-store analogue of the reference's FK ``IntegrityError``
+    re-raise (mmeds/database/database.py:566-572)."""
+
+
 class Warehouse:
     """Parquet-backed table store with the null-seed-row convention."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: bumped on every write; sessions re-resolve their views when it
+        #: moves (temp views pin a parquet file-listing snapshot)
+        self.version = 0
         os.makedirs(path, exist_ok=True)
 
     def _file(self, name: str) -> str:
@@ -84,6 +93,96 @@ class Warehouse:
         seed_df = self.spark.createDataFrame([tuple(vals)], struct_type(name))
         return df.unionByName(seed_df)
 
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomically replace a table's parquet with ``df`` (materialize to
+        a sibling temp dir first — Spark cannot overwrite a path that feeds
+        the plan being written)."""
+        import shutil
+
+        tmp = self._file(name) + "__rewrite_tmp"
+        aligned = df.select(
+            *[F.col(c).cast(f.dataType) for c, f in zip(TABLES[name], struct_type(name).fields)]
+        )
+        aligned.write.mode("overwrite").parquet(tmp)
+        if self.exists(name):
+            shutil.rmtree(self._file(name))
+        os.rename(tmp, self._file(name))
+        # drop Spark's cached file listing for the path — readers opened
+        # before the swap would otherwise chase deleted part files
+        self.spark.catalog.refreshByPath(self._file(name))
+        self.version += 1
+
+    def clear_user_data(self, user_id: int, *, verify_integrity: bool = True) -> dict[str, int]:
+        """Delete every row owned by ``user_id`` across the protected +
+        junction tables, child-tables-first, with per-table row-count
+        accounting.
+
+        Mirrors the reference's ``Database.clear_user_data``
+        (mmeds/database/database.py:546-572): the table list is
+        ``TABLE_ORDER`` filtered to ``PROTECTED_TABLES`` plus the junction
+        tables, **reversed** so linking tables empty before the tables they
+        link to; rows with NULL ``user_id`` (seed rows, shared dims) are
+        never touched.  Returns ``{table: rows_removed}`` — the accounting
+        the reference's test asserts (tests/unit/test_database.py:166-206).
+
+        ``verify_integrity=True`` re-creates the FK ``IntegrityError``
+        semantics parquet lacks: before dropping a parent table's rows it
+        checks that no *surviving* child row still references a
+        to-be-deleted id, raising :class:`MetaDataError` if one does (the
+        reference surfaces exactly this as a re-raised IntegrityError).
+
+        At 100 TB this is one pushed-filter scan + rewrite per protected
+        table (on Delta/Iceberg it would be a ``DELETE WHERE user_id = ?``);
+        the integrity probe is a broadcast semi-join of each child's
+        surviving FK values against the (small, per-user) deleted-id set.
+        """
+        owned = F.col("user_id") == F.lit(user_id)
+        surviving = F.coalesce(F.col("user_id") != F.lit(user_id), F.lit(True))
+        tables = [t for t in TABLE_ORDER if t in PROTECTED_TABLES] + list(JUNCTION_TABLES)
+        removed: dict[str, int] = {}
+        # Phase 1 — account + verify, touching nothing.  The survivor
+        # predicate is by ownership (not deletion state), so the check is
+        # order-independent; running the whole phase up front gives the
+        # all-or-nothing behavior of the reference's commit-at-end.
+        for table in reversed(tables):
+            if not self.exists(table):
+                removed[table] = 0
+                continue
+            df = self.table(table)
+            n_owned = df.filter(owned).count()
+            removed[table] = n_owned
+            if n_owned == 0 or not verify_integrity or "_has_" in table:
+                continue
+            id_col = f"id{table}"
+            dead_ids = df.filter(owned).select(F.col(id_col).alias("__dead_id"))
+            for child, cols in TABLES.items():
+                if child == table:
+                    continue
+                fk_cols = [
+                    c for c in cols if "_id" in c and c != "user_id" and _fk_parent(c) == table
+                ]
+                if not fk_cols or not self.exists(child):
+                    continue
+                child_df = self.table(child)
+                if "user_id" in TABLES[child]:
+                    child_df = child_df.filter(surviving)
+                for fk in fk_cols:
+                    dangling = child_df.join(
+                        F.broadcast(dead_ids),
+                        child_df[fk] == F.col("__dead_id"),
+                        "left_semi",
+                    )
+                    if dangling.limit(1).count() > 0:
+                        raise MetaDataError(
+                            f"clear_user_data({user_id}): surviving rows in "
+                            f"{child}.{fk} still reference {table} rows being deleted"
+                        )
+        # Phase 2 — rewrite, children first (the reference's reverse order).
+        for table in reversed(tables):
+            if removed.get(table):
+                self.overwrite(table, self.table(table).filter(surviving))
+        return removed
+
     def append(self, name: str, df: DataFrame) -> None:
         aligned = df.select(
             *[F.col(c).cast(f.dataType) for c, f in zip(TABLES[name], struct_type(name).fields)]
@@ -93,6 +192,7 @@ class Warehouse:
             base.unionByName(aligned).write.mode("overwrite").parquet(self._file(name))
         else:
             aligned.write.mode("append").parquet(self._file(name))
+        self.version += 1
 
 
 # ---------------------------------------------------------------------------

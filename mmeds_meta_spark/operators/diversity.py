@@ -361,6 +361,78 @@ JOIN varb h ON l.feature_id = h.feature_id AND l.grp < h.grp
     )
 
 
+# ---------------------------------------------------------------------------
+# D6 — LEfSe's LDA effect size per pairwise class split
+# (rules/differential_abundance.smk:16-72 run_lefse)
+# ---------------------------------------------------------------------------
+
+
+def d6_lefse_lda(spark: SparkSession, sf: str) -> DataFrame:
+    """LEfSe LDA scores (functions/diff_abundance.lefse_lda) on the events
+    table: samples = user_id, features = event_type, classes = user_id % 3
+    → every pairwise split (a15's all-against-all convention) gets its
+    closed-form two-class LDA score on CLR features."""
+    from ..functions.diff_abundance import lefse_lda
+
+    ev = _t(spark, sf, "events")
+    long_df = ev.groupBy(
+        F.col("user_id").alias("sample_id"), F.col("event_type").alias("feature_id")
+    ).agg(F.count("*").alias("count"))
+    smeta = (
+        ev.select(F.col("user_id").alias("sample_id"))
+        .distinct()
+        .withColumn("g3", F.expr("sample_id % 3"))
+    )
+    return lefse_lda(long_df, smeta, class_col="g3")
+
+
+_LEFSE_LDA_SQL = """
+WITH counts AS (
+  SELECT user_id AS sample_id, event_type AS feature_id, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), y AS (
+  SELECT sample_id, feature_id, CAST(LN(cnt + 1) AS DECIMAL(18,9)) AS y
+  FROM counts
+), m AS (
+  SELECT sample_id, CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS mlg
+  FROM y GROUP BY 1
+), clr AS (
+  SELECT y.feature_id, y.sample_id % 3 AS cls,
+         CAST(y.y - m.mlg AS DECIMAL(19,9)) AS clr
+  FROM y JOIN m USING (sample_id)
+), mom AS (
+  SELECT feature_id, cls, COUNT(*) AS n,
+         CAST(SUM(clr) AS DECIMAL(28,9)) AS s1,
+         CAST(SUM(clr * clr) AS DECIMAL(38,18)) AS s2
+  FROM clr GROUP BY 1, 2
+)
+SELECT a.feature_id,
+       a.cls AS class_lo, b.cls AS class_hi,
+       a.n AS n_lo, b.n AS n_hi,
+       ROUND(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 6) AS delta_clr,
+       ROUND(CASE WHEN a.n + b.n > 2 AND
+         (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n
+          + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+         / (a.n + b.n - 2) > 0 THEN
+         POW(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 2)
+         / ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n
+             + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+            / (a.n + b.n - 2)) END, 6) AS lda_j,
+       ROUND(LOG10(1 + CASE WHEN a.n + b.n > 2 AND
+         (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n
+          + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+         / (a.n + b.n - 2) > 0 THEN
+         POW(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 2)
+         / ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n
+             + CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+            / (a.n + b.n - 2)) ELSE 0 END), 6) AS lda_score,
+       CASE WHEN CAST(b.s1 AS DOUBLE) / b.n >= CAST(a.s1 AS DOUBLE) / a.n
+            THEN b.cls ELSE a.cls END AS top_class
+FROM mom a JOIN mom b
+  ON a.feature_id = b.feature_id AND a.cls < b.cls
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
     "d2_bray_curtis": QuerySpec(d2_bray_curtis, _D2_SQL, "D2 rules/diversity_analysis.smk:5-40"),
@@ -370,4 +442,9 @@ QUERIES: dict[str, QuerySpec] = {
         "D5 rules/differential_abundance.smk:1-14 (ANCOM-BC bias-corrected estimator)",
     ),
     "d6_kruskal_wallis": QuerySpec(d6_kruskal_wallis, _D6_SQL, "D6 rules/differential_abundance.smk:16-72"),
+    "d6_lefse_lda": QuerySpec(
+        d6_lefse_lda,
+        _LEFSE_LDA_SQL,
+        "D6 rules/differential_abundance.smk:16-72 (run_lefse LDA effect size, closed-form two-class)",
+    ),
 }

@@ -213,12 +213,14 @@ SELECT vec_a, vec_b, label, cos_sim FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 
-def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+def embed_quantize_int8_vec(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|,
     q_i = ⌊127·x_i/scale + 0.5⌋ (explicit floor(+0.5) — engine rounding
     modes differ on .5 ties, floor does not).  Narrow map, no shuffle;
     the all-zero vector quantizes to zeros with scale 0 instead of
-    dividing by zero."""
+    dividing by zero.  Returns `q` as a raw ``array<int>`` for API
+    callers that want vectors (not registry-gated: the driver's
+    canonicalizer cannot sort collection columns)."""
     e = _as_double(_t(spark, sf, "embeddings"), "v")
     return (
         e.withColumn("scale", F.expr("array_max(transform(v, x -> abs(x)))"))
@@ -233,6 +235,15 @@ def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-gated variant of :func:`embed_quantize_int8_vec`: emits the
+    quantized vector as its positional CSV string (the repo-wide collection
+    rule, operators/__init__.py — order is positional, so no sort)."""
+    return embed_quantize_int8_vec(spark, sf).select(
+        "vec_id", "scale", F.concat_ws(",", "q").alias("q")
+    )
+
+
 _QUANT_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -240,9 +251,10 @@ WITH e AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
 )
 SELECT vec_id, scale,
-       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-            ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / scale + 0.5) AS INTEGER))
-       END AS q
+       array_to_string(
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / scale + 0.5) AS INTEGER))
+         END, ',') AS q
 FROM s
 """
 

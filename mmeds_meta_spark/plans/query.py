@@ -66,6 +66,7 @@ class MmedsSession:
         self.wh = wh
         self.user_id = user_id
         self.is_admin = is_admin
+        self._wh_version = wh.version
         self._register()
 
     # -- catalog-level RLS -------------------------------------------------
@@ -89,6 +90,11 @@ class MmedsSession:
     def execute(self, sql: str, *, filter_ids: bool = True) -> DataFrame:
         """database.py:392-433 — run SQL against the (RLS'd) catalog; drop
         surrogate-key columns from the result unless asked not to."""
+        if self.wh.version != self._wh_version:
+            # the warehouse was written since our views were resolved —
+            # re-register so plans list the current parquet files
+            self._wh_version = self.wh.version
+            self._register()
         out = self.spark.sql(sql)
         if filter_ids:
             drop = [c for c in out.columns if "id" in c.lower() and (

@@ -102,6 +102,36 @@ def pairs_against_store(new_sigs: DataFrame, store_sigs: DataFrame) -> DataFrame
     )
 
 
+def process_batch(
+    batch: DataFrame, batch_id: int, *, store_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch: fingerprint, pair against prior batches' store,
+    write pairs + signatures idempotently by batch id.  Module-level so a
+    checkpoint replay can be exercised directly in tests."""
+    from pyspark.errors import AnalysisException
+
+    sigs = batch_signatures(batch).localCheckpoint()
+    try:
+        # read WITH the batch_id partition column and keep prior batches
+        # only: on a checkpoint replay the store already holds THIS
+        # batch's signatures (written before the crash) — without the
+        # filter the build side would contain each new doc twice and
+        # every new×new pair would be emitted twice
+        store = (
+            batch.sparkSession.read.option("basePath", store_dir)
+            .parquet(store_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("doc_id", "fingerprint")
+        )
+    except AnalysisException:  # first batch: store path absent/empty
+        store = sigs.limit(0)
+    pairs = pairs_against_store(sigs, store)
+    # idempotent per-batch writes: a checkpoint replay overwrites the
+    # SAME subdirectories instead of appending duplicates
+    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+    sigs.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+
 def start_incremental_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -117,18 +147,7 @@ def start_incremental_dedup(
     force multiple batches)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        sigs = batch_signatures(batch).localCheckpoint()
-        try:
-            store = batch.sparkSession.read.parquet(store_dir).select(
-                "doc_id", "fingerprint"
-            )
-        except Exception:  # first batch: empty store
-            store = sigs.limit(0)
-        pairs = pairs_against_store(sigs, store)
-        # idempotent per-batch writes: a checkpoint replay overwrites the
-        # SAME subdirectories instead of appending duplicates
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        sigs.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        process_batch(batch, batch_id, store_dir=store_dir, pairs_dir=pairs_dir)
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:

@@ -87,3 +87,59 @@ def test_ancombc_null_case(spark):
     res = ancombc(ft, sm, group_col="grp").collect()
     assert len(res) == 4
     assert not any(r.significant for r in res)
+
+
+def test_lefse_lda_planted_and_handcomputed(spark, planted):
+    """The planted feature gets the top LDA score; values match a NumPy
+    hand-computation of the closed-form two-class Fisher criterion."""
+    import math
+
+    from decimal import Decimal
+
+    from mmeds_meta_spark.functions.diff_abundance import lefse_lda
+
+    ft, sm = planted
+    res = lefse_lda(ft, sm, class_col="condition").collect()
+    rows = {r.feature_id: r for r in res}
+    assert len(rows) == 5  # one pair (case, control) per feature
+    assert all(r.class_lo == "case" and r.class_hi == "control" for r in res)
+    # planted OTU_0 dominates the ranking and is enriched in cases
+    assert rows["OTU_0"].lda_score > max(
+        rows[f"OTU_{i}"].lda_score for i in range(1, 5)
+    )
+    assert rows["OTU_0"].top_class == "case"
+
+    # hand-compute with the engine's exact quantization convention
+    data = ft.collect()
+    meta = dict(sm.collect())
+    q = lambda x, s: Decimal(x).quantize(Decimal(1).scaleb(-s))  # noqa: E731
+    y = {
+        (r.sample_id, r.feature_id): Decimal(repr(math.log(r["count"] + 1))).quantize(
+            Decimal("1.000000000")
+        )
+        for r in data
+    }
+    samples = sorted({s for s, _ in y})
+    mlg = {
+        s: Decimal(
+            repr(float(sum(v for (ss, _), v in y.items() if ss == s)) / 5)
+        ).quantize(Decimal("1.000000000"))
+        for s in samples
+    }
+    clr = {(s, f): y[(s, f)] - mlg[s] for (s, f) in y}
+    for f in ("OTU_0", "OTU_3"):
+        by_cls = {}
+        for s in samples:
+            by_cls.setdefault(meta[s], []).append(clr[(s, f)])
+        lo, hi = by_cls["case"], by_cls["control"]
+        m_lo, m_hi = float(sum(lo)) / len(lo), float(sum(hi)) / len(hi)
+        ss = (
+            float(sum(v * v for v in lo)) - float(sum(lo)) * float(sum(lo)) / len(lo)
+            + float(sum(v * v for v in hi)) - float(sum(hi)) * float(sum(hi)) / len(hi)
+        )
+        s_w2 = ss / (len(lo) + len(hi) - 2)
+        j = (m_hi - m_lo) ** 2 / s_w2
+        got = rows[f]
+        assert got.delta_clr == pytest.approx(m_hi - m_lo, abs=2e-6)
+        assert got.lda_j == pytest.approx(j, rel=1e-4)
+        assert got.lda_score == pytest.approx(math.log10(1 + j), rel=1e-4)

@@ -56,3 +56,19 @@ def test_entry_smoke(spark):
 def test_every_query_has_doc():
     for name, spec in REG.items():
         assert spec.doc, name
+
+
+def test_no_collection_output_columns(spark):
+    """The driver's canonicalizer sorts result rows in pandas, which dies on
+    unhashable cells — so no gated entry may emit an array/map/struct column.
+    Collections must be stringified (repo rule, operators/__init__.py).
+    Schema-only: builds each plan at sf0.001 without executing it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in sorted(REG.items()):
+        df = spec.spark(spark, SF_SMOKE)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"collection-typed gated outputs: {offenders}"

@@ -81,4 +81,18 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     # ≥2 micro-batches actually ran (the store has ≥2 batch partitions)
     import os
 
-    assert len([d for d in os.listdir(store) if d.startswith("batch_id=")]) >= 2
+    batch_dirs = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2
+
+    # checkpoint-replay idempotence: re-process the LAST batch with the
+    # same batch id (its signatures already sit in the store, exactly the
+    # crash-before-commit state) — pair set must not change
+    from mmeds_meta_spark.streaming.incremental_dedup import process_batch
+
+    last_id = max(int(d.split("=")[1]) for d in batch_dirs)
+    last_docs = spark.read.parquet(str(feed / f"w{last_id}.parquet"))
+    process_batch(last_docs, last_id, store_dir=store, pairs_dir=pairs)
+    replayed = sorted(
+        map(tuple, spark.read.parquet(pairs).select("doc_a", "doc_b", "hamming").collect())
+    )
+    assert replayed == expected
