@@ -91,6 +91,7 @@ WHERE rk <= {_TOPK}
 # ---------------------------------------------------------------------------
 
 _STRAT_DEN = 5  # sample 1 in 5
+_STRAT_MIN_PREFILTER = 1024  # strata at or below this size skip the md5 prefilter
 
 
 def _h8_expr(dialect: str, key: str) -> str:
@@ -141,8 +142,17 @@ def sample_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()
     )
     h = d.withColumn("h8", F.expr(_h8_expr("spark", "CAST(doc_id AS STRING)")))
+    # prefilter floor: below _STRAT_MIN_PREFILTER rows the 4·k/n range
+    # filter could deterministically strand a stratum with < k survivors
+    # (e.g. n=5, k=1 fails w.p. ≈3e-4) — tiny strata skip it outright
+    # (the rank window then sees ≤ the floor, still bounded); above the
+    # floor k ≥ floor/5 and the shortfall probability is astronomically
+    # small (Binomial(n, 0.8) < n/5)
     surv = h.join(F.broadcast(alloc), "lang").filter(
-        F.expr("(CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * k / n, 1.0)")
+        F.expr(
+            f"n <= {_STRAT_MIN_PREFILTER}"
+            " OR (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * k / n, 1.0)"
+        )
     )
     wk = Window.partitionBy("lang").orderBy("h8", "doc_id")
     return (
@@ -170,7 +180,8 @@ h AS (
 surv AS (
   SELECT h.doc_id, h.lang, h.h8, a.k
   FROM h JOIN alloc a USING (lang)
-  WHERE (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * a.k / a.n, 1.0)
+  WHERE a.n <= {_STRAT_MIN_PREFILTER}
+     OR (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * a.k / a.n, 1.0)
 ),
 ranked AS (
   SELECT doc_id, lang, k,

@@ -17,10 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 # ---------------------------------------------------------------------------
 
 
-def read_otu_wide(spark: SparkSession, path: str, *, sep: str = "\t") -> DataFrame:
-    """Wide OTU TSV (feature id + one numeric column per sample) → long.
-    The melt is a zero-shuffle `stack` generator over the sample columns."""
-    wide = spark.read.csv(path, sep=sep, header=True, inferSchema=False)
+def _melt_wide(wide: DataFrame) -> DataFrame:
     feature_col = wide.columns[0]
     samples = wide.columns[1:]
     stack_expr = ", ".join(f"'{s}', CAST(`{s}` AS DOUBLE)" for s in samples)
@@ -28,6 +25,22 @@ def read_otu_wide(spark: SparkSession, path: str, *, sep: str = "\t") -> DataFra
         f"`{feature_col}` AS feature_id",
         f"stack({len(samples)}, {stack_expr}) AS (sample_id, count)",
     )
+
+
+def read_otu_wide(spark: SparkSession, path: str, *, sep: str = "\t") -> DataFrame:
+    """Wide OTU TSV (feature id + one numeric column per sample) → long.
+    The melt is a zero-shuffle `stack` generator over the sample columns."""
+    return _melt_wide(spark.read.csv(path, sep=sep, header=True, inferSchema=False))
+
+
+def read_otu_wide_lines(
+    spark: SparkSession, lines: list[str], *, sep: str = "\t"
+) -> DataFrame:
+    """Same as :func:`read_otu_wide` but from in-memory text lines (qza
+    payload extraction) — a parallelized dataset, so no driver-local temp
+    file that executors on a real cluster could not read."""
+    rdd = spark.sparkContext.parallelize(lines)
+    return _melt_wide(spark.read.csv(rdd, sep=sep, header=True, inferSchema=False))
 
 
 def long_to_wide(long_df: DataFrame) -> DataFrame:

@@ -46,13 +46,18 @@ class NewickParseError(ValueError):
     pass
 
 
-def parse_newick(text: str) -> _Node:
+def parse_newick(text: str, *, convert_underscores: bool = True) -> _Node:
     """Recursive-descent parse of one Newick string → root node.
 
     Supports: nested groups, leaf/internal labels (fasttree writes support
     values as internal labels), ``:length`` suffixes, single-quoted names
     with ``''`` escapes, whitespace/newlines.  Comments ``[...]`` are
     stripped (NHX-style payloads are ignored, not preserved).
+
+    ``convert_underscores``: unquoted-label ``_`` → space, the Newick
+    standard (and scikit-bio's default).  Callers whose feature IDs carry
+    literal underscores pass ``False`` — otherwise the feature == leaf
+    join in tree_cov silently drops their abundances.
     """
     s = text.strip()
     i = 0
@@ -87,7 +92,8 @@ def parse_newick(text: str) -> _Node:
         while j < n and s[j] not in "(),:;[" and not s[j].isspace():
             j += 1
         # underscores are space stand-ins in unquoted Newick labels
-        return s[i:j].replace("_", " "), j
+        label = s[i:j]
+        return (label.replace("_", " ") if convert_underscores else label), j
 
     def parse_node(i: int) -> tuple[_Node, int]:
         i = skip_ws(i)
@@ -164,13 +170,20 @@ def membership_rows(root: _Node) -> list[tuple[str, float, str, bool]]:
     return rows
 
 
-def read_newick(spark: SparkSession, path_or_text: str) -> DataFrame:
+def read_newick(
+    spark: SparkSession, path_or_text: str, *, convert_underscores: bool = True
+) -> DataFrame:
     """Branch-membership DataFrame from a ``.nwk`` file path or a literal
     Newick string.  Small by construction (edges × depth) — callers
-    broadcast it into the feature-table join."""
+    broadcast it into the feature-table join.  ``convert_underscores``
+    forwards to :func:`parse_newick` (pass False when feature IDs carry
+    literal underscores)."""
     if path_or_text.lstrip().startswith("(") and path_or_text.rstrip().endswith(";"):
         text = path_or_text
     else:
         with open(path_or_text) as f:
             text = f.read()
-    return spark.createDataFrame(membership_rows(parse_newick(text)), MEMBERSHIP_SCHEMA)
+    return spark.createDataFrame(
+        membership_rows(parse_newick(text, convert_underscores=convert_underscores)),
+        MEMBERSHIP_SCHEMA,
+    )

@@ -85,17 +85,12 @@ def read_qza_feature_table(spark: SparkSession, qza_path: str) -> DataFrame:
         lines = lines[1:]
     if lines and lines[0].startswith("#"):
         lines[0] = lines[0][1:]
-    from .feature_table import read_otu_wide
+    from .feature_table import read_otu_wide_lines
 
-    # hand the normalized text to the wide reader via an in-memory dataset
-    import tempfile
-
-    with tempfile.NamedTemporaryFile(
-        "w", suffix=".tsv", delete=False
-    ) as f:
-        f.write("\n".join(lines) + "\n")
-        tmp = f.name
-    return read_otu_wide(spark, tmp)
+    # hand the normalized text to the wide reader as an in-memory dataset
+    # (no driver-local temp file — executors on a multi-node cluster could
+    # not read one, and nothing is left behind on disk)
+    return read_otu_wide_lines(spark, lines)
 
 
 def write_qza(

@@ -253,3 +253,15 @@ def test_newick_roundtrip_property(tree):
     got = membership_rows(parse_newick(text))
     expected, _ = _expected_rows((tuple(tree[0]), tree[1], 0.0))
     assert sorted(got) == sorted(expected)
+
+
+def test_convert_underscores_opt_out(spark):
+    """Feature IDs with literal underscores survive when callers opt out
+    (scikit-bio's convert_underscores=False)."""
+    from mmeds_meta_spark.sources.newick import parse_newick
+
+    t = "(OTU_1:0.1,OTU_2:0.2):0.0;"
+    default = parse_newick(t)
+    assert [c.name for c in default.children] == ["OTU 1", "OTU 2"]
+    kept = parse_newick(t, convert_underscores=False)
+    assert [c.name for c in kept.children] == ["OTU_1", "OTU_2"]

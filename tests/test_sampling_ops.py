@@ -7,7 +7,10 @@ import pyspark.sql.functions as F
 from conftest import SF_SMOKE
 
 from mmeds_meta_spark.operators.sampling import _STRAT_DEN, sample_stratified_exact
-from mmeds_meta_spark.operators.similarity import embed_quantize_int8
+from mmeds_meta_spark.operators.similarity import (
+    embed_quantize_int8,
+    embed_quantize_int8_vec,
+)
 
 
 def test_stratified_counts_match_largest_remainder(spark):
@@ -38,11 +41,17 @@ def test_stratified_deterministic(spark):
 
 
 def test_quantize_bounds_and_zero_vector(spark):
-    rows = embed_quantize_int8(spark, SF_SMOKE).collect()
+    rows = embed_quantize_int8_vec(spark, SF_SMOKE).collect()
     assert len(rows) == 500
     for r in rows[:50]:
         assert all(-127 <= q <= 127 for q in r.q)
         assert max(abs(q) for q in r.q) == 127 or r.scale == 0
+    # the gated variant stringifies positionally (driver canonicalization)
+    gated = embed_quantize_int8(spark, SF_SMOKE)
+    assert dict(gated.dtypes)["q"] == "string"
+    g = {r.vec_id: r.q for r in gated.collect()}
+    for r in rows[:20]:
+        assert g[r.vec_id] == ",".join(str(q) for q in r.q)
     zero = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
     zero.createOrReplaceTempView("__zv")
     # reuse the expression path on a zero vector via a direct transform
