@@ -367,6 +367,7 @@ def import_study(
     specimen: DataFrame,
     *,
     user_id: int = 2,
+    parallel: bool = True,
 ) -> DataFrame:
     """Full write path (§3.3): join subject ⋈ specimen, decompose ICD,
     normalize every table in FK-topological ``TABLE_ORDER``, then fill the
@@ -387,8 +388,9 @@ def import_study(
     work = work.persist()
     cached.append(work)
     for level in fk_levels(tables):
-        if len(level) == 1:
-            materialize_dim(wh, work, level[0], user_id)
+        if len(level) == 1 or not parallel:
+            for table in level:
+                materialize_dim(wh, work, table, user_id)
         else:
             with ThreadPoolExecutor(max_workers=min(8, len(level))) as ex:
                 list(ex.map(lambda t: materialize_dim(wh, work, t, user_id), level))

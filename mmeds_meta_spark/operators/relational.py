@@ -692,10 +692,22 @@ FROM orders LEFT JOIN child ON o_orderkey = l_orderkey
 # ---------------------------------------------------------------------------
 
 
+_COHORT_ROSTER_CAP = 100  # max custkeys listed per study; the rest are counted
+
+
 def q_meta_cohort(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's flagship: filter the flattened meta-view, DISTINCT the
     cohort keys, then group-collect per study (nation).  One shuffle for the
-    fact join, one for the final per-study aggregation; dims broadcast."""
+    fact join, one for the final per-study aggregation; dims broadcast.
+
+    The per-study roster is CAPPED at ``_COHORT_ROSTER_CAP`` members (the
+    first N in sorted order) with the remainder reported in
+    ``cohort_overflow`` — an unbounded ``collect_set`` roster was the one
+    output that could concentrate per group at 100× (SCALE_NOTES).  The
+    cap runs as a rank-and-filter over the distinct (study, member) pairs
+    — a spillable per-study sort bounded by the distinct member set, with
+    the collected list bounded by the cap — not a slice of an in-memory
+    collected array."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
@@ -710,15 +722,30 @@ def q_meta_cohort(spark: SparkSession, sf: str) -> DataFrame:
         .select("n_name", "o_orderkey", "c_custkey")
         .distinct()
     )
-    return cohort.groupBy("n_name").agg(
+    pairs = cohort.select("n_name", F.col("c_custkey").cast("string").alias("ck")).distinct()
+    wn = Window.partitionBy("n_name").orderBy("ck")
+    roster = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _COHORT_ROSTER_CAP)
+        .groupBy("n_name")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("ck"))).alias("cohort_custkeys"))
+    )
+    stats = cohort.groupBy("n_name").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
-        F.concat_ws(
-            ",", F.sort_array(F.collect_set(F.col("c_custkey").cast("string")))
-        ).alias("cohort_custkeys"),
+        F.countDistinct("c_custkey").alias("n_cohort"),
+    )
+    return stats.join(roster, "n_name", "left").select(
+        "n_name",
+        "n_orders",
+        "n_cohort",
+        "cohort_custkeys",
+        F.greatest(F.col("n_cohort") - _COHORT_ROSTER_CAP, F.lit(0)).alias(
+            "cohort_overflow"
+        ),
     )
 
 
-_QMETA_SQL = """
+_QMETA_SQL = f"""
 WITH cohort AS (
   SELECT DISTINCT n_name, o_orderkey, c_custkey
   FROM lineitem
@@ -726,11 +753,22 @@ WITH cohort AS (
   JOIN customer ON o_custkey = c_custkey
   LEFT JOIN nation ON c_nationkey = n_nationkey
   WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+), pairs AS (
+  SELECT DISTINCT n_name, CAST(c_custkey AS VARCHAR) AS ck FROM cohort
+), top AS (
+  SELECT n_name, ck, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY ck) AS rn
+  FROM pairs
+), roster AS (
+  SELECT n_name, STRING_AGG(ck, ',' ORDER BY ck) AS cohort_custkeys
+  FROM top WHERE rn <= {_COHORT_ROSTER_CAP} GROUP BY 1
+), stats AS (
+  SELECT n_name, COUNT(DISTINCT o_orderkey) AS n_orders,
+         COUNT(DISTINCT c_custkey) AS n_cohort
+  FROM cohort GROUP BY 1
 )
-SELECT n_name, COUNT(DISTINCT o_orderkey) AS n_orders,
-       STRING_AGG(DISTINCT CAST(c_custkey AS VARCHAR), ','
-                  ORDER BY CAST(c_custkey AS VARCHAR)) AS cohort_custkeys
-FROM cohort GROUP BY n_name
+SELECT s.n_name, s.n_orders, s.n_cohort, r.cohort_custkeys,
+       GREATEST(s.n_cohort - {_COHORT_ROSTER_CAP}, 0) AS cohort_overflow
+FROM stats s LEFT JOIN roster r USING (n_name)
 """
 
 

@@ -113,3 +113,36 @@ def test_import_idempotent(spark, warehouse, tmp_path):
     # re-importing identical metadata creates NO new dimension rows
     assert wh.table("Subjects").count() == n_subj
     assert wh.table("Study").filter("StudyName = 'StudyAlpha'").count() == 1
+
+
+def test_parallel_import_equals_sequential(spark, tmp_path):
+    """Level-parallel materialization (independent Spark jobs from
+    threads) must produce a warehouse identical to the sequential order
+    — surrogate-key assignment is deterministic (max(id) + dense_rank
+    over natural keys), so concurrency cannot reorder ids.  Also clocks
+    both paths; the parallel one should not be slower beyond noise."""
+    import time
+
+    from mmeds_meta_spark.catalog import TABLES
+
+    results = {}
+    for mode, flag in (("par", True), ("seq", False)):
+        d = tmp_path / mode
+        d.mkdir()
+        subj_p = write_subject(d)
+        spec_p = write_specimen(d)
+        subject, _ = read_metadata(spark, str(subj_p))
+        specimen, _ = read_metadata(spark, str(spec_p))
+        wh = Warehouse(spark, str(d / "warehouse"))
+        t0 = time.monotonic()
+        import_study(wh, subject, specimen, user_id=2, parallel=flag)
+        results[mode] = (wh, time.monotonic() - t0)
+    wh_p, t_par = results["par"]
+    wh_s, t_seq = results["seq"]
+    for table in TABLES:
+        rows_p = sorted(map(tuple, wh_p.table(table).collect()), key=repr)
+        rows_s = sorted(map(tuple, wh_s.table(table).collect()), key=repr)
+        assert rows_p == rows_s, f"divergent contents in {table}"
+    # wall-time: informational (local[8] + tiny fixture; the win shows in
+    # job-scheduling overlap, not guaranteed on a noisy box)
+    print(f"parallel={t_par:.1f}s sequential={t_seq:.1f}s")

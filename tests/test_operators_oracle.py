@@ -50,7 +50,7 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
-    assert len(df.columns) == 3
+    assert len(df.columns) == 5
 
 
 def test_every_query_has_doc():
