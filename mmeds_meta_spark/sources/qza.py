@@ -13,9 +13,10 @@ litter — and hands payloads to the matching engine reader:
 * ``.nwk`` (rooted/unrooted tree) → ``sources.newick.read_newick``
 * ``.tsv``/``.txt`` tabular payloads (feature tables exported as TSV,
   taxonomy tables, stats) → the wide-TSV feature-table reader
-* ``feature-table.biom`` is HDF5: out of engine scope (no HDF5 lib in
-  the runtime) — a documented seam that raises with the biom-convert
-  instruction, mirroring how the reference itself needs the ``biom`` CLI.
+* ``feature-table.biom`` (HDF5) → the in-repo minimal pure-Python HDF5
+  reader (``sources/biom.py`` / ``sources/hdf5_min.py``) — where the
+  reference shells out to the ``biom`` CLI, this engine parses the
+  container directly.
 
 Extraction is driver-side (artifacts are metadata-scale, not corpus-
 scale); the returned DataFrames are ordinary distributed frames.
@@ -67,17 +68,20 @@ def read_qza_feature_table(spark: SparkSession, qza_path: str) -> DataFrame:
     Applies the reference's post-extract normalization
     (``extract_feature_table.sh``): drop a leading ``# Constructed from
     biom file`` banner line and strip the ``#`` off the ``#OTU ID``
-    header.  A ``feature-table.biom`` payload (HDF5) raises — convert
-    with ``biom convert --to-tsv`` first, exactly as the reference does.
+    header.  A ``feature-table.biom`` payload (HDF5) is parsed with the
+    minimal in-repo HDF5 reader (where the reference shells out to
+    ``biom convert``).
     """
     names = list_data_files(qza_path)
     tsv = [n for n in names if n.endswith((".tsv", ".txt"))]
     if not tsv:
         if any(n.endswith(".biom") for n in names):
-            raise QzaPayloadError(
-                f"{qza_path} carries feature-table.biom (HDF5): run "
-                "`biom convert --to-tsv` first (reference: extract_feature_table.sh)"
-            )
+            # HDF5 biom payload: parse directly with the in-repo minimal
+            # HDF5 reader (sources/biom.py) — the reference needs the
+            # `biom convert` CLI here; we do not
+            from .biom import read_biom_hdf5
+
+            return read_biom_hdf5(spark, read_data_bytes(qza_path, ".biom"))
         raise QzaPayloadError(f"no tabular payload in {qza_path}: {names}")
     text = read_data_bytes(qza_path, tsv[0].rsplit("/", 1)[-1]).decode()
     lines = text.splitlines()
