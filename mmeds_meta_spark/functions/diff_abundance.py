@@ -48,14 +48,17 @@ def clr_transform(long_df: DataFrame) -> DataFrame:
     )
 
 
-def ancombc(
+def _ancombc_lfc_frame(
     long_df: DataFrame,
     sample_meta: DataFrame,
     *,
     group_col: str,
     iters: int = 3,
 ) -> DataFrame:
-    """ANCOM-BC bias-corrected log-fold-change + Wald test, 2 groups.
+    """ANCOM-BC bias-corrected log-fold-change + Wald test, 2 groups —
+    internal: returns the per-feature (feature_id, x = lfc as exact
+    DECIMAL(18,9), var_sum = var_lo + var_hi) frame shared by the plain
+    and the E-M-refined public variants.
 
     ``long_df``: (sample_id, feature_id, count) sparse — absent cells mean
     count 0.  ``sample_meta``: (sample_id, <group_col>) with exactly two
@@ -192,16 +195,31 @@ def ancombc(
     )
     return lo.select(
         "feature_id",
-        F.expr("CAST(hi.beta - lo.beta AS DOUBLE)").alias("lfc"),
+        F.expr("CAST(hi.beta - lo.beta AS DECIMAL(18,9))").alias("x"),
+        F.expr("lo.var_beta + hi.var_beta").alias("var_sum"),
+    )
+
+
+def ancombc(
+    long_df: DataFrame,
+    sample_meta: DataFrame,
+    *,
+    group_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """ANCOM-BC bias-corrected LFC + Wald test (see module docstring and
+    :func:`_ancombc_lfc_frame` for the estimator)."""
+    fr = _ancombc_lfc_frame(long_df, sample_meta, group_col=group_col, iters=iters)
+    return fr.select(
+        "feature_id",
+        F.expr("CAST(x AS DOUBLE)").alias("lfc"),
         F.expr(
-            "CASE WHEN lo.var_beta + hi.var_beta > 0 THEN "
-            "ROUND(CAST(hi.beta - lo.beta AS DOUBLE)"
-            " / SQRT(lo.var_beta + hi.var_beta), 6) END"
+            "CASE WHEN var_sum > 0 THEN "
+            "ROUND(CAST(x AS DOUBLE) / SQRT(var_sum), 6) END"
         ).alias("w_stat"),
         F.expr(
-            "CASE WHEN lo.var_beta + hi.var_beta > 0 THEN "
-            f"ABS(CAST(hi.beta - lo.beta AS DOUBLE)"
-            f" / SQRT(lo.var_beta + hi.var_beta)) > {_ZCRIT_05} END"
+            f"CASE WHEN var_sum > 0 THEN "
+            f"ABS(CAST(x AS DOUBLE) / SQRT(var_sum)) > {_ZCRIT_05} END"
         ).alias("significant"),
     )
 
@@ -358,4 +376,112 @@ def lefse_lda(
             "CASE WHEN CAST(b.s1 AS DOUBLE) / b.n >= CAST(a.s1 AS DOUBLE) / a.n"
             " THEN b.cls ELSE a.cls END"
         ).alias("top_class"),
+    )
+
+
+def ancombc_em(
+    long_df: DataFrame,
+    sample_meta: DataFrame,
+    *,
+    group_col: str,
+    iters: int = 3,
+    em_iters: int = 3,
+) -> DataFrame:
+    """ANCOM-BC with the Gaussian-mixture δ refinement (Lin & Peddada
+    2020 §"bias correction", the step behind the R package's final
+    E-M) — closes the documented simplification of :func:`ancombc`.
+
+    Model: the per-feature LFC estimates x_i are a 3-component mixture —
+    null features at N(δ, σ²) (δ = the residual shared sampling-fraction
+    bias the alternating estimator cannot separate from a global shift),
+    down-shifted at N(δ+μ₁, σ²) (μ₁<0) and up-shifted at N(δ+μ₂, σ²)
+    (μ₂>0).  ``em_iters`` fixed E-M rounds estimate δ; the corrected
+    LFC is x−δ and the Wald test runs on it.
+
+    Cross-engine exactness: responsibilities and moment contributions
+    are DECIMAL-quantized after each transcendental (EXP is the one
+    libm-dependent op; quantizing at 9 dp absorbs sub-ulp divergence),
+    every sum is exact decimal, every division a single identical DOUBLE
+    op — the same discipline as the base estimator, so the unrolled
+    DuckDB oracle reproduces the E-M bit-for-bit.  Per round the work is
+    one skinny aggregation over the per-feature frame (n_features rows);
+    the mixture parameters are scalars re-embedded as literals.
+    """
+    fr = _ancombc_lfc_frame(
+        long_df, sample_meta, group_col=group_col, iters=iters
+    ).localCheckpoint()
+    st = fr.agg(
+        F.expr("CAST(SUM(x) AS DECIMAL(28,9))").alias("sx"),
+        F.expr("CAST(SUM(x * x) AS DECIMAL(38,18))").alias("sxx"),
+        F.count("*").alias("n"),
+        F.expr("CAST(MIN(x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(MAX(x) AS DOUBLE)").alias("mx"),
+    ).first()
+    n = st["n"]
+    delta = float(st["sx"]) / n
+    s2m = max((float(st["sxx"]) - float(st["sx"]) * float(st["sx"]) / n) / n, 1e-8)
+    mu1 = min(float(st["mn"]) - delta, -0.001)
+    mu2 = max(float(st["mx"]) - delta, 0.001)
+    pi0 = pi1 = pi2 = 1.0 / 3.0
+
+    for _ in range(em_iters):
+        means = (delta, delta + mu1, delta + mu2)
+        w_cols = [
+            F.expr(
+                f"CAST(({pi!r}) * EXP(-((CAST(x AS DOUBLE) - ({m!r}))"
+                f" * (CAST(x AS DOUBLE) - ({m!r}))) / (2.0 * ({s2m!r})))"
+                " AS DECIMAL(18,9))"
+            ).alias(f"w{k}")
+            for k, (pi, m) in enumerate(zip((pi0, pi1, pi2), means))
+        ]
+        w = fr.select("x", *w_cols).withColumn(
+            "tot",
+            F.expr("CAST(w0 AS DOUBLE) + CAST(w1 AS DOUBLE) + CAST(w2 AS DOUBLE)"),
+        )
+        r_cols = [
+            F.expr(
+                f"CASE WHEN tot > 0 THEN CAST(CAST(w{k} AS DOUBLE) / tot AS DECIMAL(18,9))"
+                f" ELSE CAST({1 if k == 0 else 0} AS DECIMAL(18,9)) END"
+            ).alias(f"r{k}")
+            for k in range(3)
+        ]
+        r = w.select("x", *r_cols)
+        q_cols = [
+            F.expr(
+                f"CAST(CAST(r{k} AS DOUBLE) * ((CAST(x AS DOUBLE) - ({m!r}))"
+                f" * (CAST(x AS DOUBLE) - ({m!r}))) AS DECIMAL(28,15))"
+            ).alias(f"q{k}")
+            for k, m in enumerate(means)
+        ]
+        rq = r.select("x", "r0", "r1", "r2", *q_cols)
+        agg = rq.agg(
+            *[F.expr(f"CAST(SUM(r{k}) AS DECIMAL(28,9))").alias(f"sr{k}") for k in range(3)],
+            *[
+                F.expr(f"CAST(SUM(r{k} * x) AS DECIMAL(38,18))").alias(f"srx{k}")
+                for k in range(3)
+            ],
+            F.expr("CAST(SUM(q0 + q1 + q2) AS DECIMAL(38,15))").alias("sq"),
+        ).first()
+        sr = [float(agg[f"sr{k}"]) for k in range(3)]
+        srx = [float(agg[f"srx{k}"]) for k in range(3)]
+        delta_new = srx[0] / sr[0] if sr[0] > 0 else delta
+        mu1 = min(srx[1] / sr[1] - delta_new, -0.001) if sr[1] > 0 else mu1
+        mu2 = max(srx[2] / sr[2] - delta_new, 0.001) if sr[2] > 0 else mu2
+        delta = delta_new
+        s2m = max(float(agg["sq"]) / n, 1e-8)
+        pi0, pi1, pi2 = sr[0] / n, sr[1] / n, sr[2] / n
+
+    return fr.select(
+        "feature_id",
+        F.expr("CAST(x AS DOUBLE)").alias("lfc"),
+        F.expr(f"ROUND(CAST({delta!r} AS DOUBLE), 6)").alias("delta_em"),
+        F.expr(f"ROUND(CAST(x AS DOUBLE) - ({delta!r}), 6)").alias("lfc_centered"),
+        F.expr(
+            f"CASE WHEN var_sum > 0 THEN "
+            f"ROUND((CAST(x AS DOUBLE) - ({delta!r})) / SQRT(var_sum), 6) END"
+        ).alias("w_stat_centered"),
+        F.expr(
+            f"CASE WHEN var_sum > 0 THEN "
+            f"ABS((CAST(x AS DOUBLE) - ({delta!r})) / SQRT(var_sum)) > {_ZCRIT_05} END"
+        ).alias("significant"),
     )

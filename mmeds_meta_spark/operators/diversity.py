@@ -144,6 +144,27 @@ LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
 _KW_BUCKETS = 1024  # range buckets for the two-level distributed CDF
 
 
+_ANCOMBC_EM_ITERS = 3
+
+
+def d5_ancombc_em(spark: SparkSession, sf: str) -> DataFrame:
+    """ANCOM-BC with the Gaussian-mixture δ refinement
+    (functions/diff_abundance.ancombc_em) on the events demo — closes the
+    estimator's last documented simplification vs Lin & Peddada 2020."""
+    from ..functions.diff_abundance import ancombc_em
+
+    ev = _t(spark, sf, "events")
+    long_df = ev.groupBy(
+        F.col("user_id").alias("sample_id"), F.col("event_type").alias("feature_id")
+    ).agg(F.count("*").alias("count"))
+    smeta = (
+        ev.select(F.col("user_id").alias("sample_id"))
+        .distinct()
+        .withColumn("g2", F.expr("sample_id % 2"))
+    )
+    return ancombc_em(long_df, smeta, group_col="g2", em_iters=_ANCOMBC_EM_ITERS)
+
+
 def d6_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     """H over events.value grouped by event_type, with tie-averaged ranks
     and tie correction — WITHOUT a global row sort.
@@ -270,7 +291,7 @@ def d5_ancombc(spark: SparkSession, sf: str) -> DataFrame:
     return ancombc(long_df, smeta, group_col="g2", iters=_ANCOMBC_ITERS)
 
 
-def _ancombc_sql(iters: int = _ANCOMBC_ITERS) -> str:
+def _ancombc_sql(iters: int = _ANCOMBC_ITERS, em_iters: int = 0) -> str:
     """Unrolled transcription of functions/diff_abundance.ancombc for the
     events-table demo — same quantizations, same left-to-right double
     sums, same single divisions."""
@@ -343,20 +364,125 @@ def _ancombc_sql(iters: int = _ANCOMBC_ITERS) -> str:
         "  LEFT JOIN present p ON p.feature_id = f.feature_id AND p.grp = g.grp\n)"
     )
     zcrit = "1.959963984540054"
-    return (
-        "WITH " + ",\n".join(cte) + """
-SELECT l.feature_id,
-       CAST(h.beta - l.beta AS DOUBLE) AS lfc,
-       CASE WHEN l.var_beta + h.var_beta > 0 THEN
-         ROUND(CAST(h.beta - l.beta AS DOUBLE) / SQRT(l.var_beta + h.var_beta), 6)
+    cte.append(
+        "lfcx AS (\n"
+        "  SELECT l.feature_id,\n"
+        "         CAST(h.beta - l.beta AS DECIMAL(18,9)) AS x,\n"
+        "         l.var_beta + h.var_beta AS var_sum\n"
+        "  FROM varb l\n"
+        "  JOIN varb h ON l.feature_id = h.feature_id AND l.grp < h.grp\n)"
+    )
+    if not em_iters:
+        return (
+            "WITH " + ",\n".join(cte) + """
+SELECT feature_id,
+       CAST(x AS DOUBLE) AS lfc,
+       CASE WHEN var_sum > 0 THEN ROUND(CAST(x AS DOUBLE) / SQRT(var_sum), 6)
        END AS w_stat,
-       CASE WHEN l.var_beta + h.var_beta > 0 THEN
-         ABS(CAST(h.beta - l.beta AS DOUBLE) / SQRT(l.var_beta + h.var_beta)) > """
-        + zcrit
-        + """
+       CASE WHEN var_sum > 0 THEN ABS(CAST(x AS DOUBLE) / SQRT(var_sum)) > """
+            + zcrit
+            + """
        END AS significant
-FROM varb l
-JOIN varb h ON l.feature_id = h.feature_id AND l.grp < h.grp
+FROM lfcx
+"""
+        )
+    # Gaussian-mixture δ refinement (functions/diff_abundance.ancombc_em):
+    # 3-component E-M over the per-feature LFCs, quantized exactly as the
+    # Spark side quantizes, unrolled one CTE pair (w/r + params) per round
+    cte.append(
+        "em0 AS (\n"
+        "  SELECT CAST(SUM(x) AS DECIMAL(28,9)) AS sx,\n"
+        "         CAST(SUM(x * x) AS DECIMAL(38,18)) AS sxx,\n"
+        "         COUNT(*) AS n,\n"
+        "         CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx\n"
+        "  FROM lfcx\n)"
+    )
+    cte.append(
+        "p0 AS (\n"
+        "  SELECT CAST(sx AS DOUBLE) / n AS delta,\n"
+        "         GREATEST((CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 1e-8) AS s2m,\n"
+        "         LEAST(mn - CAST(sx AS DOUBLE) / n, -0.001) AS mu1,\n"
+        "         GREATEST(mx - CAST(sx AS DOUBLE) / n, 0.001) AS mu2,\n"
+        "         1.0 / 3.0 AS pi0, 1.0 / 3.0 AS pi1, 1.0 / 3.0 AS pi2, n\n"
+        "  FROM em0\n)"
+    )
+    for t in range(1, em_iters + 1):
+        pm = f"p{t - 1}"
+        means = ["p.delta", "p.delta + p.mu1", "p.delta + p.mu2"]
+        w_exprs = ",\n".join(
+            f"         CAST(p.pi{k} * EXP(-((CAST(x AS DOUBLE) - ({m}))"
+            f" * (CAST(x AS DOUBLE) - ({m}))) / (2.0 * p.s2m)) AS DECIMAL(18,9)) AS w{k}"
+            for k, m in enumerate(means)
+        )
+        cte.append(
+            f"w{t} AS (\n  SELECT f.x, f.var_sum, p.delta, p.mu1, p.mu2, p.n,\n"
+            + w_exprs
+            + f"\n  FROM lfcx f CROSS JOIN {pm} p\n)"
+        )
+        r_exprs = ",\n".join(
+            f"         CASE WHEN tot > 0 THEN CAST(CAST(w{k} AS DOUBLE) / tot AS DECIMAL(18,9))"
+            f" ELSE CAST({1 if k == 0 else 0} AS DECIMAL(18,9)) END AS r{k}"
+            for k in range(3)
+        )
+        cte.append(
+            f"r{t} AS (\n  SELECT x, var_sum, delta, mu1, mu2, n,\n"
+            + r_exprs
+            + f"\n  FROM (SELECT *, CAST(w0 AS DOUBLE) + CAST(w1 AS DOUBLE)"
+            f" + CAST(w2 AS DOUBLE) AS tot FROM w{t})\n)"
+        )
+        q_means = ["delta", "delta + mu1", "delta + mu2"]
+        q_exprs = " + ".join(
+            f"CAST(CAST(r{k} AS DOUBLE) * ((CAST(x AS DOUBLE) - ({m}))"
+            f" * (CAST(x AS DOUBLE) - ({m}))) AS DECIMAL(28,15))"
+            for k, m in enumerate(q_means)
+        )
+        sr_exprs = ",\n".join(
+            f"         CAST(SUM(r{k}) AS DECIMAL(28,9)) AS sr{k},\n"
+            f"         CAST(SUM(r{k} * x) AS DECIMAL(38,18)) AS srx{k}"
+            for k in range(3)
+        )
+        cte.append(
+            f"a{t} AS (\n  SELECT MIN(delta) AS delta, MIN(mu1) AS mu1,"
+            " MIN(mu2) AS mu2, MIN(n) AS n,\n"
+            + sr_exprs
+            + f",\n         CAST(SUM({q_exprs}) AS DECIMAL(38,15)) AS sq\n"
+            f"  FROM r{t}\n)"
+        )
+        cte.append(
+            f"p{t} AS (\n"
+            "  SELECT CASE WHEN CAST(sr0 AS DOUBLE) > 0"
+            " THEN CAST(srx0 AS DOUBLE) / CAST(sr0 AS DOUBLE) ELSE delta END AS delta,\n"
+            "         GREATEST(CAST(sq AS DOUBLE) / n, 1e-8) AS s2m,\n"
+            "         CASE WHEN CAST(sr1 AS DOUBLE) > 0 THEN"
+            " LEAST(CAST(srx1 AS DOUBLE) / CAST(sr1 AS DOUBLE)"
+            " - (CASE WHEN CAST(sr0 AS DOUBLE) > 0"
+            " THEN CAST(srx0 AS DOUBLE) / CAST(sr0 AS DOUBLE) ELSE delta END), -0.001)"
+            " ELSE mu1 END AS mu1,\n"
+            "         CASE WHEN CAST(sr2 AS DOUBLE) > 0 THEN"
+            " GREATEST(CAST(srx2 AS DOUBLE) / CAST(sr2 AS DOUBLE)"
+            " - (CASE WHEN CAST(sr0 AS DOUBLE) > 0"
+            " THEN CAST(srx0 AS DOUBLE) / CAST(sr0 AS DOUBLE) ELSE delta END), 0.001)"
+            " ELSE mu2 END AS mu2,\n"
+            "         CAST(sr0 AS DOUBLE) / n AS pi0,\n"
+            "         CAST(sr1 AS DOUBLE) / n AS pi1,\n"
+            "         CAST(sr2 AS DOUBLE) / n AS pi2, n\n"
+            f"  FROM a{t}\n)"
+        )
+    pf = f"p{em_iters}"
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT f.feature_id,
+       CAST(f.x AS DOUBLE) AS lfc,
+       ROUND(p.delta, 6) AS delta_em,
+       ROUND(CAST(f.x AS DOUBLE) - p.delta, 6) AS lfc_centered,
+       CASE WHEN f.var_sum > 0 THEN
+         ROUND((CAST(f.x AS DOUBLE) - p.delta) / SQRT(f.var_sum), 6)
+       END AS w_stat_centered,
+       CASE WHEN f.var_sum > 0 THEN
+         ABS((CAST(f.x AS DOUBLE) - p.delta) / SQRT(f.var_sum)) > {zcrit}
+       END AS significant
+FROM lfcx f CROSS JOIN {pf} p
 """
     )
 
@@ -440,6 +566,11 @@ QUERIES: dict[str, QuerySpec] = {
         d5_ancombc,
         _ancombc_sql(),
         "D5 rules/differential_abundance.smk:1-14 (ANCOM-BC bias-corrected estimator)",
+    ),
+    "d5_ancombc_em": QuerySpec(
+        d5_ancombc_em,
+        _ancombc_sql(em_iters=_ANCOMBC_EM_ITERS),
+        "D5 rules/differential_abundance.smk:1-14 (ANCOM-BC + Gaussian-mixture delta refinement)",
     ),
     "d6_kruskal_wallis": QuerySpec(d6_kruskal_wallis, _D6_SQL, "D6 rules/differential_abundance.smk:16-72"),
     "d6_lefse_lda": QuerySpec(

@@ -143,3 +143,34 @@ def test_lefse_lda_planted_and_handcomputed(spark, planted):
         assert got.delta_clr == pytest.approx(m_hi - m_lo, abs=2e-6)
         assert got.lda_j == pytest.approx(j, rel=1e-4)
         assert got.lda_score == pytest.approx(math.log10(1 + j), rel=1e-4)
+
+
+def test_ancombc_em_centers_null_features(spark):
+    """With NO differential features, the mixture's null component should
+    absorb everything: delta_em ≈ the common LFC shift, and no feature is
+    significant after centering."""
+    from mmeds_meta_spark.functions.diff_abundance import ancombc, ancombc_em
+
+    rows, meta = [], []
+    for s in range(10):
+        cls = "a" if s < 5 else "b"
+        meta.append((f"S{s}", cls))
+        for f in range(8):
+            # class b counts uniformly doubled → a pure sampling-fraction
+            # artifact, exactly what delta models
+            base = 40 + (s * 3 + f * 5) % 7
+            rows.append((f"OTU_{f}", f"S{s}", float(base * (2 if cls == "b" else 1))))
+    ft = spark.createDataFrame(rows, "feature_id string, sample_id string, count double")
+    sm = spark.createDataFrame(meta, "sample_id string, cls string")
+    plain = {r.feature_id: r for r in ancombc(ft, sm, group_col="cls").collect()}
+    em = {r.feature_id: r for r in ancombc_em(ft, sm, group_col="cls").collect()}
+    assert len(em) == 8
+    # the uniform doubling shows up as a shared positive LFC...
+    mean_lfc = sum(r.lfc for r in plain.values()) / 8
+    assert mean_lfc > 0.2
+    # ...which the EM delta absorbs: centered LFCs hug zero
+    d = next(iter(em.values())).delta_em
+    assert d == pytest.approx(mean_lfc, abs=0.05)
+    for r in em.values():
+        assert abs(r.lfc_centered) < abs(plain[r.feature_id].lfc)
+        assert not r.significant
