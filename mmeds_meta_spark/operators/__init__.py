@@ -68,6 +68,12 @@ _GATE_TAIL: tuple[str, ...] = (
     "p8_two_class_filter",
     "f10_alphabet_check",
     "f16_levenshtein_match",
+    # displaced round 4 (driver-green in r01–r03; gated shape-twins keep
+    # the evidence): faith_pd over the synthetic tree model is superseded
+    # by the gated d1_faith_pd_newick over a REAL parsed tree; langid's
+    # regex-count scoring is text_quality_score's gated shape
+    "d1_faith_pd",
+    "text_langid_heuristic",
 )
 
 

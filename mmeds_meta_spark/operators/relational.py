@@ -717,22 +717,24 @@ def q_meta_cohort(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey, "left")
     )
-    cohort = (
+    # one shuffle does all the dedup work: an order belongs to exactly one
+    # customer, so distinct orders per study = Σ over members of distinct
+    # orders per (study, member) — no separate DISTINCT pass needed
+    g1 = (
         meta.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("l_returnflag") == "R"))
-        .select("n_name", "o_orderkey", "c_custkey")
-        .distinct()
+        .groupBy("n_name", F.col("c_custkey").cast("string").alias("ck"))
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+        .persist()
     )
-    pairs = cohort.select("n_name", F.col("c_custkey").cast("string").alias("ck")).distinct()
+    stats = g1.groupBy("n_name").agg(
+        F.sum("cnt").alias("n_orders"), F.count("*").alias("n_cohort")
+    )
     wn = Window.partitionBy("n_name").orderBy("ck")
     roster = (
-        pairs.withColumn("rn", F.row_number().over(wn))
+        g1.withColumn("rn", F.row_number().over(wn))
         .filter(F.col("rn") <= _COHORT_ROSTER_CAP)
         .groupBy("n_name")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("ck"))).alias("cohort_custkeys"))
-    )
-    stats = cohort.groupBy("n_name").agg(
-        F.countDistinct("o_orderkey").alias("n_orders"),
-        F.countDistinct("c_custkey").alias("n_cohort"),
     )
     return stats.join(roster, "n_name", "left").select(
         "n_name",
@@ -746,25 +748,24 @@ def q_meta_cohort(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _QMETA_SQL = f"""
-WITH cohort AS (
-  SELECT DISTINCT n_name, o_orderkey, c_custkey
+WITH g1 AS (
+  SELECT n_name, CAST(c_custkey AS VARCHAR) AS ck,
+         COUNT(DISTINCT o_orderkey) AS cnt
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   LEFT JOIN nation ON c_nationkey = n_nationkey
   WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
-), pairs AS (
-  SELECT DISTINCT n_name, CAST(c_custkey AS VARCHAR) AS ck FROM cohort
+  GROUP BY 1, 2
+), stats AS (
+  SELECT n_name, CAST(SUM(cnt) AS BIGINT) AS n_orders, COUNT(*) AS n_cohort
+  FROM g1 GROUP BY 1
 ), top AS (
   SELECT n_name, ck, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY ck) AS rn
-  FROM pairs
+  FROM g1
 ), roster AS (
   SELECT n_name, STRING_AGG(ck, ',' ORDER BY ck) AS cohort_custkeys
   FROM top WHERE rn <= {_COHORT_ROSTER_CAP} GROUP BY 1
-), stats AS (
-  SELECT n_name, COUNT(DISTINCT o_orderkey) AS n_orders,
-         COUNT(DISTINCT c_custkey) AS n_cohort
-  FROM cohort GROUP BY 1
 )
 SELECT s.n_name, s.n_orders, s.n_cohort, r.cohort_custkeys,
        GREATEST(s.n_cohort - {_COHORT_ROSTER_CAP}, 0) AS cohort_overflow

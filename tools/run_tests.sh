@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 
 SHARD_1=(tests/test_golden_corpus.py)                       # golden corpus (~9 min)
 SHARD_2=(tests/test_validation.py tests/test_metadata_io.py # metadata engine
-         tests/test_normalize_query.py
+         tests/test_normalize_query.py tests/test_clear_user_data.py
          tests/test_scalars.py tests/test_summary_inputs.py)
 SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_feature_tables.py tests/test_core_analysis.py
