@@ -74,6 +74,13 @@ _GATE_TAIL: tuple[str, ...] = (
     # regex-count scoring is text_quality_score's gated shape
     "d1_faith_pd",
     "text_langid_heuristic",
+    # displaced round 4 (driver-green r01–r03; each superseded by a gated
+    # strict superset): d2_unifrac_weighted = the weighted-UniFrac plan over
+    # the synthetic tree model, now evidenced by d2_unifrac_weighted_newick
+    # over a REAL parsed tree; d5_ancombc = the alternating estimator that
+    # runs verbatim inside the gated d5_ancombc_em before its E-M refinement
+    "d2_unifrac_weighted",
+    "d5_ancombc",
 )
 
 

@@ -257,6 +257,75 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# data-mixture sampling — temperature-weighted per-source rates
+# ---------------------------------------------------------------------------
+
+_MIX_SCALE = 3.0  # k_s = floor(scale · √n_s): per-source keep rate ∝ 1/√n_s
+
+
+def sample_mixture_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted data-mixture sampling (the α = 0.5 mixing rule
+    used to rebalance source corpora for LLM training): each source keeps
+    ``k_s = floor(scale · √n_s)`` documents, so small sources are kept at a
+    much higher RATE (∝ 1/√n_s) than web-scale ones — multinomial
+    temperature sampling made exact-count and deterministic.
+
+    Selection within a source is the k_s lowest md5 orders, with the same
+    md5-range prefilter as the stratified sampler so the per-source rank
+    window never funnels a whole source through one task (critical when
+    one source is 80% of a 100 TB corpus).  √ is IEEE-correctly-rounded
+    in both engines, floor is exact — identical k_s and identical picks
+    everywhere; no rand(), retry-stable."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    alloc = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "k",
+            F.expr(
+                f"LEAST(n, CAST(FLOOR({_MIX_SCALE} * SQRT(CAST(n AS DOUBLE))) AS BIGINT))"
+            ),
+        )
+        .localCheckpoint()  # #sources rows; avoid re-scanning facts per use
+    )
+    h = d.withColumn("h8", F.expr(_h8_expr("spark", "CAST(doc_id AS STRING)")))
+    surv = h.join(F.broadcast(alloc), "source").filter(
+        F.expr(
+            f"n <= {_STRAT_MIN_PREFILTER}"
+            " OR (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * k / n, 1.0)"
+        )
+    )
+    wk = Window.partitionBy("source").orderBy("h8", "doc_id")
+    return (
+        surv.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source", F.col("k").cast("long").alias("source_quota"))
+    )
+
+
+_MIX_SQL = f"""
+WITH alloc AS (
+  SELECT source, COUNT(*) AS n,
+         LEAST(COUNT(*), CAST(FLOOR({_MIX_SCALE} * SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM documents GROUP BY 1
+), h AS (
+  SELECT doc_id, source, {_h8_expr('duck', 'CAST(doc_id AS VARCHAR)')} AS h8
+  FROM documents
+), surv AS (
+  SELECT h.doc_id, h.source, h.h8, a.k
+  FROM h JOIN alloc a USING (source)
+  WHERE a.n <= {_STRAT_MIN_PREFILTER}
+     OR (CAST(h8 AS DOUBLE) / 4294967296.0) < LEAST(4.0 * a.k / a.n, 1.0)
+), ranked AS (
+  SELECT doc_id, source, k,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h8, doc_id) AS rn
+  FROM surv
+)
+SELECT doc_id, source, CAST(k AS BIGINT) AS source_quota FROM ranked WHERE rn <= k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_hash_split": QuerySpec(
         sample_hash_split, _SPLIT_SQL, "deterministic train/eval hash split"
@@ -273,5 +342,10 @@ QUERIES: dict[str, QuerySpec] = {
         sample_stratified_exact,
         _STRAT_SQL,
         "exact-count stratified sample (largest remainder + md5-range prefilter)",
+    ),
+    "sample_mixture_weighted": QuerySpec(
+        sample_mixture_weighted,
+        _MIX_SQL,
+        "beyond-reference: temperature-weighted (α=0.5) data-mixture sampling",
     ),
 }

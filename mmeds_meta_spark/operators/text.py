@@ -181,9 +181,116 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition signals — Gopher-style within-document repetition filters
+# ---------------------------------------------------------------------------
+
+# Rahimi/Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use
+# 0.20 for the top-2-gram character fraction and 0.30 for duplicated
+# 5-gram fractions; we apply the same cutoffs to token fractions).
+_REP_TOP2_MAX = 0.20  # drop if the most common 2-gram is >20% of all 2-grams
+_REP_DUP3_MAX = 0.30  # drop if >30% of 3-gram occurrences are repeats
+
+
+def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher repetition rules):
+    per doc, the fraction of 2-gram occurrences taken by the single most
+    common 2-gram, and the fraction of 3-gram occurrences that are
+    duplicates (1 − distinct/total).  Boilerplate-heavy and looping docs
+    score high on both; ``keep`` applies the published-style cutoffs.
+
+    Scale shape: n-grams are built narrowly (``transform(sequence(...))``
+    inside one codegen stage — no self-join), then ONE exploded
+    groupBy(doc, n, gram) count + ONE groupBy(doc) rollup.  Work is
+    linear in corpus tokens, partitioned by doc_id; no window, no
+    driver state.  Docs too short to form a gram score 0.0 (kept).
+    """
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+
+    def grams(n: int) -> str:
+        join = ", ' ', ".join(f"toks[i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), i -> struct({n} AS n, concat({join}) AS gram)) "
+            "ELSE array() END"
+        )
+
+    exploded = d.select(
+        "doc_id", F.explode(F.expr(f"concat({grams(2)}, {grams(3)})")).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    stats = counts.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(F.col("n") == 2, F.col("c"))), F.lit(0)).alias("tot2"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("c"))), F.lit(0)).alias("max2"),
+        F.coalesce(F.sum(F.when(F.col("n") == 3, F.col("c"))), F.lit(0)).alias("tot3"),
+        F.count(F.when(F.col("n") == 3, F.lit(1))).alias("dis3"),
+    )
+    # left join keeps 0/1-token docs (no grams at all) with zero scores
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN coalesce(tot2, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(max2 AS DOUBLE) / tot2 END"
+            ).alias("top_2gram_frac"),
+            F.expr(
+                "CASE WHEN coalesce(tot3, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(tot3 - dis3 AS DOUBLE) / tot3 END"
+            ).alias("dup_3gram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_2gram_frac") <= _REP_TOP2_MAX)
+            & (F.col("dup_3gram_frac") <= _REP_DUP3_MAX),
+        )
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), g2 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, COUNT(*) AS c
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), g3 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c3.tok AS gram, COUNT(*) AS c
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+  GROUP BY 1, 2
+), s2 AS (
+  SELECT doc_id, SUM(c) AS tot2, MAX(c) AS max2 FROM g2 GROUP BY 1
+), s3 AS (
+  SELECT doc_id, SUM(c) AS tot3, COUNT(*) AS dis3 FROM g3 GROUP BY 1
+), scored AS (
+  SELECT d.doc_id,
+         CASE WHEN COALESCE(tot2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(max2 AS DOUBLE) / tot2 END AS top_2gram_frac,
+         CASE WHEN COALESCE(tot3, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(tot3 - dis3 AS DOUBLE) / tot3 END AS dup_3gram_frac
+  FROM documents d
+  LEFT JOIN s2 ON d.doc_id = s2.doc_id
+  LEFT JOIN s3 ON d.doc_id = s3.doc_id
+)
+SELECT doc_id, top_2gram_frac, dup_3gram_frac,
+       top_2gram_frac <= {_REP_TOP2_MAX} AND dup_3gram_frac <= {_REP_DUP3_MAX} AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
     "text_langid_heuristic": QuerySpec(text_langid_heuristic, _langid_sql(), "LLM-pipeline text (language ID)"),
     "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint)"),
+    "text_repetition_signals": QuerySpec(
+        text_repetition_signals, _REPETITION_SQL, "LLM-pipeline text (Gopher repetition filter)"
+    ),
 }

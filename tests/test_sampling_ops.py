@@ -121,3 +121,27 @@ def test_pack_sequences_budget_property(spark):
     # batch ids within a bucket are contiguous from 0
     for b, ids in batches.items():
         assert ids == set(range(len(ids))), (b, sorted(ids))
+
+
+def test_mixture_weighted_quotas_and_determinism(spark):
+    import math
+
+    from mmeds_meta_spark.operators.sampling import _MIX_SCALE, sample_mixture_weighted
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ns = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    expected = {s: min(n, math.floor(_MIX_SCALE * math.sqrt(n))) for s, n in ns.items()}
+
+    out = sample_mixture_weighted(spark, SF_SMOKE)
+    got = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {s: k for s, k in expected.items() if k > 0}
+    # quota column matches the allocation, rate is sublinear in source size
+    quotas = {r.source: r.source_quota for r in out.select("source", "source_quota").distinct().collect()}
+    assert quotas == {s: k for s, k in expected.items() if k > 0}
+    # deterministic: identical picks across independent runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, sample_mixture_weighted(spark, SF_SMOKE).collect()))
+    assert a == b
