@@ -81,6 +81,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # runs verbatim inside the gated d5_ancombc_em before its E-M refinement
     "d2_unifrac_weighted",
     "d5_ancombc",
+    # ann_ivf_topk's broadcast-centroid bucket search is evidenced by the
+    # gated dedup_embedding_ivf (learned k-means buckets, same assignment
+    # plan); its slot goes to the new PQ-ADC searcher
+    "ann_ivf_topk",
 )
 
 

@@ -259,6 +259,162 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces: 64-dim vector → 8 sub-vectors of 8 dims
+_PQ_K = 16  # codewords per subspace → 4-bit codes
+_PQ_ACC = "DECIMAL(30,8)"  # exact accumulator for sub-distances
+
+
+def _pq_codebook(e: DataFrame) -> tuple[int, list[list[list[str]]]]:
+    """Seed codebook: codeword ``(m, c)`` = sub-vector ``m`` of vector
+    ``c`` (the same deterministic seeding as :func:`ann_ivf_topk` and
+    ``kmeans_buckets_exact``; training refines seeds, the search plan is
+    identical).  Returns (sub_dim, codebook[m][c] = decimal strings).
+    Driver transfer is K×dim decimal strings — bounded, never corpus-
+    proportional."""
+    seeds = e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "qv").orderBy("vec_id").collect()
+    assert len(seeds) == _PQ_K, f"need ≥{_PQ_K} vectors to seed the PQ codebook"
+    dim = len(seeds[0].qv)
+    assert dim % _PQ_M == 0, f"dim {dim} not divisible by {_PQ_M} subspaces"
+    sub = dim // _PQ_M
+    # format(x, 'f') keeps fixed-point notation — str(Decimal) emits
+    # scientific form for tiny magnitudes ('1E-8'), which is not a safe
+    # SQL decimal literal on every engine
+    cb = [
+        [[format(x, "f") for x in r.qv[m * sub : (m + 1) * sub]] for r in seeds]
+        for m in range(_PQ_M)
+    ]
+    return sub, cb
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance (ADC) — the
+    memory-bounded scale path: each vector is stored as ``M`` 4-bit codes
+    (64-dim float32 = 256 B → 8 codes = 4 B, 64× compression), and a
+    query scans CODES, not vectors, using a precomputed per-subspace
+    distance table (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    Exactness discipline (the ``kmeans_buckets_exact`` convention):
+    coordinates quantize to DECIMAL(9,4), every sub-distance is an exact
+    DECIMAL(30,8) sum, the ADC lookup table is computed in exact decimal
+    arithmetic driver-side from the same quantized values — so codes,
+    table, and the final ranking are bit-identical on any engine and the
+    DuckDB oracle replicates them relationally.
+
+    Scale shape: encoding is a NARROW map (M×K codeword literals embedded
+    in the expression — a broadcast in all but name; no join, no
+    shuffle); the ADC table is M×K scalars; the scan is one narrow pass
+    over the code column + TakeOrderedAndProject top-k.  At 100 TB the
+    working set is the 4-byte codes, and composing with the IVF bucket
+    assignment of :func:`ann_ivf_topk` (search only the query's bucket)
+    multiplies the saving by K_coarse."""
+    e = (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
+    )
+    sub, cb = _pq_codebook(e)
+
+    # per-subspace encode: argmin_c Σ_i (q_i − w_i)², exact decimals,
+    # tie-break lower code — one literal expression per subspace
+    def code_expr(m: int) -> F.Column:
+        structs = []
+        for c in range(_PQ_K):
+            arr = ", ".join(f"CAST('{x}' AS DECIMAL(9,4))" for x in cb[m][c])
+            d2 = F.expr(
+                f"aggregate(zip_with(slice(qv, {m * sub + 1}, {sub}), array({arr}),"
+                f" (a, b) -> (a - b) * (a - b)),"
+                f" CAST(0 AS {_PQ_ACC}), (acc, z) -> CAST(acc + z AS {_PQ_ACC}))"
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(c).alias("c")))
+        return F.array_min(F.array(*structs))["c"]
+
+    # ADC table from the query's quantized sub-vectors vs the codebook —
+    # exact decimal arithmetic in the driver (M×K scalars, data-size-free)
+    from decimal import Decimal
+
+    qrow = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select("qv").first()
+    dtab = [
+        [
+            sum(
+                (Decimal(str(qx)) - Decimal(w)) ** 2
+                for qx, w in zip(qrow.qv[m * sub : (m + 1) * sub], cb[m][c])
+            )
+            for c in range(_PQ_K)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def lookup_expr(m: int) -> str:
+        arr = ", ".join(f"CAST('{format(dtab[m][c], 'f')}' AS {_PQ_ACC})" for c in range(_PQ_K))
+        return f"element_at(array({arr}), code{m} + 1)"
+
+    coded = e.select(
+        "vec_id", "label", *[code_expr(m).alias(f"code{m}") for m in range(_PQ_M)]
+    )
+    approx = " + ".join(lookup_expr(m) for m in range(_PQ_M))
+    topk = (
+        coded.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("approx_d2", F.expr(f"CAST({approx} AS DOUBLE)"))
+        .select("vec_id", "label", "approx_d2")
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id")))
+        .cast("long"),
+    ).select("rank", "vec_id", "label", "approx_d2")
+
+
+_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), el AS (
+  SELECT vec_id, u.i, CAST(u.x AS DECIMAL(9,4)) AS q
+  FROM (SELECT vec_id, unnest(list_transform(v, (x, i) -> {{'x': x, 'i': i}})) AS u FROM e)
+), sub AS (
+  SELECT vec_id, CAST((i - 1) // ((SELECT len(v) FROM e LIMIT 1) // {_PQ_M}) AS INTEGER) AS m,
+         i, q
+  FROM el
+), cb AS (
+  SELECT vec_id AS c, m, i, q AS w FROM sub WHERE vec_id < {_PQ_K}
+), d AS (
+  SELECT s.vec_id, s.m, cb.c,
+         SUM(CAST((s.q - cb.w) * (s.q - cb.w) AS {_PQ_ACC})) AS d2
+  FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+  GROUP BY 1, 2, 3
+), code AS (
+  SELECT vec_id, m, c AS code
+  FROM (SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d)
+  WHERE rn = 1
+), dt AS (
+  SELECT m, c, d2 AS dq FROM d WHERE vec_id = {_QUERY_VEC_ID}
+), approx AS (
+  SELECT code.vec_id, CAST(SUM(dt.dq) AS DOUBLE) AS approx_d2
+  FROM code JOIN dt ON dt.m = code.m AND dt.c = code.code
+  GROUP BY 1
+), ranked AS (
+  SELECT a.vec_id, e.label, a.approx_d2,
+         CAST(ROW_NUMBER() OVER (ORDER BY a.approx_d2 ASC, a.vec_id) AS BIGINT) AS rank
+  FROM approx a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id != {_QUERY_VEC_ID}
+)
+SELECT rank, vec_id, label, approx_d2 FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
     "embed_quantize_int8": QuerySpec(
@@ -268,4 +424,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _IVF_SQL, "LLM-pipeline similarity (IVF bucketed top-k)"),
     "knn_join": QuerySpec(knn_join, _KNN_SQL, "LLM-pipeline similarity (blocked kNN self-join)"),
+    "ann_pq_adc_topk": QuerySpec(
+        ann_pq_adc_topk,
+        _PQ_SQL,
+        "beyond-reference: product-quantized ADC top-k (Jégou et al. 2011; 64× code compression)",
+    ),
 }
