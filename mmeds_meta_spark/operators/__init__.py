@@ -85,6 +85,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated dedup_embedding_ivf (learned k-means buckets, same assignment
     # plan); its slot goes to the new PQ-ADC searcher
     "ann_ivf_topk",
+    # the as-of join's union+carry running window is the gated
+    # w4_sessionization's exact plan shape (one user_id shuffle + ordered
+    # frame); verified by the local oracle sweep + pytest
+    "asof_join_attribution",
 )
 
 

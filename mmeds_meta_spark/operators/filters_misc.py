@@ -355,8 +355,85 @@ FROM sessions GROUP BY user_id, session_ord
 """
 
 
+def asof_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join — each purchase matched to the LATEST click at or before
+    it for the same user (the attribution join; the canonical time-series
+    operator Spark has no built-in for).
+
+    Implemented as the single-shuffle union-and-carry plan, not a range
+    join: tag clicks (build) and purchases (probe), union, ONE window per
+    user ordered by (ts, side, event_id) carrying the last non-null click
+    attributes forward.  Cost is one shuffle on user_id + a running
+    window — identical shape to w4's sessionization; a range/inequality
+    join would be O(clicks × purchases) per user.  Ties at the same µs
+    resolve build-before-probe (a same-instant click is visible) and
+    highest click event_id last — total order, engine-independent.
+    Purchases before any click keep NULL click columns (outer as-of)."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value", F.lit(0).alias("is_probe")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value", F.lit(1).alias("is_probe")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = lambda c: F.last(  # noqa: E731
+        F.when(F.col("is_probe") == 0, F.col(c)), ignorenulls=True
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("click_id", carry("event_id"))
+        .withColumn("click_ts_us", carry("ts_us"))
+        .withColumn("click_value", carry("value"))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "click_id",
+            "click_ts_us",
+            (F.col("ts_us") - F.col("click_ts_us")).alias("latency_us"),
+            "click_value",
+        )
+    )
+
+
+_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+), tagged AS (
+  SELECT user_id, ts_us, event_id, value, 0 AS is_probe FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts_us, event_id, value, 1 AS is_probe FROM ev WHERE event_type = 'purchase'
+), carried AS (
+  SELECT user_id, ts_us, event_id, is_probe,
+         LAST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+         LAST_VALUE(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS) OVER w AS click_ts_us,
+         LAST_VALUE(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER w AS click_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+       click_id, click_ts_us, ts_us - click_ts_us AS latency_us, click_value
+FROM carried WHERE is_probe = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "asof_join_attribution": QuerySpec(
+        asof_join_attribution,
+        _ASOF_SQL,
+        "beyond-reference: as-of join (latest prior build row per probe; union+carry, one shuffle)",
+    ),
     "p8_two_class_filter": QuerySpec(p8_two_class_filter, _P8_SQL, "P8 rules/table_filtering.smk:17-31"),
     "p9_min_frequency_filter": QuerySpec(p9_min_frequency_filter, _P9_SQL, "P9 rules/table_filtering.smk:1-15"),
     "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt table_py"),
