@@ -8,10 +8,11 @@ exactly-once-style dedup on arrival.
 """
 
 from .incremental_dedup import start_incremental_dedup
-from .rollup import streaming_event_rollup, streaming_exact_dedup
+from .rollup import streaming_enrich, streaming_event_rollup, streaming_exact_dedup
 
 __all__ = [
     "start_incremental_dedup",
+    "streaming_enrich",
     "streaming_event_rollup",
     "streaming_exact_dedup",
 ]

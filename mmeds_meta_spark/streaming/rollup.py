@@ -78,3 +78,35 @@ def streaming_exact_dedup(
     return ev.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def streaming_enrich(
+    spark: SparkSession, events_dir: str, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    dimension (user_id = c_custkey) with the nation name attached — the
+    standard "enrich facts in flight" micro-batch pattern.
+
+    The static side is batch DataFrames, re-resolved per micro-batch by
+    Structured Streaming; `F.broadcast` pins the physical strategy so
+    every micro-batch is a broadcast hash join (no per-batch shuffle of
+    the stream).  At 100 TB the stream side stays partition-parallel and
+    only the dimension ships to executors — update the dimension files
+    and the NEXT micro-batch sees the new rows (slowly-changing dims need
+    a versioned static source instead).  Unmatched events keep NULL
+    enrichment columns (left join) rather than silently dropping."""
+    ev = _event_stream(spark, events_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey", "left").select(
+        "user_id", "segment", "nation"
+    )
+    return ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "event_ts", "user_id", "event_type", "value", "segment", "nation"
+    )

@@ -164,3 +164,31 @@ def test_streaming_stateful_sessionize(spark, events_dir, tmp_path):
         by_user[r.user_id] += r.n_events
     for u, n in by_user.items():
         assert n <= per_user[u], (u, n, per_user[u])
+
+
+def test_streaming_enrich_matches_batch_join(spark, events_dir, tmp_path):
+    from mmeds_meta_spark.streaming import streaming_enrich
+
+    q = (
+        streaming_enrich(spark, events_dir, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: (r.segment, r.nation) for r in spark.sql("SELECT * FROM enrich_test").collect()}
+    raw = spark.read.parquet(events_dir)
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    batch = (
+        raw.join(cust, raw.user_id == cust.c_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey, "left")
+        .select("event_id", F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation"))
+    )
+    expected = {r.event_id: (r.segment, r.nation) for r in batch.collect()}
+    assert got == expected
+    # at least some events must actually enrich (custkey range overlap)
+    assert any(v[0] is not None for v in got.values())
