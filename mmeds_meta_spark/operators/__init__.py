@@ -89,6 +89,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # w4_sessionization's exact plan shape (one user_id shuffle + ordered
     # frame); verified by the local oracle sweep + pytest
     "asof_join_attribution",
+    # a18's pre-aggregated-CDF order statistics are the gated
+    # d6_kruskal_wallis rank machinery; verified by the local sweep + pytest
+    "a18_quantile_profile",
 )
 
 

@@ -15,7 +15,7 @@ different from any sum/count — the pattern costs nothing extra.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..testdata import table as _t
 from . import QuerySpec
@@ -247,7 +247,95 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# a18 — exact interpolated quantiles via the distinct-value CDF
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (25, 50, 75, 95)  # percent, quantile_cont/percentile semantics
+
+
+def a18_quantile_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles (``quantile_cont`` semantics: 0-based
+    position p·(n−1), linear interpolation) of ``l_quantity`` per return
+    flag — WITHOUT a per-row sort: the same pre-aggregated CDF used for
+    Kruskal-Wallis ranks.  One groupBy(grp, v) count, one cumulative
+    window over the DISTINCT values of each group (bounded by value
+    cardinality, not row count), then the order statistic v_i = min{v :
+    cum(v) ≥ i+1} falls out of a conditional aggregation.
+
+    Exactness: values quantize to DECIMAL(12,2); the interpolated value
+    is the exact decimal (100·v_lo + f·(v_hi − v_lo)) with f = (p·(n−1))
+    mod 100, converted to DOUBLE once with a single /100.0 — identical
+    IEEE ops on identical exact decimals on both engines."""
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(l_quantity AS DECIMAL(12,2))").alias("v"),
+    )
+    counts = li.groupBy("grp", "v").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.withColumn("cum", F.sum("c").over(w))
+    n = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    j = cdf.join(F.broadcast(n), "grp")
+    aggs, outs = [], []
+    for p in _QUANTILES:
+        t = f"({p} * (n - 1))"
+        lo, fr = f"({t} div 100)", f"({t} % 100)"
+        aggs += [
+            F.expr(f"MIN(CASE WHEN cum >= {lo} + 1 THEN v END)").alias(f"vlo{p}"),
+            F.expr(f"MIN(CASE WHEN cum >= {lo} + 2 THEN v END)").alias(f"vhi{p}"),
+            F.expr(f"MIN({fr})").alias(f"f{p}"),  # constant per group
+        ]
+        outs.append(
+            F.expr(
+                f"CAST(CASE WHEN f{p} = 0 THEN 100 * vlo{p} "
+                f"ELSE 100 * vlo{p} + f{p} * (vhi{p} - vlo{p}) END AS DOUBLE) / 100.0"
+            ).alias(f"q{p}")
+        )
+    stats = j.groupBy("grp", "n").agg(*aggs)
+    return stats.select("grp", F.col("n").cast("long").alias("n"), *outs)
+
+
+def _a18_sql() -> str:
+    per_p = []
+    sel = []
+    for p in _QUANTILES:
+        t = f"({p} * (n - 1))"
+        lo, fr = f"({t} // 100)", f"({t} % 100)"
+        per_p += [
+            f"MIN(CASE WHEN cum >= {lo} + 1 THEN v END) AS vlo{p}",
+            f"MIN(CASE WHEN cum >= {lo} + 2 THEN v END) AS vhi{p}",
+            f"MIN({fr}) AS f{p}",
+        ]
+        sel.append(
+            f"CAST(CASE WHEN f{p} = 0 THEN 100 * vlo{p} "
+            f"ELSE 100 * vlo{p} + f{p} * (vhi{p} - vlo{p}) END AS DOUBLE) / 100.0 AS q{p}"
+        )
+    return f"""
+WITH li AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DECIMAL(12,2)) AS v FROM lineitem
+), counts AS (
+  SELECT grp, v, COUNT(*) AS c FROM li GROUP BY 1, 2
+), cdf AS (
+  SELECT grp, v, SUM(c) OVER (PARTITION BY grp ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+), n AS (
+  SELECT grp, SUM(c) AS n FROM counts GROUP BY 1
+), stats AS (
+  SELECT cdf.grp, n.n, {', '.join(per_p)}
+  FROM cdf JOIN n ON cdf.grp = n.grp
+  GROUP BY 1, 2
+)
+SELECT grp, CAST(n AS BIGINT) AS n, {', '.join(sel)} FROM stats
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a18_quantile_profile": QuerySpec(
+        a18_quantile_profile,
+        _a18_sql(),
+        "beyond-reference: exact quantile_cont profile via pre-aggregated CDF (no row sort)",
+    ),
     "a6_zscore_outliers": QuerySpec(a6_zscore_outliers, _A6_SQL, "A6 validate.py:137-151"),
     "a5_rare_category_profile": QuerySpec(a5_rare_category_profile, _A5_SQL, "A5 validate.py:153-166"),
     "a11_grouped_mean_sem": QuerySpec(a11_grouped_mean_sem, _A11_SQL, "A10/A11 summary_code.txt alpha blocks"),

@@ -7,6 +7,8 @@ import pytest
 
 import pyspark.sql.functions as F
 
+from conftest import SF_SMOKE
+
 from mmeds_meta_spark.plans.analysis import run_core_analysis
 
 
@@ -85,3 +87,25 @@ def test_restart_skips_materialized_stages(spark, corpus, tmp_path):
     rarefied_second = sorted(map(tuple, res2["rarefied"].collect()))
     assert rarefied_first == rarefied_second
     assert (out / "beta_braycurtis").exists() and (out / "alpha").exists()
+
+
+def test_a18_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from mmeds_meta_spark.operators.stats import _QUANTILES, a18_quantile_profile
+
+    got = {r.grp: r for r in a18_quantile_profile(spark, SF_SMOKE).collect()}
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    assert set(got) == set(by_grp)
+    for g, vals in by_grp.items():
+        assert got[g].n == len(vals)
+        for p in _QUANTILES:
+            exp = float(np.percentile(np.array(vals), p, method="linear"))
+            assert abs(got[g][f"q{p}"] - exp) < 1e-9, (g, p, got[g][f"q{p}"], exp)
