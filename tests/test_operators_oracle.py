@@ -72,3 +72,16 @@ def test_no_collection_output_columns(spark):
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, f"collection-typed gated outputs: {offenders}"
+
+
+def test_gate_tail_names_resolve():
+    """A misspelled _GATE_TAIL entry would silently leave the intended
+    entry in the gate head and displace a real one — fail loudly."""
+    from mmeds_meta_spark.operators import _GATE_TAIL
+
+    missing = [n for n in _GATE_TAIL if n not in REG]
+    assert not missing, f"_GATE_TAIL names not in registry: {missing}"
+    assert len(REG) - len(_GATE_TAIL) == 50, (
+        "gate head must be exactly the driver's 50 slots: "
+        f"{len(REG)} entries - {len(_GATE_TAIL)} tail = {len(REG) - len(_GATE_TAIL)}"
+    )
