@@ -171,13 +171,16 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
 
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
+_MH_P = 9007199254740881  # largest prime < 2⁵³: double-hashing modulus
 _BUCKET_CAP = 50  # hot-bucket cap: a (band, key) bucket wider than this is
 # dropped before pair generation (its pairs resurface via other bands) —
 # bounds any bucket's pair fan-out at cap² regardless of corpus skew
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH candidate pairs: signature = per-seed MIN(md5(seed||shingle));
+    """LSH candidate pairs: signature = per-seed MIN(h_i(shingle)) with
+    h_i = (a + i·b) mod P double hashing over one md5 per shingle
+    (Kirsch & Mitzenmacher 2006 — k independent-enough hashes from two);
     band key = md5(concat of the band's rows); candidates share any band.
 
     The O(n²) pair space never materializes — only bucket-local equi-joins.
@@ -185,17 +188,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only).  Output: candidate pairs with the number of agreeing bands.
     """
     sh = _doc_shingles(spark, sf)
-    # one pass: the k hashes are k columns on each shingle row (no k-fold
-    # row blowup), min-aggregated in a single partial-agg shuffle
-    hashed = sh.select(
+    # one pass: ONE md5 per shingle, k hashes derived by double hashing
+    # (Kirsch–Mitzenmacher: h_i = (a + i·b) mod P) — measured 8×-md5
+    # signatures were the dominant cost of the whole operator.  a, b are
+    # the two 56-bit halves of the digest (conv(hex,16,10) agrees with
+    # DuckDB's '0x'::UBIGINT parse); a + 7b < 2⁵⁹ never overflows BIGINT.
+    hashed = sh.selectExpr(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ],
+        f"CAST(conv(substr(md5(shingle), 1, 14), 16, 10) AS BIGINT) AS a",
+        f"CAST(conv(substr(md5(shingle), 15, 14), 16, 10) AS BIGINT) AS b",
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)]
+        *[F.expr(f"MIN((a + {i} * b) % {_MH_P})").alias(f"m{i}") for i in range(_N_HASHES)]
     )
     bands = [
         F.md5(
@@ -240,11 +244,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n         ".join(
-        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_HASHES)
+        f"MIN((a + {i} * b) % {_MH_P}) AS m{i}" for i in range(_N_HASHES)
     )
     bands = ",\n       ".join(
         "md5("
-        + " || '|' || ".join(f"m{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        + " || '|' || ".join(
+            f"CAST(m{b * _BAND_ROWS + r} AS VARCHAR)" for r in range(_BAND_ROWS)
+        )
         + f") AS band{b}"
         for b in range(_N_HASHES // _BAND_ROWS)
     )
@@ -254,9 +260,15 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH {_SHINGLE_SQL},
+ab AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 14)) AS UBIGINT)::BIGINT AS a,
+         CAST(('0x' || substr(md5(shingle), 15, 14)) AS UBIGINT)::BIGINT AS b
+  FROM shingles
+),
 sig AS (
   SELECT doc_id, {mins}
-  FROM shingles GROUP BY doc_id
+  FROM ab GROUP BY doc_id
 ), sig_b AS (
   SELECT doc_id, {bands}
   FROM sig
