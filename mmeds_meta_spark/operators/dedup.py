@@ -442,17 +442,26 @@ _HAMMING_TAU = 4
 _HEX = "0123456789abcdef"
 
 
+def _simhash_word_expr(dialect: str) -> str:
+    """First 8 hex nibbles of md5(tok) parsed as one 32-bit integer —
+    computed ONCE per token row; the 32 bit votes are then cheap
+    shift-and-mask probes instead of 32 substr/instr chains."""
+    if dialect == "spark":
+        return "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+    return "CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT"
+
+
 def _simhash_bit_exprs(dialect: str) -> list[str]:
-    """Per-token ±1 vote for each of the 32 bits, from the first 8 hex
-    nibbles of md5(token).  Dialect differences: instr vs strpos, `div`
-    vs `//` integer division."""
-    pos = "instr" if dialect == "spark" else "strpos"
-    div = "div" if dialect == "spark" else "//"
+    """Per-token ±1 vote for each of the 32 bits, over a pre-projected
+    ``w`` column (:func:`_simhash_word_expr`).  Bit 4j+r is bit r of hex
+    nibble j (j=0 = the digest's FIRST hex char = w's top nibble), i.e.
+    bit (7−j)·4+r of w — the same fingerprint the nibble-lookup
+    formulation produced."""
     exprs = []
     for j in range(8):  # nibble index
-        nib = f"({pos}('{_HEX}', substr(md5(tok), {j + 1}, 1)) - 1)"
         for r in range(4):  # bit within nibble
-            bit = f"(({nib} {div} {2 ** r}) % 2)" if dialect == "spark" else f"(({nib} {div} {2 ** r}) % 2)"
+            n = (7 - j) * 4 + r
+            bit = f"(shiftright(w, {n}) & 1)" if dialect == "spark" else f"((w >> {n}) & 1)"
             exprs.append(f"(2 * {bit} - 1)")
     return exprs  # 32 entries, bit index = 4*j + r
 
@@ -561,7 +570,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     :func:`_simhash_banded_pairs`); the oracle is the direct pairwise
     join, which the banding provably reproduces."""
     d = _t(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).selectExpr(
+        "doc_id", f"{_simhash_word_expr('spark')} AS w"
+    )
     votes = _simhash_bit_exprs("spark")
     agg = tok.groupBy("doc_id").agg(
         *[F.expr(f"SUM({v})").alias(f"s{i}") for i, v in enumerate(votes)]
@@ -587,7 +598,8 @@ def _simhash_sigs_cte() -> str:
         for i in range(_SH_BITS)
     )
     return f"""tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  SELECT doc_id, {_simhash_word_expr('duck')} AS w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 ), agg AS (
   SELECT doc_id, {sums}
   FROM tok GROUP BY doc_id
@@ -630,7 +642,9 @@ def dedup_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     probe (no duplicates by construction).
     Output: (doc_a, doc_b, hamming), doc_a < doc_b, ≥1 side new."""
     d = _t(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).selectExpr(
+        "doc_id", f"{_simhash_word_expr('spark')} AS w"
+    )
     votes = _simhash_bit_exprs("spark")
     agg = tok.groupBy("doc_id").agg(
         *[F.expr(f"SUM({v})").alias(f"s{i}") for i, v in enumerate(votes)]
