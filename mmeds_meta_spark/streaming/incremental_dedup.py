@@ -32,13 +32,16 @@ from ..operators.dedup import (
     _SH_BITS,
     _simhash_band_bounds,
     _simhash_bit_exprs,
+    _simhash_word_expr,
 )
 from .ingest import DOCS_SCHEMA
 
 
 def batch_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): the batch operator's vote aggregation."""
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).selectExpr(
+        "doc_id", f"{_simhash_word_expr('spark')} AS w"
+    )
     votes = _simhash_bit_exprs("spark")
     agg = tok.groupBy("doc_id").agg(
         *[F.expr(f"SUM({v})").alias(f"s{i}") for i, v in enumerate(votes)]
