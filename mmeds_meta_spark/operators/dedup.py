@@ -8,13 +8,13 @@ cache) to the document/corpus scale a 100 TB training-data pipeline needs:
 * n-gram Jaccard     — inverted-index self-join on shingles (never a cross
                        join); document-frequency cap kills the quadratic
                        blowup hot shingles would cause
-* MinHash + LSH      — portable md5-string MinHash, banded; candidate pairs
+* MinHash + LSH      — double-hashed md5 MinHash, banded; candidate pairs
                        come from equi-joins on (band, key) buckets only
 * embedding cosine   — blocked (by label) pair generation + cosine ≥ τ
 
-Portability note: every hash is an ``md5`` hex string and every "min-hash"
-is the lexicographic MIN of such strings — identical in Spark and DuckDB,
-no engine-native ``hash()`` anywhere.
+Portability note: every hash derives from ``md5`` (hex strings, or 56-bit
+integer halves of the digest for the double-hashed MinHash family) —
+identical in Spark and DuckDB, no engine-native ``hash()`` anywhere.
 
 Scale notes: all pair generation is bucket-local (shingle, LSH band, or
 label block).  At 100 TB you'd additionally salt hot buckets and cap
@@ -166,7 +166,7 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH — portable md5-string minhash, banded
+# MinHash + LSH — double-hashed md5 minhash, banded
 # ---------------------------------------------------------------------------
 
 _N_HASHES = 8
