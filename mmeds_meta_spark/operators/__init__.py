@@ -92,6 +92,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # a18's pre-aggregated-CDF order statistics are the gated
     # d6_kruskal_wallis rank machinery; verified by the local sweep + pytest
     "a18_quantile_profile",
+    # ivf_pq composes the two independently-gated stages (ann_pq_adc_topk's
+    # exact-decimal codes + dedup_embedding_ivf's bucket assignment shape)
+    "ann_ivf_pq_topk",
 )
 
 

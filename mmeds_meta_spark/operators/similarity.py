@@ -268,6 +268,59 @@ _PQ_K = 16  # codewords per subspace → 4-bit codes
 _PQ_ACC = "DECIMAL(30,8)"  # exact accumulator for sub-distances
 
 
+def _pq_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings with double vectors and DECIMAL(9,4)-quantized copies."""
+    return (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
+    )
+
+
+def _pq_code_expr(m: int, sub: int, cb) -> F.Column:
+    """Per-subspace encode: argmin_c Σ_i (q_i − w_i)², exact decimals,
+    tie-break lower code — one literal expression per subspace."""
+    structs = []
+    for c in range(_PQ_K):
+        arr = ", ".join(f"CAST('{x}' AS DECIMAL(9,4))" for x in cb[m][c])
+        d2 = F.expr(
+            f"aggregate(zip_with(slice(qv, {m * sub + 1}, {sub}), array({arr}),"
+            f" (a, b) -> (a - b) * (a - b)),"
+            f" CAST(0 AS {_PQ_ACC}), (acc, z) -> CAST(acc + z AS {_PQ_ACC}))"
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*structs))["c"]
+
+
+def _pq_lookup_exprs(e: DataFrame, sub: int, cb):
+    """ADC table from the query's quantized sub-vectors vs the codebook —
+    exact decimal arithmetic in the driver (M×K scalars, data-size-free).
+    Returns lookup_expr(m) emitting the dtable probe for code column m."""
+    from decimal import Decimal
+
+    qrow = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select("qv").first()
+    dtab = [
+        [
+            sum(
+                (Decimal(str(qx)) - Decimal(w)) ** 2
+                for qx, w in zip(qrow.qv[m * sub : (m + 1) * sub], cb[m][c])
+            )
+            for c in range(_PQ_K)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def lookup_expr(m: int) -> str:
+        arr = ", ".join(f"CAST('{format(dtab[m][c], 'f')}' AS {_PQ_ACC})" for c in range(_PQ_K))
+        return f"element_at(array({arr}), code{m} + 1)"
+
+    return lookup_expr
+
+
 def _pq_codebook(e: DataFrame) -> tuple[int, list[list[list[str]]]]:
     """Seed codebook: codeword ``(m, c)`` = sub-vector ``m`` of vector
     ``c`` (the same deterministic seeding as :func:`ann_ivf_topk` and
@@ -312,54 +365,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     working set is the 4-byte codes, and composing with the IVF bucket
     assignment of :func:`ann_ivf_topk` (search only the query's bucket)
     multiplies the saving by K_coarse."""
-    e = (
-        _t(spark, sf, "embeddings")
-        .select(
-            "vec_id",
-            "label",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-        .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
-    )
+    e = _pq_embeddings(spark, sf)
     sub, cb = _pq_codebook(e)
-
-    # per-subspace encode: argmin_c Σ_i (q_i − w_i)², exact decimals,
-    # tie-break lower code — one literal expression per subspace
-    def code_expr(m: int) -> F.Column:
-        structs = []
-        for c in range(_PQ_K):
-            arr = ", ".join(f"CAST('{x}' AS DECIMAL(9,4))" for x in cb[m][c])
-            d2 = F.expr(
-                f"aggregate(zip_with(slice(qv, {m * sub + 1}, {sub}), array({arr}),"
-                f" (a, b) -> (a - b) * (a - b)),"
-                f" CAST(0 AS {_PQ_ACC}), (acc, z) -> CAST(acc + z AS {_PQ_ACC}))"
-            )
-            structs.append(F.struct(d2.alias("d2"), F.lit(c).alias("c")))
-        return F.array_min(F.array(*structs))["c"]
-
-    # ADC table from the query's quantized sub-vectors vs the codebook —
-    # exact decimal arithmetic in the driver (M×K scalars, data-size-free)
-    from decimal import Decimal
-
-    qrow = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select("qv").first()
-    dtab = [
-        [
-            sum(
-                (Decimal(str(qx)) - Decimal(w)) ** 2
-                for qx, w in zip(qrow.qv[m * sub : (m + 1) * sub], cb[m][c])
-            )
-            for c in range(_PQ_K)
-        ]
-        for m in range(_PQ_M)
-    ]
-
-    def lookup_expr(m: int) -> str:
-        arr = ", ".join(f"CAST('{format(dtab[m][c], 'f')}' AS {_PQ_ACC})" for c in range(_PQ_K))
-        return f"element_at(array({arr}), code{m} + 1)"
-
     coded = e.select(
-        "vec_id", "label", *[code_expr(m).alias(f"code{m}") for m in range(_PQ_M)]
+        "vec_id", "label", *[_pq_code_expr(m, sub, cb).alias(f"code{m}") for m in range(_PQ_M)]
     )
+    lookup_expr = _pq_lookup_exprs(e, sub, cb)
     approx = " + ".join(lookup_expr(m) for m in range(_PQ_M))
     topk = (
         coded.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -415,6 +426,122 @@ SELECT rank, vec_id, label, approx_d2 FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ — the full production ANN layout: the coarse quantizer
+    (:func:`ann_ivf_topk`'s broadcast-centroid assignment) restricts the
+    scan to the query's bucket, and within the bucket the search runs on
+    PQ codes with the ADC table (:func:`ann_pq_adc_topk`).  At 100 TB a
+    query touches 1/K_coarse of the corpus AND reads 4-byte codes instead
+    of 256-byte vectors — the two savings multiply.
+
+    Determinism: the coarse assignment uses 4dp-rounded cosine with
+    centroid-id tie-break; the PQ stage is exact decimal arithmetic —
+    both independently oracle-verified, composed here unchanged."""
+    e = _pq_embeddings(spark, sf)
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    cos_c = F.expr(
+        f"ROUND({_DOT.format(a='v', b='cv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='cv', b='cv')})), 4)"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "qv", F.col("cent_id").alias("bucket"))
+    )
+    qb = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket")
+    )
+    sub, cb = _pq_codebook(e)
+    lookup_expr = _pq_lookup_exprs(e, sub, cb)
+    coded = assigned.join(
+        F.broadcast(qb),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != _QUERY_VEC_ID),
+    ).select(
+        "vec_id",
+        "label",
+        "bucket",
+        *[_pq_code_expr(m, sub, cb).alias(f"code{m}") for m in range(_PQ_M)],
+    )
+    approx = " + ".join(lookup_expr(m) for m in range(_PQ_M))
+    topk = (
+        coded.withColumn("approx_d2", F.expr(f"CAST({approx} AS DOUBLE)"))
+        .select("vec_id", "label", "bucket", "approx_d2")
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id")))
+        .cast("long"),
+    ).select("rank", "vec_id", "label", "bucket", "approx_d2")
+
+
+_IVF_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.label, cent_id,
+         ROUND(list_dot_product(v, cv)
+               / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(cv, cv))), 4) AS cos_c
+  FROM e, cents
+), assigned AS (
+  SELECT vec_id, label, cent_id AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+), qb AS (
+  SELECT bucket AS qbucket FROM assigned WHERE vec_id = {_QUERY_VEC_ID}
+), el AS (
+  SELECT vec_id, u.i, CAST(u.x AS DECIMAL(9,4)) AS q
+  FROM (SELECT vec_id, unnest(list_transform(v, (x, i) -> {{'x': x, 'i': i}})) AS u FROM e)
+), sub AS (
+  SELECT vec_id, CAST((i - 1) // ((SELECT len(v) FROM e LIMIT 1) // {_PQ_M}) AS INTEGER) AS m,
+         i, q
+  FROM el
+), cb AS (
+  SELECT vec_id AS c, m, i, q AS w FROM sub WHERE vec_id < {_PQ_K}
+), d AS (
+  SELECT s.vec_id, s.m, cb.c,
+         SUM(CAST((s.q - cb.w) * (s.q - cb.w) AS {_PQ_ACC})) AS d2
+  FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+  GROUP BY 1, 2, 3
+), code AS (
+  SELECT vec_id, m, c AS code
+  FROM (SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d)
+  WHERE rn = 1
+), dt AS (
+  SELECT m, c, d2 AS dq FROM d WHERE vec_id = {_QUERY_VEC_ID}
+), approx AS (
+  SELECT code.vec_id, CAST(SUM(dt.dq) AS DOUBLE) AS approx_d2
+  FROM code JOIN dt ON dt.m = code.m AND dt.c = code.code
+  GROUP BY 1
+), ranked AS (
+  SELECT a2.vec_id, a2.label, a2.bucket, ap.approx_d2,
+         CAST(ROW_NUMBER() OVER (ORDER BY ap.approx_d2 ASC, a2.vec_id) AS BIGINT) AS rank
+  FROM assigned a2
+  JOIN qb ON a2.bucket = qb.qbucket
+  JOIN approx ap ON ap.vec_id = a2.vec_id
+  WHERE a2.vec_id != {_QUERY_VEC_ID}
+)
+SELECT rank, vec_id, label, bucket, approx_d2 FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
     "embed_quantize_int8": QuerySpec(
@@ -428,5 +555,10 @@ QUERIES: dict[str, QuerySpec] = {
         ann_pq_adc_topk,
         _PQ_SQL,
         "beyond-reference: product-quantized ADC top-k (Jégou et al. 2011; 64× code compression)",
+    ),
+    "ann_ivf_pq_topk": QuerySpec(
+        ann_ivf_pq_topk,
+        _IVF_PQ_SQL,
+        "beyond-reference: IVF-PQ (coarse bucket restriction × PQ code scan)",
     ),
 }

@@ -72,3 +72,20 @@ def test_pq_beats_random_on_recall(spark):
     exact = {r.vec_id for r in ann_cosine_topk(spark, SF_SMOKE).collect()}
     approx = {r.vec_id for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()}
     assert len(exact & approx) >= 2  # chance overlap ≈ 0.2 ids
+
+
+def test_ivf_pq_is_bucket_restricted_subset(spark):
+    """IVF-PQ results must (a) all sit in the query's coarse bucket and
+    (b) rank by the same ADC distance the unrestricted PQ search uses."""
+    from mmeds_meta_spark.operators.similarity import ann_ivf_pq_topk, ann_pq_adc_topk
+
+    ivf = ann_ivf_pq_topk(spark, SF_SMOKE).collect()
+    assert len(ivf) > 0
+    assert len({r.bucket for r in ivf}) == 1  # all from one bucket
+    full = {r.vec_id: r.approx_d2 for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()}
+    # any ivf hit also present in the full PQ top-k must agree on distance
+    for r in ivf:
+        if r.vec_id in full:
+            assert full[r.vec_id] == r.approx_d2
+    d = [r.approx_d2 for r in ivf]
+    assert d == sorted(d)
