@@ -95,6 +95,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # ivf_pq composes the two independently-gated stages (ann_pq_adc_topk's
     # exact-decimal codes + dedup_embedding_ivf's bucket assignment shape)
     "ann_ivf_pq_topk",
+    # vocab top-k = text_token_stats' agg + the gated TakeOrdered shape;
+    # the ROLLUP demo's decimal sum is the streaming/batch rollup convention
+    "text_vocab_topk",
+    "a19_rollup_daily",
 )
 
 

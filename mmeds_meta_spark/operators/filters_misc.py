@@ -427,8 +427,47 @@ FROM carried WHERE is_probe = 1
 """
 
 
+def a19_rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate: (day, event_type) → (day) → ()
+    subtotals in ONE pass — the grouping-sets shape every reporting
+    rollup needs, with the engine expanding the three grouping sets
+    map-side instead of three separate scans.  Value sums follow the
+    streaming rollup's decimal-exact convention; ``lvl`` is the grouping
+    bitmask (0 = leaf, 1 = per-day subtotal, 3 = grand total)."""
+    from ..functions.event_time import event_ts
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("day", F.to_date(event_ts(raw.schema)))
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+        .select("day", "event_type", "lvl", "n_events", "total_value")
+    )
+
+
+_A19_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(GROUPING(CAST(ts AS DATE), event_type) AS INTEGER) AS lvl,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "a19_rollup_daily": QuerySpec(
+        a19_rollup_daily,
+        _A19_SQL,
+        "beyond-reference: one-pass ROLLUP grouping sets (day × event_type subtotals)",
+    ),
     "asof_join_attribution": QuerySpec(
         asof_join_attribution,
         _ASOF_SQL,

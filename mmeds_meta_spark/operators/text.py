@@ -8,7 +8,7 @@ narrow maps.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..testdata import table as _t
 from . import QuerySpec
@@ -285,6 +285,47 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus vocabulary — term/document frequencies for tokenizer training
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 100
+
+
+def text_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: the top-K terms by total frequency with their
+    document frequency — the aggregation every tokenizer/vocab training
+    run starts from.  One partial-agg shuffle on the token + a bounded
+    TakeOrderedAndProject top-K (each task keeps its local K; no global
+    sort, no single-partition window over the vocabulary)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    topk = stats.orderBy(F.col("tf").desc(), F.col("term")).limit(_VOCAB_TOPK)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), F.col("term"))).cast("long"),
+    ).select("rank", "term", "tf", "df")
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY 1
+), ranked AS (
+  SELECT term, tf, df,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank
+  FROM stats
+)
+SELECT rank, term, tf, df FROM ranked WHERE rank <= {_VOCAB_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
@@ -292,5 +333,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint)"),
     "text_repetition_signals": QuerySpec(
         text_repetition_signals, _REPETITION_SQL, "LLM-pipeline text (Gopher repetition filter)"
+    ),
+    "text_vocab_topk": QuerySpec(
+        text_vocab_topk, _VOCAB_SQL, "LLM-pipeline text (vocabulary TF/DF for tokenizer training)"
     ),
 }
