@@ -99,6 +99,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # the ROLLUP demo's decimal sum is the streaming/batch rollup convention
     "text_vocab_topk",
     "a19_rollup_daily",
+    # lsh_verified composes the two gated stages (minhash candidates +
+    # jaccard's integer-ratio verify) with no new physical shape
+    "dedup_lsh_verified",
 )
 
 

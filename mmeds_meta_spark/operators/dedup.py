@@ -242,7 +242,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end: LSH candidates
+    (:func:`dedup_minhash_lsh`) → EXACT Jaccard verification — the
+    verify stage touches only candidate pairs, so its cost is bounded by
+    the LSH recall set (×  avg shingles/doc), never the corpus².
+
+    Contrast with :func:`dedup_ngram_jaccard`, which builds the full
+    df-capped inverted index: at 100 TB the LSH-then-verify composition
+    is the cheaper path when candidates ≪ capped-bucket pairs, and its
+    Jaccard values are exact (integer ratio), not signature estimates."""
+    cand = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    sh = _doc_shingles(spark, sf).localCheckpoint()  # two pruned consumers
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def _lsh_verified_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a
+  JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
+"""
+
+
+def _minhash_ctes() -> str:
+    """The shared CTE chain: shingles → (a,b) halves → signatures →
+    banded keys → capped buckets.  Reused by the candidate query and the
+    LSH-verified pipeline so both oracles stay in lockstep."""
     mins = ",\n         ".join(
         f"MIN((a + {i} * b) % {_MH_P}) AS m{i}" for i in range(_N_HASHES)
     )
@@ -258,8 +317,7 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig_b"
         for b in range(_N_HASHES // _BAND_ROWS)
     )
-    return f"""
-WITH {_SHINGLE_SQL},
+    return f"""{_SHINGLE_SQL},
 ab AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(shingle), 1, 14)) AS UBIGINT)::BIGINT AS a,
@@ -278,7 +336,12 @@ ok_buckets AS (
   HAVING COUNT(*) <= {_BUCKET_CAP}
 ), capped AS (
   SELECT l.* FROM long l JOIN ok_buckets USING (band_id, band_key)
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM capped a
 JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -943,6 +1006,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _minhash_sql(), "LLM-pipeline dedup (MinHash+LSH banding)"
+    ),
+    "dedup_lsh_verified": QuerySpec(
+        dedup_lsh_verified,
+        _lsh_verified_sql(),
+        "LLM-pipeline dedup (LSH candidates -> exact-Jaccard verify, candidate-bounded)",
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, _EMB_COS_SQL, "LLM-pipeline dedup (embedding cosine, blocked)"
