@@ -102,6 +102,8 @@ _GATE_TAIL: tuple[str, ...] = (
     # lsh_verified composes the two gated stages (minhash candidates +
     # jaccard's integer-ratio verify) with no new physical shape
     "dedup_lsh_verified",
+    # a20's integer-scaled moment aggregation is d3/a11's gated shape
+    "a20_corr_profile",
 )
 
 

@@ -330,11 +330,75 @@ SELECT grp, CAST(n AS BIGINT) AS n, {', '.join(sel)} FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# a20 — exact-moment Pearson correlation / OLS slope per group
+# ---------------------------------------------------------------------------
+
+
+def a20_corr_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson r and OLS slope of extendedprice on quantity per return
+    flag — entirely from integer-scaled EXACT moments (Σx, Σy, Σx²,
+    Σy², Σxy as DECIMAL(38,0); both columns are 2dp currency/quantity so
+    ×100 scaling is lossless), with the closed-form double expression
+    applied identically on both engines.  The ×100 scale cancels
+    algebraically in both r and the slope, so no unscaling step exists
+    to disagree on.  One partial-agg shuffle; moments fit DECIMAL(38,0)
+    beyond 10¹² rows."""
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0))").alias("hx"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))").alias("hy"),
+    )
+    g = li.groupBy("grp").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(hx)").alias("sx"),
+        F.expr("SUM(hy)").alias("sy"),
+        F.expr("SUM(hx * hx)").alias("sxx"),
+        F.expr("SUM(hy * hy)").alias("syy"),
+        F.expr("SUM(hx * hy)").alias("sxy"),
+    )
+    num = "CAST(n * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+    vx = "CAST(n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    vy = "CAST(n * CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"{num} / (SQRT({vx}) * SQRT({vy}))").alias("corr"),
+        F.expr(f"{num} / {vx}").alias("slope"),
+    )
+
+
+_A20_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0)) AS hx,
+         CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0)) AS hy
+  FROM lineitem
+), g AS (
+  SELECT grp, COUNT(*) AS n, SUM(hx) AS sx, SUM(hy) AS sy,
+         SUM(hx * hx) AS sxx, SUM(hy * hy) AS syy, SUM(hx * hy) AS sxy
+  FROM li GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(n * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         / (SQRT(CAST(n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+            * SQRT(CAST(n * CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))) AS corr,
+       CAST(n * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         / CAST(n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS slope
+FROM g
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a18_quantile_profile": QuerySpec(
         a18_quantile_profile,
         _a18_sql(),
         "beyond-reference: exact quantile_cont profile via pre-aggregated CDF (no row sort)",
+    ),
+    "a20_corr_profile": QuerySpec(
+        a20_corr_profile,
+        _A20_SQL,
+        "beyond-reference: exact-moment Pearson r + OLS slope per group",
     ),
     "a6_zscore_outliers": QuerySpec(a6_zscore_outliers, _A6_SQL, "A6 validate.py:137-151"),
     "a5_rare_category_profile": QuerySpec(a5_rare_category_profile, _A5_SQL, "A5 validate.py:153-166"),
