@@ -109,3 +109,26 @@ def test_a18_quantiles_match_numpy(spark):
         for p in _QUANTILES:
             exp = float(np.percentile(np.array(vals), p, method="linear"))
             assert abs(got[g][f"q{p}"] - exp) < 1e-9, (g, p, got[g][f"q{p}"], exp)
+
+
+def test_a20_corr_matches_numpy(spark):
+    import numpy as np
+
+    from mmeds_meta_spark.operators.stats import a20_corr_profile
+
+    got = {r.grp: r for r in a20_corr_profile(spark, SF_SMOKE).collect()}
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    by_grp = {}
+    for g, x, y in rows:
+        by_grp.setdefault(g, ([], []))
+        by_grp[g][0].append(x)
+        by_grp[g][1].append(y)
+    for g, (xs, ys) in by_grp.items():
+        r_np = float(np.corrcoef(xs, ys)[0, 1])
+        slope_np = float(np.polyfit(xs, ys, 1)[0])
+        assert abs(got[g].corr - r_np) < 1e-9, (g, got[g].corr, r_np)
+        assert abs(got[g].slope - slope_np) / max(abs(slope_np), 1) < 1e-6

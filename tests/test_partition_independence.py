@@ -26,6 +26,14 @@ OPS = [
     "d5_ancombc",  # iterative bias-corrected estimator
     "sample_stratified_exact",  # windowed selection after md5 prefilter
     "sketch_kmv_distinct",  # bottom-k estimate must not depend on layout
+    # round-4 additions, one per new risk class
+    "sample_mixture_weighted",  # √n quotas + md5-range selection
+    "text_repetition_signals",  # two-level n-gram aggregation
+    "ann_pq_adc_topk",  # exact-decimal PQ codes + ADC ranking
+    "asof_join_attribution",  # union+carry running window
+    "a18_quantile_profile",  # CDF order statistics + interpolation
+    "a20_corr_profile",  # five-moment closed-form doubles
+    "dedup_lsh_verified",  # candidate-bounded exact-Jaccard verify
 ]
 
 
