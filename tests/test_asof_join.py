@@ -65,3 +65,45 @@ def test_asof_invariants_on_corpus(spark):
         & ((F.col("latency_us") < 0) | (F.col("click_ts_us") > F.col("purchase_ts_us")))
     )
     assert bad.count() == 0
+
+
+def test_asof_matches_bruteforce_on_random_feed(spark, tmp_path):
+    """Seeded random feed cross-checked against a Python brute force:
+    for every purchase, the matched click must be the max-(ts, event_id)
+    click with ts <= purchase ts for that user."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(seconds=rng.randrange(0, 3600)),
+                rng.randrange(0, 12),
+                rng.choice(["click", "purchase", "view"]),
+                float(rng.randrange(0, 100)),
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf_rand")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = {r.purchase_id: r.click_id for r in asof_join_attribution(spark, d).collect()}
+    clicks_by_user = {}
+    for eid, ts, uid, et, _v, _p in rows:
+        if et == "click":
+            clicks_by_user.setdefault(uid, []).append((ts, eid))
+    expected = {}
+    for eid, ts, uid, et, _v, _p in rows:
+        if et != "purchase":
+            continue
+        prior = [(cts, cid) for cts, cid in clicks_by_user.get(uid, []) if cts <= ts]
+        expected[eid] = max(prior)[1] if prior else None
+    assert got == expected
