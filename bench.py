@@ -65,6 +65,10 @@ def main() -> None:
     p2 = {name: run(name) for name in HEADLINE}
     times = {name: round(min(p1[name], p2[name]), 3) for name in HEADLINE}
     total = round(sum(times.values()), 3)
+    # Both raw passes are emitted alongside the min so round-over-round
+    # comparisons stay apples-to-apples: a reader can reconstruct
+    # single-pass totals (pass_1 ≈ rounds 1-3 methodology) and spot
+    # bimodal behavior (spill/GC) that min-of-2 would otherwise hide.
     print(
         json.dumps(
             {
@@ -72,6 +76,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": {
+                    "pass_1": {k: round(v, 3) for k, v in p1.items()},
+                    "pass_2": {k: round(v, 3) for k, v in p2.items()},
+                },
                 "sf": sf,
             }
         )

@@ -85,25 +85,29 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated dedup_embedding_ivf (learned k-means buckets, same assignment
     # plan); its slot goes to the new PQ-ADC searcher
     "ann_ivf_topk",
-    # the as-of join's union+carry running window is the gated
-    # w4_sessionization's exact plan shape (one user_id shuffle + ordered
-    # frame); verified by the local oracle sweep + pytest
-    "asof_join_attribution",
     # a18's pre-aggregated-CDF order statistics are the gated
     # d6_kruskal_wallis rank machinery; verified by the local sweep + pytest
     "a18_quantile_profile",
-    # ivf_pq composes the two independently-gated stages (ann_pq_adc_topk's
-    # exact-decimal codes + dedup_embedding_ivf's bucket assignment shape)
-    "ann_ivf_pq_topk",
     # vocab top-k = text_token_stats' agg + the gated TakeOrdered shape;
     # the ROLLUP demo's decimal sum is the streaming/batch rollup convention
     "text_vocab_topk",
     "a19_rollup_daily",
-    # lsh_verified composes the two gated stages (minhash candidates +
-    # jaccard's integer-ratio verify) with no new physical shape
-    "dedup_lsh_verified",
     # a20's integer-scaled moment aggregation is d3/a11's gated shape
     "a20_corr_profile",
+    # ---- round-5 rotation (per round-4 advice: gate slots ROTATE so every
+    # operator eventually gets external verification).  IN this round: the
+    # genuinely novel-shape round-4 ops asof_join_attribution,
+    # ann_ivf_pq_topk, dedup_lsh_verified, plus the four new round-5 ops
+    # (sketch_cms_heavy, text_tfidf_topk, decon_ngram_overlap,
+    # w5_range_join_bucketed).  OUT: seven entries driver-green in every
+    # round r01-r04 whose physical shapes keep gated twins:
+    "a7_dup_in_group",  # groupBy-count-filter: a5/a13's gated shape
+    "a8_column_profile",  # global min/max/count agg: d3/f6's gated shape
+    "p5_nullsafe_lookup",  # null-safe point filter: p3's gated filter shape
+    "j4_meta_view_left_join",  # polymorphic left join: j3's gated dim-join chain
+    "j6_dedup_or_insert",  # left-anti + MAX-key union: j9's gated anti-join twin
+    "a14_union_merge",  # union + distinct: j3/a13's gated shapes
+    "f1_structured_parse",  # regex parse projection: text_quality's gated regex shape
 )
 
 

@@ -192,11 +192,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # (Kirsch–Mitzenmacher: h_i = (a + i·b) mod P) — measured 8×-md5
     # signatures were the dominant cost of the whole operator.  a, b are
     # the two 56-bit halves of the digest (conv(hex,16,10) agrees with
-    # DuckDB's '0x'::UBIGINT parse); a + 7b < 2⁵⁹ never overflows BIGINT.
+    # DuckDB's '0x'::UBIGINT parse), reduced mod P at derivation so each
+    # is near-uniform over [0, P) (2⁵⁶/P ≈ 8 + 1e-8, so the residual
+    # non-uniformity is ~1e-8 — an unreduced 56-bit half folded through a
+    # final % P keeps the same marginal but the K-M guarantee is stated
+    # for uniform coefficients, so we reduce first); a + 7b < 2⁵⁶ never
+    # overflows BIGINT.  Estimator caveat: K-M double hashing bounds
+    # Bloom-filter FPR, not MinHash Jaccard moments — collision
+    # probability of affinely-dependent h_i deviates slightly from true
+    # Jaccard.  Here that only shapes candidate RECALL: membership is
+    # re-verified with exact integer-ratio Jaccard in
+    # :func:`dedup_lsh_verified`, so precision is never affected.
     hashed = sh.selectExpr(
         "doc_id",
-        f"CAST(conv(substr(md5(shingle), 1, 14), 16, 10) AS BIGINT) AS a",
-        f"CAST(conv(substr(md5(shingle), 15, 14), 16, 10) AS BIGINT) AS b",
+        f"CAST(conv(substr(md5(shingle), 1, 14), 16, 10) AS BIGINT) % {_MH_P} AS a",
+        f"CAST(conv(substr(md5(shingle), 15, 14), 16, 10) AS BIGINT) % {_MH_P} AS b",
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.expr(f"MIN((a + {i} * b) % {_MH_P})").alias(f"m{i}") for i in range(_N_HASHES)]
@@ -320,8 +330,8 @@ def _minhash_ctes() -> str:
     return f"""{_SHINGLE_SQL},
 ab AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(shingle), 1, 14)) AS UBIGINT)::BIGINT AS a,
-         CAST(('0x' || substr(md5(shingle), 15, 14)) AS UBIGINT)::BIGINT AS b
+         CAST(('0x' || substr(md5(shingle), 1, 14)) AS UBIGINT)::BIGINT % {_MH_P} AS a,
+         CAST(('0x' || substr(md5(shingle), 15, 14)) AS UBIGINT)::BIGINT % {_MH_P} AS b
   FROM shingles
 ),
 sig AS (
@@ -984,6 +994,70 @@ FROM best
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap vs a held-out eval set
+# ---------------------------------------------------------------------------
+
+_DECON_TAU = 0.20  # flag docs sharing ≥20% of their shingles with any bench doc
+_BENCH_MOD = 101  # stand-in benchmark membership: doc_id ≡ 0 (mod 101)
+
+
+def decon_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set decontamination: flag corpus documents whose word-2-gram
+    shingle overlap with any held-out benchmark document exceeds τ — the
+    standard n-gram-collision eval-leak check run before every LLM
+    training job (cf. GPT-3/PaLM appendix decontamination).
+
+    The benchmark set here is the docs with doc_id ≡ 0 (mod {mod}) — a
+    deterministic stand-in for a real eval-suite table, which is always
+    TINY (MBs) next to the corpus.  That asymmetry is the scale design:
+    benchmark shingles ship BROADCAST, the 100 TB corpus side streams
+    through a narrow map + one partial-agg shuffle on (doc_id, bench_id)
+    — no shuffle of corpus shingles against each other, no inverted
+    index over the corpus.  overlap_frac is an integer ratio
+    (n_common / n_doc_shingles) → bit-identical double cross-engine.
+    """
+    sh = _doc_shingles(spark, sf)
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_doc_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn("overlap_frac", F.col("n_common").cast("double") / F.col("n_doc_shingles"))
+        .filter(F.col("overlap_frac") >= _DECON_TAU)
+        .select("doc_id", "bench_id", "n_common", "n_doc_shingles", "overlap_frac")
+    )
+
+
+decon_ngram_overlap.__doc__ = decon_ngram_overlap.__doc__.format(mod=_BENCH_MOD)
+
+_DECON_SQL = f"""
+WITH {_SHINGLE_SQL},
+bench AS (
+  SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {_BENCH_MOD} <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_doc_shingles FROM corpus GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_common, s.n_doc_shingles,
+       CAST(h.n_common AS DOUBLE) / s.n_doc_shingles AS overlap_frac
+FROM hits h JOIN sizes s USING (doc_id)
+WHERE CAST(h.n_common AS DOUBLE) / s.n_doc_shingles >= {_DECON_TAU}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components,
@@ -1024,5 +1098,10 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_simhash_incremental,
         _simhash_incremental_sql(),
         "LLM-pipeline incremental near-dup: new batch vs corpus, probe-restricted band join",
+    ),
+    "decon_ngram_overlap": QuerySpec(
+        decon_ngram_overlap,
+        _DECON_SQL,
+        "LLM-pipeline decontamination: corpus-vs-benchmark n-gram overlap, broadcast bench side",
     ),
 }

@@ -461,8 +461,98 @@ GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# w5 — bucketed range join: follow-up events within a window after a purchase
+# ---------------------------------------------------------------------------
+
+_RANGE_W_US = 10 * 60 * 1_000_000  # 10-minute follow-up window
+
+
+def w5_range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: for each purchase, aggregate the same user's events in
+    (t, t+W] — the attribution-window shape (ad-click → conversion,
+    purchase → follow-on activity).
+
+    A naive range join on ``user_id`` alone degenerates for hot users
+    (per-user quadratic residual filtering, and Spark plans pure range
+    predicates as BNLJ).  The scale design is TIME BUCKETING: both sides
+    key on (user_id, floor(ts/W)); a probe matching events ≤ W ahead can
+    only land in its own bucket or the next one, so each purchase is
+    exploded into exactly 2 composite probe keys.  The join becomes a
+    plain equi-join on (user_id, bucket) with a cheap residual range
+    filter — comparisons are bounded by 2-bucket density, never per-user
+    totals, and the composite key ALSO splits hot users across time
+    (built-in skew mitigation).  Value sums use the decimal-exact
+    convention; purchases with no follow-up events are not emitted
+    (inner-join semantics, documented)."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    build = ev.select(
+        "user_id",
+        F.expr(f"ts_us DIV {_RANGE_W_US}").alias("bucket"),
+        F.col("ts_us").alias("e_ts_us"),
+        F.round(F.col("value"), 6).cast("decimal(28,6)").alias("e_value"),
+    )
+    probes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("p_ts_us"),
+            F.explode(
+                F.array(
+                    F.expr(f"ts_us DIV {_RANGE_W_US}"),
+                    F.expr(f"ts_us DIV {_RANGE_W_US} + 1"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(build, ["user_id", "bucket"])
+        .filter(
+            (F.col("e_ts_us") > F.col("p_ts_us"))
+            & (F.col("e_ts_us") <= F.col("p_ts_us") + _RANGE_W_US)
+        )
+        .groupBy("purchase_id", "user_id", "p_ts_us")
+        .agg(
+            F.count("*").alias("n_follow"),
+            F.sum("e_value").cast("double").alias("follow_value"),
+            F.max("e_ts_us").alias("last_follow_us"),
+        )
+    )
+
+
+_W5_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+), probes AS (
+  SELECT event_id AS purchase_id, user_id, ts_us AS p_ts_us
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.p_ts_us,
+       COUNT(*) AS n_follow,
+       CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS follow_value,
+       MAX(e.ts_us) AS last_follow_us
+FROM probes p JOIN ev e
+  ON p.user_id = e.user_id
+ AND e.ts_us > p.p_ts_us AND e.ts_us <= p.p_ts_us + {_RANGE_W_US}
+GROUP BY p.purchase_id, p.user_id, p.p_ts_us
+"""
+# The oracle states the PLAIN range-join semantics; the Spark plan's
+# bucketing is an equivalence-preserving physical rewrite (any event in
+# (t, t+W] lies in bucket(t) or bucket(t)+1, and the residual filter
+# removes everything else).
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "w5_range_join_bucketed": QuerySpec(
+        w5_range_join_bucketed,
+        _W5_SQL,
+        "W-family extension: bucketed range join (attribution window, composite-key skew split)",
+    ),
     "a19_rollup_daily": QuerySpec(
         a19_rollup_daily,
         _A19_SQL,

@@ -85,10 +85,129 @@ FROM bottom
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64  # deliberately narrow so bucket collisions actually occur on
+# the test vocabulary and the demo shows the sketch's one-sided error
+# (est ≥ exact, overestimate bounded by ε·N with ε = e/width per row)
+_CMS_TOPK = 20
+
+
+def _cms_bucket(dialect: str, depth: str, key: str) -> str:
+    """Row-``depth`` bucket of ``key``: first 8 hex nibbles of
+    md5(depth:key) mod width — independent-enough rows from one digest
+    family, portable across engines (md5 hex, never native hash())."""
+    inner = (
+        f"md5(concat(CAST({depth} AS STRING), ':', {key}))"
+        if dialect == "spark"
+        else f"md5(CAST({depth} AS VARCHAR) || ':' || {key})"
+    )
+    cast = (
+        f"CAST(conv(substr({inner}, 1, 8), 16, 10) AS BIGINT)"
+        if dialect == "spark"
+        else f"CAST(('0x' || substr({inner}, 1, 8)) AS UBIGINT)::BIGINT"
+    )
+    return f"({cast} % {_CMS_WIDTH})"
+
+
+def sketch_cms_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the exact top-k tokens, side-by-side with truth.
+
+    Build: token counts → each token feeds ``depth`` (row, bucket)
+    counters (sum of counts per bucket).  Estimate(tok) = MIN over rows
+    of its bucket's counter — one-sided error (never underestimates).
+
+    Physical shape at 100 TB: the counter table is depth×width rows
+    (4×64 here — tiny at ANY corpus size; that fixed footprint is the
+    whole point of the sketch) built by one partial-aggregated groupBy;
+    the probe side joins the k query tokens against it BROADCAST.  The
+    exact top-k used for comparison is itself a partial-agg count +
+    TakeOrdered, never a global sort.  Output: (tok, exact_cnt,
+    cms_est, overestimate)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    # counter table: stack each token's count into its depth buckets
+    stacked = cnt.selectExpr(
+        "cnt",
+        "stack("
+        + str(_CMS_DEPTH)
+        + ", "
+        + ", ".join(f"{r}, {_cms_bucket('spark', str(r), 'tok')}" for r in range(_CMS_DEPTH))
+        + ") AS (row_id, bucket)",
+    )
+    counters = stacked.groupBy("row_id", "bucket").agg(F.sum("cnt").alias("c"))
+    top = (
+        cnt.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_CMS_TOPK)
+        .selectExpr(
+            "tok",
+            "cnt AS exact_cnt",
+            "stack("
+            + str(_CMS_DEPTH)
+            + ", "
+            + ", ".join(f"{r}, {_cms_bucket('spark', str(r), 'tok')}" for r in range(_CMS_DEPTH))
+            + ") AS (row_id, bucket)",
+        )
+    )
+    est = (
+        top.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )
+
+
+def _cms_sql() -> str:
+    buckets = lambda alias: " UNION ALL ".join(  # noqa: E731
+        f"SELECT tok, {('exact_cnt' if alias == 'top' else 'cnt')} AS cnt, {r} AS row_id,"
+        f" {_cms_bucket('duck', str(r), 'tok')} AS bucket FROM {alias}"
+        for r in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), stacked AS (
+  {buckets('cnt')}
+), counters AS (
+  SELECT row_id, bucket, SUM(cnt) AS c FROM stacked GROUP BY row_id, bucket
+), top AS (
+  SELECT tok, cnt AS exact_cnt FROM cnt ORDER BY cnt DESC, tok ASC LIMIT {_CMS_TOPK}
+), probe AS (
+  {buckets('top')}
+), est AS (
+  SELECT p.tok, p.cnt AS exact_cnt, MIN(co.c) AS cms_est
+  FROM probe p JOIN counters co ON p.row_id = co.row_id AND p.bucket = co.bucket
+  GROUP BY p.tok, p.cnt
+)
+SELECT tok, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(
         sketch_kmv_distinct,
         _KMV_SQL,
         "beyond-reference: portable bottom-k cardinality sketch (TakeOrdered, no global sort)",
+    ),
+    "sketch_cms_heavy": QuerySpec(
+        sketch_cms_heavy,
+        _cms_sql(),
+        "beyond-reference: count-min sketch heavy hitters — fixed depth×width counter "
+        "table (partial-agg groupBy) + broadcast probe; one-sided error surfaced as "
+        "an `overestimate` column",
     ),
 }

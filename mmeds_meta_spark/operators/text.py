@@ -326,6 +326,73 @@ SELECT rank, term, tf, df FROM ranked WHERE rank <= {_VOCAB_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the standard
+    keyword/feature extraction pass over a training corpus.
+
+    Portability note: idf is the RATIONAL ratio N/df rather than the
+    classic ln(N/df) — multiplication and division are exactly-rounded
+    IEEE ops (bit-identical across engines) while ln() is only
+    1-ulp-accurate and differs between the JVM's Math.log and libm, so a
+    log-based score could not be hash-compared cross-engine.  Since
+    x ↦ ln(x) is monotone, per-TERM idf ORDER is unchanged; only the
+    tf×idf trade-off weighting differs (documented variant).
+
+    Physical shape at 100 TB: tf is one partial-agg shuffle on
+    (doc_id, tok); df re-aggregates the per-term rows; the N scalar is a
+    1-row broadcast (bounded BNLJ); the final top-k is a row_number
+    window PARTITIONED BY doc_id — millions of independent per-doc
+    frames, never a global sort.  The df-side broadcast hint assumes a
+    vocabulary-sized dimension (Heaps-law sublinear in corpus size);
+    past the broadcast threshold drop the hint and AQE picks a shuffle
+    join on `tok` instead — df stays correct either way."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, tok, tf, df, tfidf FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
@@ -336,5 +403,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_vocab_topk": QuerySpec(
         text_vocab_topk, _VOCAB_SQL, "LLM-pipeline text (vocabulary TF/DF for tokenizer training)"
+    ),
+    "text_tfidf_topk": QuerySpec(
+        text_tfidf_topk,
+        _TFIDF_SQL,
+        "LLM-pipeline text (per-doc TF-IDF top terms; rational idf for cross-engine bit-identity)",
     ),
 }

@@ -14,6 +14,8 @@ from the checkpoint + idempotent sink pair).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
@@ -80,21 +82,41 @@ def streaming_exact_dedup(
     )
 
 
+def _parquet_bytes(path: str) -> int:
+    """On-disk footprint of a parquet file-or-directory (no scan)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def streaming_enrich(
-    spark: SparkSession, events_dir: str, sf_dir: str
+    spark: SparkSession,
+    events_dir: str,
+    sf_dir: str,
+    broadcast_cap_bytes: int = 10 * 1024 * 1024,
 ) -> DataFrame:
     """Stream-static enrichment: the event stream joined to the customer
     dimension (user_id = c_custkey) with the nation name attached — the
     standard "enrich facts in flight" micro-batch pattern.
 
     The static side is batch DataFrames, re-resolved per micro-batch by
-    Structured Streaming; `F.broadcast` pins the physical strategy so
-    every micro-batch is a broadcast hash join (no per-batch shuffle of
-    the stream).  At 100 TB the stream side stays partition-parallel and
-    only the dimension ships to executors — update the dimension files
-    and the NEXT micro-batch sees the new rows (slowly-changing dims need
-    a versioned static source instead).  Unmatched events keep NULL
-    enrichment columns (left join) rather than silently dropping."""
+    Structured Streaming.  The broadcast hint is SIZE-GATED, not
+    unconditional: a customer dimension grows with the dataset, and
+    force-broadcasting a dimension past the executor-memory budget OOMs
+    at real scale.  Below ``broadcast_cap_bytes`` (default = Spark's own
+    10 MB ``autoBroadcastJoinThreshold`` default) the hint pins every
+    micro-batch to a broadcast hash join (no per-batch shuffle of the
+    stream); above it we leave strategy choice to Catalyst, which
+    shuffles the dimension once per micro-batch — the correct trade once
+    the dimension no longer fits per-executor.  Dimension size is
+    estimated once at plan time from the parquet file footprint (cheap,
+    no scan).  Update the dimension files and the NEXT micro-batch sees
+    the new rows (slowly-changing dims need a versioned static source
+    instead).  Unmatched events keep NULL enrichment columns (left join)
+    rather than silently dropping."""
     ev = _event_stream(spark, events_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"),
@@ -104,9 +126,16 @@ def streaming_enrich(
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
     )
+    # nation is a fixed 25-row table — always broadcastable; the customer
+    # dimension is gated on its parquet footprint (compressed bytes are a
+    # LOWER bound on in-memory size, so this errs toward broadcasting —
+    # callers with memory-tight executors should pass a smaller cap).
     dim = cust.join(F.broadcast(nation), "c_nationkey", "left").select(
         "user_id", "segment", "nation"
     )
-    return ev.join(F.broadcast(dim), "user_id", "left").select(
+    dim_bytes = _parquet_bytes(f"{sf_dir}/customer.parquet")
+    if dim_bytes <= broadcast_cap_bytes:
+        dim = F.broadcast(dim)
+    return ev.join(dim, "user_id", "left").select(
         "event_id", "event_ts", "user_id", "event_type", "value", "segment", "nation"
     )

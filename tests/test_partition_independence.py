@@ -34,6 +34,11 @@ OPS = [
     "a18_quantile_profile",  # CDF order statistics + interpolation
     "a20_corr_profile",  # five-moment closed-form doubles
     "dedup_lsh_verified",  # candidate-bounded exact-Jaccard verify
+    # round-5 additions
+    "sketch_cms_heavy",  # depth×width counter table + broadcast probe
+    "w5_range_join_bucketed",  # exploded 2-bucket composite-key range join
+    "decon_ngram_overlap",  # broadcast bench side + integer-ratio fraction
+    "text_tfidf_topk",  # per-doc rank over rational-idf scores
 ]
 
 
