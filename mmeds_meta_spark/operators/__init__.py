@@ -108,6 +108,12 @@ _GATE_TAIL: tuple[str, ...] = (
     "j6_dedup_or_insert",  # left-anti + MAX-key union: j9's gated anti-join twin
     "a14_union_merge",  # union + distinct: j3/a13's gated shapes
     "f1_structured_parse",  # regex parse projection: text_quality's gated regex shape
+    # probe-restricted band join: dedup_simhash's gated banding shape (its
+    # slot funds the new portable-HLL sketch)
+    "dedup_simhash_incremental",
+    # binary-metadata profile agg: multimodal_feature_extract keeps the gated
+    # mapInPandas/Arrow evidence (its slot funds the containment dedup)
+    "multimodal_meta_profile",
 )
 
 

@@ -166,6 +166,82 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_JACCARD_TAU}
 
 
 # ---------------------------------------------------------------------------
+# containment near-dup — asymmetric |A∩B| / min(|A|,|B|)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.60
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-copy detection: pairs where the SMALLER document's shingle
+    set is ≥ τ contained in the other — the quote/boilerplate/subset case
+    Jaccard systematically misses (a 50-shingle doc fully quoted inside a
+    5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0).  This is
+    the second standard near-dup statistic next to Jaccard in corpus
+    dedup (Broder 1997 distinguishes resemblance vs containment).
+
+    Same inverted-index physical shape as :func:`dedup_ngram_jaccard`
+    (candidates ONLY from the df-capped shingle join; set sizes stay
+    uncapped and honest); containment is an integer ratio →
+    bit-identical double.  Output: (doc_a, doc_b, inter, n_small,
+    containment), doc_a < doc_b."""
+    sh = _doc_shingles(spark, sf).cache()
+    n_docs = _t(spark, sf, "documents").count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= int(_DF_CAP_FRAC * n_docs))
+        .select("shingle")
+    )
+    rare = sh.join(df_ok, "shingle")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_small", F.least("na", "nb"))
+        .withColumn("containment", F.expr("CAST(inter AS DOUBLE) / n_small"))
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+        .select("doc_a", "doc_b", "inter", "n_small", "containment")
+    )
+
+
+_CONTAIN_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), ndocs AS (
+  SELECT COUNT(*) AS n FROM documents
+), df_ok AS (
+  SELECT shingle FROM shingles, ndocs GROUP BY shingle, n
+  HAVING COUNT(*) <= CAST({_DF_CAP_FRAC} * n AS BIGINT)
+), rare AS (
+  SELECT doc_id, shingle FROM shingles WHERE shingle IN (SELECT shingle FROM df_ok)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       LEAST(sa.n_sh, sb.n_sh) AS n_small,
+       CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {_CONTAIN_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH — double-hashed md5 minhash, banded
 # ---------------------------------------------------------------------------
 
@@ -1128,5 +1204,11 @@ QUERIES: dict[str, QuerySpec] = {
         decon_ngram_overlap,
         _DECON_SQL,
         "LLM-pipeline decontamination: corpus-vs-benchmark n-gram overlap, broadcast bench side",
+    ),
+    "dedup_containment": QuerySpec(
+        dedup_containment,
+        _CONTAIN_SQL,
+        "LLM-pipeline dedup (asymmetric containment — partial-copy/quote detection, "
+        "Broder resemblance-vs-containment)",
     ),
 }

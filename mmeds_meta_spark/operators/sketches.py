@@ -197,11 +197,110 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog — portable registers, exact-decimal harmonic sum
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers; std error 1.04/√m ≈ 6.5%
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 48  # rank source: the 48 bits after the bucket nibbles
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. 2007, m ≥ 128
+# numerator folded once in Python: ×m² and ×2⁴⁹ are exact power-of-two
+# scalings, and the single scientific-notation literal parses as DOUBLE in
+# both engines (a chain of decimal literals would hit DuckDB's DECIMAL
+# multiplication overflow)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** 49)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog cardinality of the (doc, token) incidence pairs —
+    same quantity as :func:`sketch_kmv_distinct`, estimated from 256
+    fixed registers instead of a bottom-k heap (HLL merges by register
+    MAX, which is what makes it THE sketch for distributed/streaming
+    distinct counts).
+
+    Portability: native HLL implementations (Spark's HLL++ vs DuckDB's)
+    can never cross-check, so registers are derived from md5 — bucket =
+    first 2 hex nibbles, rank = leading zeros of the next 48 bits + 1
+    (computed as 49 − length(bin(w)), identical in both engines).  The
+    harmonic denominator Σ 2^(−M_j) is rescaled by 2^49 into an EXACT
+    integer sum (DECIMAL(38,0)/HUGEINT — every term 2^(49−M) is an
+    integer since M ≤ 49), so the one double division at the end is an
+    exactly-rounded op on identical inputs → bit-identical estimate.
+    The ln-based small-range (linear-counting) correction is a
+    documented seam: ln() is only 1-ulp portable, and at every test SF
+    the true count ≫ 2.5 m, where raw HLL needs no correction; n_zero
+    is emitted so a caller can apply their own LC.
+
+    Physical shape at 100 TB: one partial-agg shuffle to 256 register
+    rows (MAX combines map-side), then a single-row final agg — the
+    sketch state is 256 integers no matter the corpus size.
+    """
+    d = _t(spark, sf, "documents")
+    pair = (
+        d.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
+        .select(F.concat_ws("|", F.col("doc_id").cast("string"), "tok").alias("pk"))
+    )
+    hx = pair.selectExpr("md5(pk) AS h")
+    br = hx.selectExpr(
+        f"CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr(h, 3, {_HLL_WBITS // 4}), 16, 10) AS BIGINT) AS w",
+    ).selectExpr(
+        "bucket",
+        f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank",
+    )
+    regs = br.groupBy("bucket").agg(F.max("rank").alias("m_j"))
+    return regs.agg(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        F.count("*").alias("n_nonzero"),
+        (F.lit(_HLL_M).cast("long") - F.count("*")).alias("n_zero"),
+        F.expr(
+            f"ROUND({_HLL_NUM!r}"
+            f" / CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 49 - m_j) AS DECIMAL(38,0)))"
+            f"   + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0)) * {2 ** 49} AS DOUBLE), 4)"
+        ).alias("est_distinct"),
+    )
+
+
+_HLL_SQL = f"""
+WITH pair AS (
+  SELECT CAST(doc_id AS VARCHAR) || '|' || unnest(string_split(text, ' ')) AS pk
+  FROM documents
+), hx AS (
+  SELECT md5(pk) AS h FROM pair
+), br AS (
+  SELECT CAST(('0x' || substr(h, 1, 2)) AS UBIGINT)::BIGINT AS bucket,
+         CAST(('0x' || substr(h, 3, {_HLL_WBITS // 4})) AS UBIGINT)::BIGINT AS w
+  FROM hx
+), ranked AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank
+  FROM br
+), regs AS (
+  SELECT bucket, MAX(rank) AS m_j FROM ranked GROUP BY bucket
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       COUNT(*) AS n_nonzero,
+       CAST({_HLL_M} AS BIGINT) - COUNT(*) AS n_zero,
+       ROUND({_HLL_NUM!r}
+             / CAST(SUM(CAST(1::BIGINT << (49 - m_j) AS HUGEINT))
+               + CAST({_HLL_M} - COUNT(*) AS HUGEINT) * CAST({2 ** 49} AS HUGEINT) AS DOUBLE), 4) AS est_distinct
+FROM regs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(
         sketch_kmv_distinct,
         _KMV_SQL,
         "beyond-reference: portable bottom-k cardinality sketch (TakeOrdered, no global sort)",
+    ),
+    "sketch_hll_distinct": QuerySpec(
+        sketch_hll_distinct,
+        _HLL_SQL,
+        "beyond-reference: portable HyperLogLog — md5 registers, exact-decimal harmonic sum, "
+        "256-int sketch state at any corpus size",
     ),
     "sketch_cms_heavy": QuerySpec(
         sketch_cms_heavy,

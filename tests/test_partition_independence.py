@@ -39,6 +39,8 @@ OPS = [
     "w5_range_join_bucketed",  # exploded 2-bucket composite-key range join
     "decon_ngram_overlap",  # broadcast bench side + integer-ratio fraction
     "text_tfidf_topk",  # per-doc rank over rational-idf scores
+    "sketch_hll_distinct",  # register MAX must be layout-independent
+    "dedup_containment",  # inverted-index pair stats, asymmetric ratio
 ]
 
 
