@@ -236,9 +236,17 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     rows (MAX combines map-side), then a single-row final agg — the
     sketch state is 256 integers no matter the corpus size.
     """
-    d = _t(spark, sf, "documents")
+    return hll_estimate_from_regs(hll_registers(_t(spark, sf, "documents")))
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(bucket, m_j) HLL registers over a documents relation — the
+    mergeable sketch state: registers from disjoint (or overlapping!)
+    slices combine by per-bucket MAX, which is idempotent and monotone,
+    so replays and re-merges can never corrupt the estimate.  Shared by
+    the batch operator and the streaming register store."""
     pair = (
-        d.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
+        docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
         .select(F.concat_ws("|", F.col("doc_id").cast("string"), "tok").alias("pk"))
     )
     hx = pair.selectExpr("md5(pk) AS h")
@@ -249,7 +257,12 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "bucket",
         f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank",
     )
-    regs = br.groupBy("bucket").agg(F.max("rank").alias("m_j"))
+    return br.groupBy("bucket").agg(F.max("rank").alias("m_j"))
+
+
+def hll_estimate_from_regs(regs: DataFrame) -> DataFrame:
+    """One-row (m, n_nonzero, n_zero, est_distinct) from a register
+    relation, by the exact-decimal harmonic sum."""
     return regs.agg(
         F.lit(_HLL_M).cast("long").alias("m"),
         F.count("*").alias("n_nonzero"),

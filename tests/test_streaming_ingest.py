@@ -37,6 +37,32 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert splits <= {"train", "eval"}
 
 
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The streaming register store fed the same documents must yield the
+    batch operator's BIT-IDENTICAL estimate row — HLL merge (per-bucket
+    MAX) is order- and slicing-insensitive."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.operators.sketches import sketch_hll_distinct
+    from mmeds_meta_spark.streaming.sketches import hll_estimate, start_streaming_hll
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "w0"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for i, wave in enumerate(sorted(tmp_path.glob("w[01]/*.parquet"))):
+        shutil.move(str(wave), str(feed / f"w{i}.parquet"))
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    sq = start_streaming_hll(spark, str(feed), store_dir=store, checkpoint_dir=ck)
+    sq.awaitTermination(120)
+
+    streamed = hll_estimate(spark, store).collect()
+    batch = sketch_hll_distinct(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """Micro-batched incremental dedup over a growing signature store must
     discover exactly the batch operator's full pair set, regardless of
