@@ -84,7 +84,11 @@ def d2_bray_curtis(spark: SparkSession, sf: str, *, block: int = _BC_BLOCK) -> D
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c")).cache()
     totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
     a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
-    b = counts.select(F.col("user_id").alias("ub"), "event_type", F.col("c").alias("xb"))
+    # shuffle-hash: event_type has 5 fat keys — SMJ sorts the full pair
+    # expansion, SHJ streams it (same pattern as the dedup band joins)
+    b = counts.select(
+        F.col("user_id").alias("ub"), "event_type", F.col("c").alias("xb")
+    ).hint("shuffle_hash")
     common = (
         a.join(b, "event_type")
         .filter(F.col("ua") < F.col("ub"))

@@ -139,7 +139,10 @@ def d2_unifrac_unweighted(
     cov = _cov(spark, sf, block=block).cache()
     tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
-    b = cov.select(F.col("user_id").alias("ub"), "branch")
+    # shuffle-hash: branch keys are few and fat (every sample covers most
+    # branches), so SMJ would sort the full pair expansion (see dedup.py's
+    # band join for the measured 3-4x pattern)
+    b = cov.select(F.col("user_id").alias("ub"), "branch").hint("shuffle_hash")
     shared = (
         a.join(b, "branch")
         .filter(F.col("ua") < F.col("ub"))
@@ -202,7 +205,8 @@ def d2_unifrac_weighted(
     na = nt.select(F.col("user_id").alias("ua"), F.col("n").alias("na"))
     nb = nt.select(F.col("user_id").alias("ub"), F.col("n").alias("nb"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"), F.col("cb").alias("ca"))
-    b = cov.select(F.col("user_id").alias("ub"), "branch", F.col("cb").alias("cb2"))
+    # shuffle-hash: same few-fat-keys rationale as the unweighted variant
+    b = cov.select(F.col("user_id").alias("ub"), "branch", F.col("cb").alias("cb2")).hint("shuffle_hash")
     common = (
         a.join(b, "branch")
         .filter(F.col("ua") < F.col("ub"))
