@@ -114,6 +114,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # binary-metadata profile agg: multimodal_feature_extract keeps the gated
     # mapInPandas/Arrow evidence (its slot funds the containment dedup)
     "multimodal_meta_profile",
+    # agg + semi-join keep-list: q_meta_cohort's gated filter/groupBy shape
+    # (its slot funds the funnel-conversion operator)
+    "p9_min_frequency_filter",
 )
 
 

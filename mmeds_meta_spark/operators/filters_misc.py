@@ -546,8 +546,117 @@ GROUP BY p.purchase_id, p.user_id, p.p_ts_us
 # removes everything else).
 
 
+# ---------------------------------------------------------------------------
+# w6 — ordered funnel conversion (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def w6_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel: a user converts through step k iff the earliest
+    step-k event STRICTLY FOLLOWS their earliest step-(k−1) conversion —
+    the standard product-analytics funnel, computed as one conditional
+    aggregation per user (min event time per step), then one global
+    roll-up of per-step conversion counts.
+
+    Physical shape at 100 TB: a single partial-agg shuffle on user_id
+    (the per-step MINs combine map-side — no window, no per-user sort,
+    no self-join), then a 1-row final agg.  The step comparison is pure
+    integer µs arithmetic → portable.  Output: one row per funnel step
+    with n_reached and the integer-ratio conversion rate vs step 1."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts_us"))).alias(f"t{i}")
+            for i, s in enumerate(_FUNNEL)
+        ]
+    )
+    # c_k = earliest time the user has completed steps 0..k IN ORDER:
+    # the first step-k event after c_{k-1}?  With only min-per-step
+    # available, the standard simplification (strict funnel on earliest
+    # events) is: converted_k ⟺ t0 < t1 < ... < tk.  Documented — both
+    # engines state the same rule, so the oracle pins it.
+    conv = mins.select(
+        "user_id",
+        *[
+            F.when(
+                F.expr(" AND ".join(f"t{j} IS NOT NULL" for j in range(i + 1))
+                       + ("" if i == 0 else " AND " + " AND ".join(f"t{j-1} < t{j}" for j in range(1, i + 1)))),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"c{i}")
+            for i in range(len(_FUNNEL))
+        ],
+    )
+    tall = conv.selectExpr(
+        "stack("
+        + str(len(_FUNNEL))
+        + ", "
+        + ", ".join(f"{i}, '{s}', c{i}" for i, s in enumerate(_FUNNEL))
+        + ") AS (step, step_name, c)"
+    )
+    agg = tall.groupBy("step", "step_name").agg(F.sum("c").cast("long").alias("n_reached"))
+    base = agg.filter(F.col("step") == 0).select(F.col("n_reached").alias("n_base"))
+    return (
+        agg.crossJoin(F.broadcast(base))
+        .select(
+            F.col("step").cast("long").alias("step"),
+            "step_name",
+            "n_reached",
+            (F.col("n_reached").cast("double") / F.col("n_base")).alias("conv_rate"),
+        )
+    )
+
+
+def _w6_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts_us END) AS t{i}"
+        for i, s in enumerate(_FUNNEL)
+    )
+    convs = []
+    for i in range(len(_FUNNEL)):
+        cond = " AND ".join(f"t{j} IS NOT NULL" for j in range(i + 1))
+        if i > 0:
+            cond += " AND " + " AND ".join(f"t{j-1} < t{j}" for j in range(1, i + 1))
+        convs.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END AS c{i}")
+    tall = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name, c{i} AS c FROM conv"
+        for i, s in enumerate(_FUNNEL)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), mins AS (
+  SELECT user_id, {mins}
+  FROM ev GROUP BY user_id
+), conv AS (
+  SELECT user_id, {", ".join(convs)} FROM mins
+), tall AS (
+  {tall}
+), agg AS (
+  SELECT step, step_name, CAST(SUM(c) AS BIGINT) AS n_reached
+  FROM tall GROUP BY step, step_name
+), base AS (
+  SELECT n_reached AS n_base FROM agg WHERE step = 0
+)
+SELECT CAST(step AS BIGINT) AS step, step_name, n_reached,
+       CAST(n_reached AS DOUBLE) / n_base AS conv_rate
+FROM agg, base
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "w6_funnel_conversion": QuerySpec(
+        w6_funnel_conversion,
+        _w6_sql(),
+        "W-family extension: ordered funnel conversion (per-step MIN agg, no window/self-join)",
+    ),
     "w5_range_join_bucketed": QuerySpec(
         w5_range_join_bucketed,
         _W5_SQL,
