@@ -117,6 +117,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # agg + semi-join keep-list: q_meta_cohort's gated filter/groupBy shape
     # (its slot funds the funnel-conversion operator)
     "p9_min_frequency_filter",
+    # majority-vote global agg: d3_anova_f's gated exact-moment agg shape
+    # (its slot funds the transition-matrix operator)
+    "f6_type_inference",
 )
 
 

@@ -650,8 +650,70 @@ FROM agg, base
 """
 
 
+# ---------------------------------------------------------------------------
+# w7 — behavioral transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+
+def w7_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition estimate over per-user event
+    sequences: P(next = b | current = a) = n(a→b) / n(a→*) — the
+    behavioral-model fit behind session prediction and anomaly scoring.
+
+    Physical shape at 100 TB: ONE shuffle on user_id for the lag window
+    (events per user are bounded; the frame is a single lag, no running
+    state), then the transition counts collapse to ≤ |types|² rows —
+    the matrix aggregation is map-side-combined into a trivially small
+    result no matter the corpus.  Probabilities are integer ratios →
+    bit-identical.  Ties in event order are broken by event_id (total,
+    deterministic)."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = steps.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        steps.join(F.broadcast(totals), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("n_cur")).alias("p"),
+        )
+    )
+
+
+_W7_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), step AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+  FROM ev
+), cnt AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM step WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), tot AS (
+  SELECT cur, SUM(n) AS n_cur FROM cnt GROUP BY cur
+)
+SELECT c.cur, c.nxt, c.n, CAST(c.n AS DOUBLE) / t.n_cur AS p
+FROM cnt c JOIN tot t USING (cur)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "w7_transition_matrix": QuerySpec(
+        w7_transition_matrix,
+        _W7_SQL,
+        "W-family extension: first-order Markov transition matrix (one lag window, matrix-sized agg)",
+    ),
     "w6_funnel_conversion": QuerySpec(
         w6_funnel_conversion,
         _w6_sql(),
