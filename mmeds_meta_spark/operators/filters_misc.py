@@ -707,8 +707,78 @@ FROM cnt c JOIN tot t USING (cur)
 """
 
 
+# ---------------------------------------------------------------------------
+# w8 — cohort retention matrix (week-granular)
+# ---------------------------------------------------------------------------
+
+
+def w8_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users are grouped by the day of their FIRST
+    event (the cohort); for each (cohort_day, day_offset) the matrix
+    counts how many cohort members were active that many days later
+    (the product-analytics D1/D7 retention matrix), plus the
+    integer-ratio retention rate vs the cohort's size.
+
+    Physical shape at 100 TB: ONE shuffle on user_id — the per-user agg
+    collapses each user to (first day, distinct active days), both
+    map-side combinable, and the set is bounded by the time horizon in
+    days, never by event volume.  The exploded (user, offset) rows then
+    collapse into a matrix of ≤ horizon² cells (second, trivially small
+    shuffle); cohort sizes come from the offset-0 diagonal via a
+    broadcast join, not a second scan.  Day indexing is pure integer
+    µs//86400e6 arithmetic → engine-portable."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select("user_id", event_time_us(raw.schema).alias("ts_us"))
+    per_user = (
+        ev.select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"), F.collect_set("day").alias("days"))
+    )
+    cells = (
+        per_user.select("user_id", "cohort_day", F.explode("days").alias("day"))
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cells.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+_W8_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), per_user AS (
+  SELECT user_id, MIN(day) OVER (PARTITION BY user_id) AS cohort_day, day
+  FROM ev
+), cells AS (
+  SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+  FROM per_user GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_day, n_active AS cohort_size FROM cells WHERE day_offset = 0
+)
+SELECT c.cohort_day, c.day_offset, c.n_active,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN sizes s USING (cohort_day)
+"""
+# Every user's first day is by definition an active day, so the
+# offset-0 diagonal IS the cohort size — no separate cohort scan needed.
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "w8_retention_cohorts": QuerySpec(
+        w8_retention_cohorts,
+        _W8_SQL,
+        "W-family extension: cohort retention matrix (one user_id shuffle, horizon-bounded state)",
+    ),
     "w7_transition_matrix": QuerySpec(
         w7_transition_matrix,
         _W7_SQL,
