@@ -1159,7 +1159,110 @@ WHERE CAST(h.n_common AS DOUBLE) / s.n_doc_shingles >= {_DECON_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicated-span removal — exact-substring dedup at span granularity
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per non-overlapping span
+
+
+def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span removal: cut every document into non-overlapping
+    {k}-token spans, count each span's occurrences across the WHOLE
+    corpus, and rebuild each document from only its corpus-unique spans
+    — the span-granular form of exact-substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), which removes boilerplate shared across documents instead
+    of dropping whole near-dup docs.
+
+    Physical shape at 100 TB: the span explode is a narrow map emitting
+    n_tokens/{k} rows; occurrence counting is ONE partial-agg shuffle on
+    md5(span) (uniform keys — no skew); the count join back is an
+    equi-join on the same key (AQE picks SMJ when the span table
+    outgrows broadcast); the rebuild groupBy doc_id collects at most the
+    doc's own spans — bounded by document length, never corpus size.
+    Output stays narrow: the retained text is emitted as (length, md5),
+    not the string itself."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {_SPAN_K}),"
+                f" s -> array_join(slice(toks, s + 1, {_SPAN_K}), ' '))"
+            )
+        ).alias("span_idx", "span_text"),
+    ).withColumn("h", F.md5("span_text"))
+    counts = spans.groupBy("h").agg(F.count("*").alias("n_occ"))
+    flagged = spans.join(counts, "h").withColumn("dup", F.col("n_occ") > 1)
+    kept = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.when(~F.col("dup"), F.struct("span_idx", "span_text")))
+            ),
+            lambda s: s["span_text"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias("dup_ratio"),
+            F.length("_kept").cast("long").alias("kept_n_chars"),
+            F.md5("_kept").alias("kept_md5"),
+        )
+    )
+
+
+dedup_span_exact.__doc__ = dedup_span_exact.__doc__.format(k=_SPAN_K)
+
+_SPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks), {_SPAN_K})) AS s FROM d
+), sp AS (
+  SELECT doc_id, CAST(s // {_SPAN_K} AS INTEGER) AS span_idx,
+         array_to_string(toks[s + 1 : s + {_SPAN_K}], ' ') AS span_text
+  FROM starts
+), hashed AS (
+  SELECT doc_id, span_idx, span_text, md5(span_text) AS h FROM sp
+), counts AS (
+  SELECT h, COUNT(*) AS n_occ FROM hashed GROUP BY h
+), flagged AS (
+  SELECT doc_id, span_idx, span_text, n_occ FROM hashed JOIN counts USING (h)
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         COALESCE(string_agg(span_text, ' ' ORDER BY span_idx)
+                  FILTER (WHERE n_occ = 1), '') AS kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup AS BIGINT) AS n_dup_spans,
+       CAST(n_dup AS DOUBLE) / n_spans AS dup_ratio,
+       CAST(length(kept) AS BIGINT) AS kept_n_chars,
+       md5(kept) AS kept_md5
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_exact": QuerySpec(
+        dedup_span_exact,
+        _SPAN_SQL,
+        "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
+        "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components,
         _components_sql(),
