@@ -1256,7 +1256,131 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# prefix-filtered exact similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_NUM, _SIMJOIN_DEN = 4, 5  # τ = 4/5 — kept rational for integer-exact tests
+
+
+def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT threshold similarity join: all document pairs with bag-of-
+    tokens Jaccard ≥ τ ({num}/{den}), via prefix filtering (Bayardo et
+    al. 2007 AllPairs).  Unlike MinHash/SimHash candidates, prefix
+    filtering has NO false negatives: two docs with J ≥ τ must share at
+    least one element among each one's (df-ordered) first
+    n − ⌈τ·n⌉ + 1 elements, so joining on prefix elements alone is a
+    lossless prune.
+
+    Bags are exact: each (token, occurrence-index) is one element, so
+    multiplicity counts.  Physical shape at 100 TB: per-doc term counts
+    (one shuffle), element document-frequencies (one shuffle on el —
+    uniform), per-doc df-sorted element arrays (one shuffle on doc_id,
+    bounded by doc length), then the candidate join touches ONLY prefix
+    elements — the globally RAREST elements of each doc, which is the
+    built-in skew guard (a stop-word-like hot element is ordered last
+    and never enters a prefix unless the doc is tiny).  Verification
+    joins the two bounded element arrays and tests
+    {den}·|A∩B| ≥ {num}·|A∪B| in exact integer arithmetic — the double
+    ``jaccard`` column is display-only."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    e = tf.select(
+        "doc_id",
+        F.expr("explode(transform(sequence(1, cnt), i -> concat(tok, '#', i)))").alias("el"),
+    )
+    dfreq = e.groupBy("el").agg(F.count("*").alias("df"))
+    docs = (
+        e.join(dfreq, "el")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(df, el))), s -> s.el)").alias("els"),
+            F.count("*").alias("n"),
+        )
+    )
+    # prefix length p = n − ⌈τ·n⌉ + 1; ⌈(num·n)/den⌉ = (num·n + den − 1) DIV den
+    prefixes = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(slice(els, 1, n - (({_SIMJOIN_NUM} * n + {_SIMJOIN_DEN} - 1)"
+            f" DIV {_SIMJOIN_DEN}) + 1))"
+        ).alias("el"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "el")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("els").alias("els_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("els").alias("els_b"), F.col("n").alias("n_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("els_a", "els_b")).cast("long"))
+        .filter(
+            _SIMJOIN_DEN * F.col("inter")
+            >= _SIMJOIN_NUM * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "inter",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+simjoin_prefix_jaccard.__doc__ = simjoin_prefix_jaccard.__doc__.format(
+    num=_SIMJOIN_NUM, den=_SIMJOIN_DEN
+)
+
+# Oracle = the PLAIN quadratic statement of the same semantics (all pairs,
+# exact bag Jaccard, integer threshold).  Prefix filtering is lossless, so
+# the Spark plan must return the identical pair set.
+_SIMJOIN_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), e AS (
+  SELECT doc_id, tok || '#' || CAST(UNNEST(range(1, cnt + 1)) AS VARCHAR) AS el
+  FROM tf
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.el = b.el AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE {_SIMJOIN_DEN} * i.inter >= {_SIMJOIN_NUM} * (sa.n + sb.n - i.inter)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "simjoin_prefix_jaccard": QuerySpec(
+        simjoin_prefix_jaccard,
+        _SIMJOIN_SQL,
+        "LLM-pipeline similarity join (AllPairs prefix filtering — EXACT threshold "
+        "join, no LSH recall loss; candidates only from rarest-element prefixes)",
+    ),
     "dedup_span_exact": QuerySpec(
         dedup_span_exact,
         _SPAN_SQL,
