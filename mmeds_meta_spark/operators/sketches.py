@@ -303,7 +303,99 @@ FROM regs
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (theta-sketch style union/intersection/Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def sketch_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation estimates between two corpus halves WITHOUT the
+    exact distinct-join: KMV sketches compose (Beyer et al. 2007 /
+    theta-sketch): the bottom-k of A∪B is computable from each side's
+    bottom-k, the k-th smallest union hash gives |A∪B| ≈ (k−1)/m_k, and
+    the fraction of those k union-minima present in BOTH sides
+    estimates Jaccard; intersection = Ĵ·|A∪B|.  This is the sketch
+    behind "how much would merging these two crawls deduplicate?" —
+    answered from two k-row sketch states instead of a corpus-scale
+    distinct join.
+
+    Elements are word-3-gram shingles; side A = even doc_ids, side B =
+    odd.  Physical shape at 100 TB: per-side distinct (one shuffle on
+    uniform (side, shingle) keys collapsed by the groupBy on shingle
+    with per-side presence flags), then TakeOrderedAndProject keeps the
+    k smallest hashes — per-partition partial bottom-k, never a global
+    sort; the final agg runs on k rows.  The estimator arithmetic is
+    two divisions on identical doubles → the ESTIMATE is oracle-exact.
+    """
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"), (F.col("doc_id") % 2 == 0).alias("in_a")
+    )
+    sh = d.filter(F.size("toks") >= 3).select(
+        "in_a",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 2),"
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
+        ).alias("shingle"),
+    )
+    flags = sh.groupBy("shingle").agg(
+        F.max(F.when(F.col("in_a"), 1).otherwise(0)).alias("a"),
+        F.max(F.when(~F.col("in_a"), 1).otherwise(0)).alias("b"),
+    )
+    frac = flags.select("a", "b", F.expr(_frac48_expr("spark", "shingle")).alias("f"))
+    bottom = frac.orderBy("f").limit(_K)
+    return bottom.agg(
+        F.lit(_K).cast("long").alias("k"),
+        F.count("*").alias("n_kept"),
+        F.sum(F.expr("a * b")).cast("long").alias("k_both"),
+        F.expr(
+            f"ROUND(CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)"
+            f" ELSE ({_K} - 1) / MAX(f) END, 4)"
+        ).alias("est_union"),
+        F.expr("ROUND(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6)").alias("est_jaccard"),
+        F.expr(
+            f"ROUND((CAST(SUM(a * b) AS DOUBLE) / COUNT(*))"
+            f" * (CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)"
+            f"     ELSE ({_K} - 1) / MAX(f) END), 4)"
+        ).alias("est_intersection"),
+    )
+
+
+_KMV_SETOPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id % 2 = 0 AS in_a, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT in_a, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT in_a, toks, UNNEST(range(1, len(toks) - 1)) AS i FROM d
+        WHERE len(toks) >= 3)
+), flags AS (
+  SELECT shingle,
+         MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+  FROM sh GROUP BY shingle
+), frac AS (
+  SELECT a, b, {_frac48_expr('duck', 'shingle')} AS f FROM flags
+), bottom AS (
+  SELECT a, b, f FROM frac ORDER BY f LIMIT {_K}
+)
+SELECT CAST({_K} AS BIGINT) AS k, COUNT(*) AS n_kept,
+       CAST(SUM(a * b) AS BIGINT) AS k_both,
+       ROUND(CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE ({_K} - 1) / MAX(f) END, 4) AS est_union,
+       ROUND(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6) AS est_jaccard,
+       ROUND((CAST(SUM(a * b) AS DOUBLE) / COUNT(*))
+             * (CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({_K} - 1) / MAX(f) END), 4) AS est_intersection
+FROM bottom
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_kmv_setops": QuerySpec(
+        sketch_kmv_setops,
+        _KMV_SETOPS_SQL,
+        "beyond-reference: KMV/theta-sketch set operations — union/Jaccard/intersection "
+        "estimates from bottom-k states, no corpus-scale distinct join",
+    ),
     "sketch_kmv_distinct": QuerySpec(
         sketch_kmv_distinct,
         _KMV_SQL,
