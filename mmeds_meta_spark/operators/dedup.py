@@ -1374,6 +1374,108 @@ WHERE {_SIMJOIN_DEN} * i.inter >= {_SIMJOIN_NUM} * (sa.n + sb.n - i.inter)
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — fixed-size broadcast filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 4  # hash functions
+_BLOOM_TAU = 0.20
+
+
+def _bloom_pos(dialect: str, j: str, key: str) -> str:
+    """Hash ``j`` of ``key`` → bit position in [0, m): first 8 md5 hex
+    nibbles of 'j:key' mod m — same digest family as the CMS rows."""
+    if dialect == "spark":
+        inner = f"md5(concat(CAST({j} AS STRING), ':', {key}))"
+        return f"(CAST(conv(substr({inner}, 1, 8), 16, 10) AS BIGINT) % {_BLOOM_M})"
+    inner = f"md5(CAST({j} AS VARCHAR) || ':' || {key})"
+    return f"(CAST(('0x' || substr({inner}, 1, 8)) AS UBIGINT)::BIGINT % {_BLOOM_M})"
+
+
+def decon_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter: the held-out set's
+    shingles are folded into a FIXED-SIZE bit set (m={m}, k={k}); a
+    corpus shingle is a (possible) benchmark hit iff all k of its bit
+    positions are set.  Reports per-doc hit ratios ≥ τ.
+
+    This is the scale complement to ``decon_ngram_overlap``: the join
+    variant ships every benchmark shingle; the Bloom variant ships a
+    filter whose size is CONSTANT in the benchmark (≤ m set bits ⇒ a
+    {m}-bit / 8 KiB broadcast even for a benchmark of millions of
+    grams), trading exactness for one-sided error — hits can be false
+    positives (rate ≈ (s/m)^k for s set bits), misses are exact.  The
+    set-bit table is represented relationally (≤ m rows) so the same
+    filter is buildable in ANSI SQL; bit-packing it into 1024 longs is
+    a transport detail, not a semantic one.
+
+    Physical shape at 100 TB: benchmark side collapses to ≤ m distinct
+    positions (partial-agg); corpus side is a narrow {k}-way position
+    explode + broadcast-hash left join + two partial-agg groupBys
+    (shingle-level all-bits vote, then doc-level ratio).  No
+    corpus-side shuffle touches the benchmark at all."""
+    sh = _doc_shingles(spark, sf)
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    js = ", ".join(str(j) for j in range(_BLOOM_K))
+    bits = (
+        bench.select(F.expr(f"explode(array({js}))").alias("j"), "shingle")
+        .select(F.expr(_bloom_pos("spark", "j", "shingle")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = corpus.select(
+        "doc_id", "shingle", F.expr(f"explode(array({js}))").alias("j")
+    ).select("doc_id", "shingle", F.expr(_bloom_pos("spark", "j", "shingle")).alias("pos"))
+    gram_hits = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_set"))
+    )
+    return (
+        gram_hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("all_set").cast("long").alias("n_bloom_hits"),
+        )
+        .withColumn(
+            "hit_ratio", F.col("n_bloom_hits").cast("double") / F.col("n_shingles")
+        )
+        .filter(F.col("hit_ratio") >= _BLOOM_TAU)
+        .select("doc_id", "n_shingles", "n_bloom_hits", "hit_ratio")
+    )
+
+
+decon_bloom_filter.__doc__ = decon_bloom_filter.__doc__.format(m=_BLOOM_M, k=_BLOOM_K)
+
+
+def _bloom_sql() -> str:
+    js = ", ".join(f"({j})" for j in range(_BLOOM_K))
+    return f"""
+WITH {_SHINGLE_SQL},
+ks (j) AS (VALUES {js}),
+bits AS (
+  SELECT DISTINCT {_bloom_pos('duck', 'ks.j', 's.shingle')} AS pos
+  FROM shingles s, ks WHERE s.doc_id % {_BENCH_MOD} = 0
+), probe AS (
+  SELECT s.doc_id, s.shingle, {_bloom_pos('duck', 'ks.j', 's.shingle')} AS pos
+  FROM shingles s, ks WHERE s.doc_id % {_BENCH_MOD} <> 0
+), gram_hits AS (
+  SELECT p.doc_id, p.shingle,
+         MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.shingle
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(all_set) AS BIGINT) AS n_bloom_hits
+  FROM gram_hits GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_bloom_hits,
+       CAST(n_bloom_hits AS DOUBLE) / n_shingles AS hit_ratio
+FROM agg WHERE CAST(n_bloom_hits AS DOUBLE) / n_shingles >= {_BLOOM_TAU}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "simjoin_prefix_jaccard": QuerySpec(
         simjoin_prefix_jaccard,
@@ -1437,5 +1539,11 @@ QUERIES: dict[str, QuerySpec] = {
         _CONTAIN_SQL,
         "LLM-pipeline dedup (asymmetric containment — partial-copy/quote detection, "
         "Broder resemblance-vs-containment)",
+    ),
+    "decon_bloom_filter": QuerySpec(
+        decon_bloom_filter,
+        _bloom_sql(),
+        "LLM-pipeline decontamination via Bloom filter — constant-size (8 KiB) "
+        "broadcast bit set, one-sided error; no benchmark-side shuffle",
     ),
 }
