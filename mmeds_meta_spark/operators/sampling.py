@@ -326,7 +326,71 @@ SELECT doc_id, source, CAST(k AS BIGINT) AS source_quota FROM ranked WHERE rn <=
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (context-window / RAG prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_K = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # overlap = K − STRIDE = 8 tokens
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking: cut every document into {k}-token windows
+    every {stride} tokens (8-token overlap) — the standard
+    context-window prep for RAG indexing and fixed-length pretraining
+    examples.  Tail windows shorter than {k} tokens are kept (callers
+    drop or pad; the row carries its true length).
+
+    Physical shape at 100 TB: a PURE NARROW MAP — split, windowed slice
+    via ``transform(sequence(...))``, one explode; no shuffle, no
+    window function, no state.  Chunk identity is (doc_id, chunk_idx)
+    and the text ships as (length, md5) so the gated output stays
+    narrow; the text itself is one ``array_join`` away for a real
+    sink."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {_CHUNK_STRIDE}),"
+                f" s -> named_struct('start_tok', CAST(s AS BIGINT),"
+                f"   'n_tok', CAST(least({_CHUNK_K}, size(toks) - s) AS BIGINT),"
+                f"   'txt', array_join(slice(toks, s + 1, {_CHUNK_K}), ' ')))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.md5("c.txt").alias("chunk_md5"),
+    )
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(k=_CHUNK_K, stride=_CHUNK_STRIDE)
+
+_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks), {_CHUNK_STRIDE})) AS s FROM d
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK_K}, len(toks) - s) AS BIGINT) AS n_tok,
+       md5(array_to_string(toks[s + 1 : s + {_CHUNK_K}], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "chunk_documents": QuerySpec(
+        chunk_documents,
+        _CHUNK_SQL,
+        "beyond-reference: sliding-window chunking for RAG/pretraining (pure narrow map)",
+    ),
     "sample_hash_split": QuerySpec(
         sample_hash_split, _SPLIT_SQL, "deterministic train/eval hash split"
     ),
