@@ -8,10 +8,12 @@ exactly-once-style dedup on arrival.
 """
 
 from .incremental_dedup import start_incremental_dedup
+from .joins import streaming_attribution_join
 from .rollup import streaming_enrich, streaming_event_rollup, streaming_exact_dedup
 
 __all__ = [
     "start_incremental_dedup",
+    "streaming_attribution_join",
     "streaming_enrich",
     "streaming_event_rollup",
     "streaming_exact_dedup",

@@ -24,7 +24,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
          tests/test_qza.py tests/test_sampling_ops.py
-         tests/test_text_repetition.py tests/test_asof_join.py)
+         tests/test_text_repetition.py tests/test_asof_join.py
+         tests/test_streaming_joins.py)
 
 run_shard() {
     local n=$1; shift
