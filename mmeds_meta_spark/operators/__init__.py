@@ -120,6 +120,17 @@ _GATE_TAIL: tuple[str, ...] = (
     # majority-vote global agg: d3_anova_f's gated exact-moment agg shape
     # (its slot funds the transition-matrix operator)
     "f6_type_inference",
+    # ---- round-5 session-2 rotation.  IN: the six new operators
+    # (w8_retention_cohorts, dedup_span_exact, simjoin_prefix_jaccard,
+    # sketch_kmv_setops, decon_bloom_filter, chunk_documents).  OUT: six
+    # entries driver-green in every round r01-r04 whose shapes keep gated
+    # twins or strict supersets:
+    "dedup_exact_hash",  # md5 groupBy: dedup_span_exact gates the same hashing at span granularity
+    "dedup_ngram_jaccard",  # inverted-index jaccard: simjoin_prefix_jaccard gates the exact form
+    "dedup_embedding_cosine",  # blocked cosine pairs: dedup_embedding_ivf/ann_cosine_topk gated
+    "text_token_stats",  # narrow tokenize+agg: text_quality_score/chunk_documents gated
+    "sketch_kmv_distinct",  # bottom-k estimator: sketch_kmv_setops is its strict superset
+    "sample_hash_split",  # md5-bucket narrow map: sample_stratified_exact/pack_sequences gated
 )
 
 
