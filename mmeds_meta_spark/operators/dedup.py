@@ -1294,6 +1294,9 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("explode(transform(sequence(1, cnt), i -> concat(tok, '#', i)))").alias("el"),
     )
     dfreq = e.groupBy("el").agg(F.count("*").alias("df"))
+    # materialized ONCE: four differently-pruned consumers (prefix explode,
+    # both verify sides) would otherwise re-execute the tf/df/sort pipeline
+    # per branch — same fix as the SimHash fingerprints (16 scans → 2)
     docs = (
         e.join(dfreq, "el")
         .groupBy("doc_id")
@@ -1301,7 +1304,7 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("transform(sort_array(collect_list(struct(df, el))), s -> s.el)").alias("els"),
             F.count("*").alias("n"),
         )
-    )
+    ).localCheckpoint()
     # prefix length p = n − ⌈τ·n⌉ + 1; ⌈(num·n)/den⌉ = (num·n + den − 1) DIV den
     prefixes = docs.select(
         "doc_id",

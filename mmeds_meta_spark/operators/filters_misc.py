@@ -724,8 +724,10 @@ def w8_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     map-side combinable, and the set is bounded by the time horizon in
     days, never by event volume.  The exploded (user, offset) rows then
     collapse into a matrix of ≤ horizon² cells (second, trivially small
-    shuffle); cohort sizes come from the offset-0 diagonal via a
-    broadcast join, not a second scan.  Day indexing is pure integer
+    shuffle); cohort sizes come off the matrix's own offset-0 diagonal
+    with ONE window over the matrix-sized result — the events feed is
+    scanned exactly once (a broadcast-join formulation re-executed the
+    whole upstream agg for the sizes branch: 4 scans → 2).  Day indexing is pure integer
     µs//86400e6 arithmetic → engine-portable."""
     from ..functions.event_time import event_time_us
 
@@ -741,14 +743,15 @@ def w8_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count("*").alias("n_active"))
     )
-    sizes = cells.filter(F.col("day_offset") == 0).select(
-        "cohort_day", F.col("n_active").alias("cohort_size")
-    )
-    return cells.join(F.broadcast(sizes), "cohort_day").select(
+    w = Window.partitionBy("cohort_day")
+    return cells.select(
         "cohort_day",
         "day_offset",
         "n_active",
-        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        (
+            F.col("n_active").cast("double")
+            / F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
+        ).alias("retention"),
     )
 
 
