@@ -41,6 +41,12 @@ OPS = [
     "text_tfidf_topk",  # per-doc rank over rational-idf scores
     "sketch_hll_distinct",  # register MAX must be layout-independent
     "dedup_containment",  # inverted-index pair stats, asymmetric ratio
+    # round-5 session-2 additions
+    "simjoin_prefix_jaccard",  # df-ordered prefixes: global order must not depend on layout
+    "dedup_span_exact",  # positional rebuild via sort_array(collect_list)
+    "sketch_kmv_setops",  # union bottom-k + presence flags
+    "w8_retention_cohorts",  # collect_set of active days
+    "decon_bloom_filter",  # broadcast bit-set membership votes
 ]
 
 
