@@ -131,6 +131,10 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_token_stats",  # narrow tokenize+agg: text_quality_score/chunk_documents gated
     "sketch_kmv_distinct",  # bottom-k estimator: sketch_kmv_setops is its strict superset
     "sample_hash_split",  # md5-bucket narrow map: sample_stratified_exact/pack_sequences gated
+    # lag + running-sum session window (driver-green r01-r04): the gated
+    # event family (w5-w8, asof) keeps every windowed-event shape; its
+    # slot funds the novelty-curve operator
+    "w4_sessionization",
 )
 
 

@@ -393,7 +393,77 @@ SELECT doc_id, rnk, tok, tf, df, tfidf FROM ranked WHERE rnk <= {_TFIDF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus novelty — fraction of a doc's shingles first seen in that doc
+# ---------------------------------------------------------------------------
+
+
+def text_novelty_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word-2-gram
+    shingles whose FIRST corpus occurrence (min doc_id — ingest order)
+    is this document.  The curation signal behind "is the crawl still
+    contributing new content?" curves and novelty-ordered curricula;
+    late boilerplate scores → 0, genuinely new material → 1.
+
+    Physical shape at 100 TB: shingles are a narrow map; first-seen is
+    ONE partial-agg shuffle on the shingle (MIN combines map-side,
+    uniform keys); the join back stays in the same hash partitioning;
+    the per-doc roll-up is a second partial-agg shuffle.  No pair
+    generation, no window — strictly cheaper than any dedup join.
+    novelty_ratio is an integer ratio → bit-identical cross-engine."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    sh = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1])))"
+            )
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ratio", F.col("n_novel").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+_NOVELTY_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i FROM d
+        WHERE len(toks) >= 2)
+), first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_ratio
+FROM sh s JOIN first f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_novelty_ratio": QuerySpec(
+        text_novelty_ratio,
+        _NOVELTY_SQL,
+        "LLM-pipeline text (corpus novelty curve — first-occurrence attribution, "
+        "two partial-agg shuffles, no pair join)",
+    ),
     "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
     "text_langid_heuristic": QuerySpec(text_langid_heuristic, _langid_sql(), "LLM-pipeline text (language ID)"),
