@@ -135,6 +135,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # event family (w5-w8, asof) keeps every windowed-event shape; its
     # slot funds the novelty-curve operator
     "w4_sessionization",
+    # per-doc quality signals (driver-green r01-r04): the gated
+    # pipeline_curation_funnel recomputes the same signals as its stage-2
+    # filter (strict superset); its slot funds that funnel
+    "text_quality_score",
 )
 
 
@@ -146,6 +150,7 @@ def registry() -> dict[str, QuerySpec]:
         filters_misc,
         multimodal,
         phylo,
+        pipeline,
         relational,
         sampling,
         similarity,
@@ -155,7 +160,7 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}
