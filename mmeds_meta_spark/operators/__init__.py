@@ -139,6 +139,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # pipeline_curation_funnel recomputes the same signals as its stage-2
     # filter (strict superset); its slot funds that funnel
     "text_quality_score",
+    # per-sample entropy agg (driver-green r01-r04): the gated
+    # exact-moment agg family (d3/d5/d6) and d1_faith_pd_newick keep the
+    # D1 evidence; its slot funds the PII scrub
+    "d1_shannon_diversity",
 )
 
 

@@ -457,7 +457,69 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub — detect-and-redact counts per document
+# ---------------------------------------------------------------------------
+
+# Patterns stay in the common Java-regex ∩ RE2 subset (no lookaround, no
+# backrefs) so Spark and DuckDB match identically.  Order matters: IPs are
+# digit runs with dots, so they redact FIRST or the NUM pass shreds them.
+_PII_PATTERNS = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("num", "[0-9]{2,}", "<NUM>"),
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass: count and redact e-mail addresses, IPv4 literals,
+    and multi-digit number runs per document — the compliance
+    preprocessing step every public-crawl pipeline runs before training.
+
+    Physical shape at 100 TB: a PURE NARROW MAP (regexp_count +
+    chained regexp_replace, all JVM-side, whole-stage codegen) — no
+    shuffle, no UDF.  The scrubbed text leaves the gated query as
+    (length, md5); the string itself is available to a sink.  Patterns
+    are restricted to the Java-regex ∩ RE2 common subset so both
+    engines redact byte-identically."""
+    d = _t(spark, sf, "documents")
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.select(
+        "doc_id",
+        *counts,
+        F.length(scrubbed).cast("long").alias("scrubbed_n_chars"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    counts, scrubbed = [], "text"
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {", ".join(counts)},
+       CAST(length({scrubbed}) AS BIGINT) AS scrubbed_n_chars,
+       md5({scrubbed}) AS scrubbed_md5
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_pii_scrub": QuerySpec(
+        text_pii_scrub,
+        _pii_sql(),
+        "LLM-pipeline text (PII detect-and-redact, pure narrow map, "
+        "engine-identical regex subset)",
+    ),
     "text_novelty_ratio": QuerySpec(
         text_novelty_ratio,
         _NOVELTY_SQL,
