@@ -1,0 +1,153 @@
+"""Property-based invariants for the scale-path rewrites.
+
+Each operator below ships a physical rewrite whose CORRECTNESS argument
+is a theorem (prefix filtering is lossless; 2-bucket explosion covers a
+range window; span rebuild is positional).  The DuckDB oracles check one
+fixture; these hypothesis properties check the theorem on randomized
+corpora: the real registry operator runs against a pure-Python
+reimplementation of the declared semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from mmeds_meta_spark.operators import registry
+
+REG = registry()
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_docs(spark, tmp_path, texts, name):
+    rows = [
+        (i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / name
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_prefix_simjoin_is_lossless(spark, tmp_path_factory, texts):
+    """simjoin_prefix_jaccard must return EXACTLY the brute-force pair
+    set — prefix filtering guarantees no false negatives, verification
+    removes false positives."""
+    tmp = tmp_path_factory.mktemp("pj")
+    sf = _write_docs(spark, tmp, texts, "c")
+    got = {
+        (r.doc_a, r.doc_b): r.inter
+        for r in REG["simjoin_prefix_jaccard"].spark(spark, sf).collect()
+    }
+    bags = [Counter(t.split(" ")) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = sum((bags[a] & bags[b]).values())
+            na, nb = sum(bags[a].values()), sum(bags[b].values())
+            if 5 * inter >= 4 * (na + nb - inter):
+                want[(a, b)] = inter
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_span_dedup_rebuild_is_positional(spark, tmp_path_factory, texts):
+    """dedup_span_exact's kept text must equal the in-order concat of the
+    doc's corpus-unique 8-token spans."""
+    tmp = tmp_path_factory.mktemp("sp")
+    sf = _write_docs(spark, tmp, texts, "c")
+    rows = {r.doc_id: r for r in REG["dedup_span_exact"].spark(spark, sf).collect()}
+    K = 8
+    spans_by_doc = []
+    for t in texts:
+        toks = t.split(" ")
+        spans_by_doc.append(
+            [" ".join(toks[s : s + K]) for s in range(0, len(toks), K)]
+        )
+    occ = Counter(s for spans in spans_by_doc for s in spans)
+    import hashlib
+
+    for i, spans in enumerate(spans_by_doc):
+        kept = " ".join(s for s in spans if occ[s] == 1)
+        r = rows[i]
+        assert r.n_spans == len(spans)
+        assert r.n_dup_spans == sum(1 for s in spans if occ[s] > 1)
+        assert r.kept_n_chars == len(kept)
+        assert r.kept_md5 == hashlib.md5(kept.encode()).hexdigest()
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 40),  # minutes offset
+        st.booleans(),  # is purchase
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+def test_bucketed_range_join_covers_window(spark, tmp_path_factory, events):
+    """w5's 2-bucket explosion must reproduce the plain range join: any
+    event in (t, t+W] lies in bucket(t) or bucket(t)+1."""
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("rj")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=m),
+            u,
+            "purchase" if p else "view",
+            1.0,
+            "{}",
+        )
+        for i, (u, m, p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp / "c"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        (r.purchase_id, r.n_follow)
+        for r in REG["w5_range_join_bucketed"].spark(spark, str(d)).collect()
+    }
+    W = 10 * 60 * 1_000_000
+    us = [int((r[1] - base).total_seconds() * 1e6) for r in rows]
+    want = {}
+    for i, (u, m, p) in enumerate(events):
+        if not p:
+            continue
+        n = sum(
+            1
+            for j, (u2, m2, _) in enumerate(events)
+            if u2 == u and us[i] < us[j] <= us[i] + W
+        )
+        if n:
+            want[i] = n
+    assert got == {(i, n) for i, n in want.items()}
