@@ -10,10 +10,8 @@ reimplementation of the declared semantics.
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from mmeds_meta_spark.operators import registry
