@@ -113,6 +113,27 @@ def _cms_bucket(dialect: str, depth: str, key: str) -> str:
     return f"({cast} % {_CMS_WIDTH})"
 
 
+def cms_counters(docs: DataFrame) -> DataFrame:
+    """(row_id, bucket, c) count-min counter table over a documents
+    relation — the mergeable sketch state: counter tables from DISJOINT
+    document slices merge by per-cell SUM (linearity of counts).  Unlike
+    the HLL registers' MAX merge, SUM is NOT idempotent, so a streaming
+    store must key its writes by batch (see streaming/sketches.py).
+    Shared by the batch operator's expressions and the streaming counter
+    store."""
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    stacked = cnt.selectExpr(
+        "cnt",
+        "stack("
+        + str(_CMS_DEPTH)
+        + ", "
+        + ", ".join(f"{r}, {_cms_bucket('spark', str(r), 'tok')}" for r in range(_CMS_DEPTH))
+        + ") AS (row_id, bucket)",
+    )
+    return stacked.groupBy("row_id", "bucket").agg(F.sum("cnt").alias("c"))
+
+
 def sketch_cms_heavy(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
     estimates for the exact top-k tokens, side-by-side with truth.

@@ -88,3 +88,64 @@ def hll_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
     return hll_estimate_from_regs(
         spark.read.parquet(store_dir).select("bucket", F.col("m_j").cast("int").alias("m_j"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min counters — SUM-merge, so exactly-once needs batch keys
+# ---------------------------------------------------------------------------
+
+
+def start_streaming_cms(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Maintain a count-min counter store over a document feed.
+
+    CMS counters merge by per-cell SUM — linear, but NOT idempotent: a
+    replayed micro-batch must not add its counts twice.  The store is
+    therefore PARTITIONED BY BATCH: each micro-batch overwrites only
+    ``batch_id=N/`` with its own ≤ depth×width partial counter table,
+    so checkpoint replay rewrites the same partition with the same
+    deterministic content instead of double-counting (same
+    idempotent-by-batch-id convention as the dedup signature store —
+    contrast with the HLL store, whose MAX merge needs no bookkeeping).
+
+    The global table is SUM over partitions at read time
+    (:func:`cms_store_counters`); with 4×64 cells per batch the store
+    stays KBs per batch — compact old partitions into one whenever
+    batch count bothers you, the merge is associative."""
+    from ..operators.sketches import cms_counters
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        cms_counters(batch).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_store_counters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merged (row_id, bucket, c) counter table across all batches —
+    equals the batch ``cms_counters`` over the same documents exactly
+    (counts are linear), so streaming estimates are bit-identical to
+    batch ones."""
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
