@@ -143,6 +143,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # exact-moment agg family (d3/d5/d6) and d1_faith_pd_newick keep the
     # D1 evidence; its slot funds the PII scrub
     "d1_shannon_diversity",
+    # presence/absence specialization of the gated
+    # d2_unifrac_weighted_newick (same branch-inverted-index pair shape;
+    # driver-green r03-r04); its slot funds the RANGE-frame window
+    "d2_unifrac_unweighted",
 )
 
 

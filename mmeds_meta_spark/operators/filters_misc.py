@@ -775,8 +775,72 @@ FROM cells c JOIN sizes s USING (cohort_day)
 # offset-0 diagonal IS the cohort size — no separate cohort scan needed.
 
 
+# ---------------------------------------------------------------------------
+# w9 — event-time RANGE-frame rolling window (burst detection)
+# ---------------------------------------------------------------------------
+
+_ROLL_W_US = 10 * 60 * 1_000_000  # 10-minute trailing window
+
+
+def w9_rolling_window_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event trailing-window stats: for every event, the count and
+    decimal-exact value sum of the SAME user's events in the preceding
+    10 minutes (inclusive of now) — the burst/velocity feature behind
+    rate limiting and fraud scoring.
+
+    This is the one windowed shape the rest of the suite doesn't use: a
+    RANGE frame over event time (``RANGE BETWEEN W PRECEDING AND
+    CURRENT ROW`` on integer µs), which Spark evaluates with a sliding
+    frame pointer over each user partition — one shuffle on user_id,
+    per-row cost amortized O(1), state bounded by the window horizon.
+    Equal-timestamp events share a frame by RANGE semantics (peer rows),
+    which both engines implement identically; count/sum over the frame
+    are peer-order-invariant, so ties cost nothing."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        event_time_us(raw.schema).alias("ts_us"),
+        F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_W_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.sum("v").over(w).cast("double").alias("trailing_value"),
+    )
+
+
+_W9_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value, 6) AS DECIMAL(28,6)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(v) OVER w AS DOUBLE) AS trailing_value
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_ROLL_W_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
+    "w9_rolling_window_range": QuerySpec(
+        w9_rolling_window_range,
+        _W9_SQL,
+        "W-family extension: event-time RANGE-frame rolling stats (burst/velocity features)",
+    ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
         _W8_SQL,
