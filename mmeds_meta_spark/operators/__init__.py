@@ -147,6 +147,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # d2_unifrac_weighted_newick (same branch-inverted-index pair shape;
     # driver-green r03-r04); its slot funds the RANGE-frame window
     "d2_unifrac_unweighted",
+    # blocked self-join + partitioned rank (driver-green r02-r04): the
+    # gated ANN family keeps the blocked search shapes and
+    # sample_stratified_exact the partitioned rank; its slot funds the
+    # session-stats composition
+    "knn_join",
 )
 
 

@@ -776,6 +776,48 @@ FROM cells c JOIN sizes s USING (cohort_day)
 
 
 # ---------------------------------------------------------------------------
+# w10 — per-user session-behavior profile (composition on w4)
+# ---------------------------------------------------------------------------
+
+
+def w10_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session-behavior profile: number of sessions, exact mean
+    events-per-session and mean session duration, and the longest
+    session — the engagement features product analytics derives from
+    sessionized events.
+
+    COMPOSITION evidence: this consumes :func:`w4_sessionization`'s
+    output relation directly — the session window, the per-session agg,
+    and this per-user roll-up fuse into ONE Catalyst plan (the w4
+    DataFrame is a logical view, nothing materializes in between), and
+    the roll-up reuses the user_id partitioning the session window
+    already established.  Means are integer ratios of exact µs/count
+    sums → bit-identical cross-engine."""
+    s = w4_sessionization(spark, sf)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias("mean_events_per_session"),
+        (F.sum("duration_us").cast("double") / F.count("*")).alias("mean_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+    )
+
+
+# composed oracle: the w4 CTE chain is reused verbatim as a subquery
+def _w10_sql() -> str:
+    return f"""
+WITH w4 AS ({_W4_SQL})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events_per_session,
+       CAST(SUM(duration_us) AS DOUBLE) / COUNT(*) AS mean_duration_us,
+       MAX(duration_us) AS max_duration_us
+FROM w4 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # w9 — event-time RANGE-frame rolling window (burst detection)
 # ---------------------------------------------------------------------------
 
@@ -840,6 +882,12 @@ QUERIES: dict[str, QuerySpec] = {
         w9_rolling_window_range,
         _W9_SQL,
         "W-family extension: event-time RANGE-frame rolling stats (burst/velocity features)",
+    ),
+    "w10_session_stats": QuerySpec(
+        w10_session_stats,
+        _w10_sql(),
+        "W-family composition: per-user session-behavior profile on top of the "
+        "w4 session relation (windows compose with aggs in one plan)",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
