@@ -152,6 +152,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # sample_stratified_exact the partitioned rank; its slot funds the
     # session-stats composition
     "knn_join",
+    # √n-quota md5-range selection (driver-green r04): the gated
+    # sample_stratified_exact keeps the allocation + md5-range shape;
+    # its slot funds the χ² independence test
+    "sample_mixture_weighted",
 )
 
 

@@ -389,7 +389,104 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# d8 — chi-square test of independence (event_type × value-band)
+# ---------------------------------------------------------------------------
+
+
+def d8_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """χ² test of independence between event_type and the sign-band of
+    ``value`` — the categorical-association screen run before any
+    stratified analysis (the categorical cousin of the suite's ANOVA F).
+
+    Exactness: with integer observed counts, χ² = N·Σ O²/(r·c) − N is
+    computed as Σ over cells of O²·N/(row_total·col_total) − N — every
+    term an integer ratio evaluated in the same order on both engines →
+    bit-identical doubles.  Physical shape at 100 TB: ONE partial-agg
+    shuffle to the |types|×|bands| contingency table; marginals and the
+    statistic come from window sums over that tiny table, never a second
+    scan."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.when(F.col("value") < 0, "neg")
+        .when(F.col("value") < 1, "small")
+        .otherwise("large")
+        .alias("band"),
+    )
+    cells = ev.groupBy("event_type", "band").agg(F.count("*").alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("band")
+    wall = Window.partitionBy()
+    per_cell = cells.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    # The cell terms are doubles, and float addition is order-sensitive —
+    # so the fold order is PINNED (cells sorted by key, sequential
+    # aggregate) on BOTH engines instead of trusting either engine's
+    # parallel SUM order.  ≤ |types|×|bands| elements: driver-trivial.
+    terms = per_cell.select(
+        "n",
+        "event_type",
+        "band",
+        F.concat_ws("|", "event_type", "band").alias("k"),
+        (
+            F.col("o").cast("double")
+            * F.col("o")
+            * F.col("n")
+            / (F.col("row_tot") * F.col("col_tot"))
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(k, t))),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.t) - MAX(n)"
+        ).alias("chisq"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("band") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+_D8_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 'neg'
+              WHEN value < 1 THEN 'small'
+              ELSE 'large' END AS band
+  FROM events
+), cells AS (
+  SELECT event_type, band, COUNT(*) AS o FROM ev GROUP BY 1, 2
+), per_cell AS (
+  SELECT event_type, band, o,
+         SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(o) OVER (PARTITION BY band) AS col_tot,
+         SUM(o) OVER () AS n
+  FROM cells
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       list_reduce(
+         list(CAST(o AS DOUBLE) * o * n / (row_tot * col_tot)
+              ORDER BY event_type || '|' || band),
+         (acc, x) -> acc + x) - MAX(n) AS chisq,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT band) - 1) AS BIGINT) AS dof
+FROM per_cell
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d8_chisq_independence": QuerySpec(
+        d8_chisq_independence,
+        _D8_SQL,
+        "beyond-reference: exact χ² independence test (one contingency-table shuffle)",
+    ),
     "a18_quantile_profile": QuerySpec(
         a18_quantile_profile,
         _a18_sql(),

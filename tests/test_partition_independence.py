@@ -47,6 +47,10 @@ OPS = [
     "sketch_kmv_setops",  # union bottom-k + presence flags
     "w8_retention_cohorts",  # collect_set of active days
     "decon_bloom_filter",  # broadcast bit-set membership votes
+    "d8_chisq_independence",  # pinned-order float fold over contingency cells
+    "w9_rolling_window_range",  # RANGE-frame peer-row semantics
+    "w10_session_stats",  # window -> agg -> agg composition
+    "pipeline_curation_funnel",  # three-branch signal join
 ]
 
 
