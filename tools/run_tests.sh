@@ -27,7 +27,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_qza.py tests/test_sampling_ops.py
          tests/test_text_repetition.py tests/test_asof_join.py
          tests/test_streaming_joins.py
-         tests/test_documents_jsonl.py tests/test_maintenance.py)
+         tests/test_documents_jsonl.py tests/test_maintenance.py
+         tests/test_streaming_topk.py)
 
 run_shard() {
     local n=$1; shift
