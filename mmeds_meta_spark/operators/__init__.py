@@ -156,6 +156,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # sample_stratified_exact keeps the allocation + md5-range shape;
     # its slot funds the χ² independence test
     "sample_mixture_weighted",
+    # two-level n-gram aggregation (driver-green r04): the gated
+    # text_tfidf_topk keeps the n-gram agg + per-doc rank shape; its
+    # slot funds the Mantel matrix correlation
+    "text_repetition_signals",
 )
 
 

@@ -396,7 +396,97 @@ LEFT JOIN common ON ua = na.sample AND ub = nb.sample
 """
 
 
+# ---------------------------------------------------------------------------
+# d9 — Mantel test: correlation between two sample-distance relations
+# ---------------------------------------------------------------------------
+
+
+def _fold(col: str) -> str:
+    """Pinned-order float fold over the block-bounded pair list: the pair
+    distances are doubles (exact integer ratios, but still doubles), and
+    float addition is order-sensitive — so every Mantel moment is folded
+    over pairs sorted by (ua, ub) on BOTH engines."""
+    return (
+        f"aggregate(array_sort(collect_list(struct(ua, ub, {col}))),"
+        f" CAST(0 AS DOUBLE), (acc, p) -> acc + p.{col})"
+    )
+
+
+def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Mantel statistic between the Bray-Curtis and weighted-UniFrac
+    distance relations over the same sample block: the Pearson r of the
+    two metrics across all sample pairs — "do taxonomic and phylogenetic
+    distances agree?", the standard matrix-correlation companion to
+    PERMANOVA (vegan::mantel in the reference's downstream R ecosystem;
+    significance there comes from permutations, which a caller drives by
+    re-invoking under sample-relabeling — the statistic is the engine
+    part).
+
+    COMPOSITION: consumes the d2_bray_curtis and d2_unifrac_weighted
+    relations directly (one Catalyst plan).  Mantel is inherently
+    pairwise, so it lives on the same bounded sample block as the inputs
+    — the pair list is block² rows, never corpus-scale.  All five
+    moments use pinned-order folds; the closing r expression is one
+    arithmetic tree on identical doubles → bit-identical."""
+    from .diversity import d2_bray_curtis
+
+    bc = d2_bray_curtis(spark, sf).select("ua", "ub", F.col("bray_curtis").alias("x"))
+    uf = d2_unifrac_weighted(spark, sf).select("ua", "ub", F.col("unifrac_w").alias("y"))
+    p = bc.join(uf, ["ua", "ub"]).withColumn("xx", F.expr("x * x")).withColumn(
+        "yy", F.expr("y * y")
+    ).withColumn("xy", F.expr("x * y"))
+    sums = p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(_fold("x")).alias("sx"),
+        F.expr(_fold("y")).alias("sy"),
+        F.expr(_fold("xx")).alias("sxx"),
+        F.expr(_fold("yy")).alias("syy"),
+        F.expr(_fold("xy")).alias("sxy"),
+    )
+    return sums.select(
+        "n_pairs",
+        F.expr(
+            "(n_pairs * sxy - sx * sy)"
+            " / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))"
+        ).alias("mantel_r"),
+    )
+
+
+def _mantel_sql() -> str:
+    from .diversity import _D2_SQL
+
+    def duck_fold(col: str) -> str:
+        return f"list_reduce(list({col} ORDER BY ua, ub), (acc, v) -> acc + v)"
+
+    return f"""
+WITH bc AS ({_D2_SQL}),
+uf AS ({_UF_W_SQL}),
+p AS (
+  SELECT bc.ua, bc.ub, bray_curtis AS x, unifrac_w AS y,
+         bray_curtis * bray_curtis AS xx, unifrac_w * unifrac_w AS yy,
+         bray_curtis * unifrac_w AS xy
+  FROM bc JOIN uf USING (ua, ub)
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         {duck_fold('x')} AS sx, {duck_fold('y')} AS sy,
+         {duck_fold('xx')} AS sxx, {duck_fold('yy')} AS syy,
+         {duck_fold('xy')} AS sxy
+  FROM p
+)
+SELECT n_pairs,
+       (n_pairs * sxy - sx * sy)
+         / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)) AS mantel_r
+FROM sums
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d9_mantel_test": QuerySpec(
+        d9_mantel_test,
+        _mantel_sql(),
+        "beyond-reference: Mantel matrix correlation (Bray-Curtis vs weighted UniFrac; "
+        "vegan::mantel companion to D2/D4), pinned-order moment folds",
+    ),
     "d1_faith_pd": QuerySpec(
         d1_faith_pd, _FAITH_SQL, "D1 rules/diversity_analysis.smk:42-75 (faith_pd)"
     ),
