@@ -51,6 +51,7 @@ OPS = [
     "w9_rolling_window_range",  # RANGE-frame peer-row semantics
     "w10_session_stats",  # window -> agg -> agg composition
     "pipeline_curation_funnel",  # three-branch signal join
+    "d9_mantel_test",  # pinned-order moment folds over pair distances
 ]
 
 
