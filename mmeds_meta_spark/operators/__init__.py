@@ -160,6 +160,14 @@ _GATE_TAIL: tuple[str, ...] = (
     # text_tfidf_topk keeps the n-gram agg + per-doc rank shape; its
     # slot funds the Mantel matrix correlation
     "text_repetition_signals",
+    # 64-stream budgeted packing windows (driver-green r04): the gated
+    # sample_stratified_exact keeps the partitioned-window selection
+    # shape; its slot funds the TWAP operator
+    "pack_sequences",
+    # per-cluster argmax struct agg (driver-green r03-r04): the gated
+    # q_meta_cohort keeps the fused partial-agg argmax shape; its slot
+    # funds the interval-overlap join
+    "dedup_keep_best",
 )
 
 

@@ -776,6 +776,189 @@ FROM cells c JOIN sizes s USING (cohort_day)
 
 
 # ---------------------------------------------------------------------------
+# w11 — time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+
+_SPLIT = 34_359_738_368  # 2^35: quotient stays < 2^53, remainder exact
+
+
+def _big_to_double(dialect: str, col: str) -> str:
+    """Correctly-rounded DOUBLE of a wide exact integer (|x| < 2^88),
+    portable: split at 2^35, convert both halves (each exact in double),
+    recombine with ONE rounding addition.  Needed because DuckDB's
+    DECIMAL(38,0)->DOUBLE cast on aggregate results is off by one ulp for
+    some values (measured; its HUGEINT cast is correct), while Spark's
+    BigDecimal cast rounds correctly — the split makes both engines take
+    the same single-rounding path.  Sign is reapplied by an exact ±1.0
+    multiply; ABS + nonnegative DIV sidesteps floor-vs-trunc divergence."""
+    aw = f"CAST(ABS({col}) AS HUGEINT)" if dialect == "duck" else f"ABS({col})"
+    div = "//" if dialect == "duck" else "DIV"
+    return (
+        f"((CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CAST({aw} {div} {_SPLIT} AS DOUBLE) * {_SPLIT}.0"
+        f" + CAST({aw} % {_SPLIT} AS DOUBLE)))"
+    )
+
+
+def w11_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each event's value
+    holds until the user's next event (step-function semantics), so
+    TWAP = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) — the standard remedy
+    when events arrive irregularly and a plain mean over-weights bursts
+    (financial TWAP, sensor duty cycles).
+
+    Exactness: weights are integer µs gaps, values decimal(28,6); the
+    weighted sum accumulates as exact decimal and the single closing
+    division runs on identical operands → bit-identical doubles.
+    Physical shape at 100 TB: one lead window + one groupBy, both on
+    user_id (the window's shuffle is reused by the agg).  Users with a
+    single event have no holding period and are excluded (documented)."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        event_time_us(raw.schema).alias("ts_us"),
+        # micro-unit INTEGERS, not decimals: DuckDB's DECIMAL(38,6)->DOUBLE
+        # cast applies the 10^-6 scale as a float multiply (measured
+        # last-ulp divergence from Spark's correctly-rounded BigDecimal
+        # cast), so the weighted sum stays a pure integer until the one
+        # closing double expression both engines share
+        F.expr("CAST(ROUND(value * 1000000) AS DECIMAL(18,0))").alias("v_micros"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    stepped = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_holding_periods"),
+            F.sum(
+                F.col("v_micros") * (F.col("next_us") - F.col("ts_us")).cast("decimal(19,0)")
+            ).alias("_wsum"),
+            F.min("ts_us").alias("_t0"),
+            F.max("next_us").alias("_t1"),
+        )
+        .select(
+            "user_id",
+            "n_holding_periods",
+            (
+                F.expr(_big_to_double("spark", "_wsum"))
+                / (F.col("_t1") - F.col("_t0")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("twap"),
+        )
+    )
+
+
+_W11_SQL_TMPL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 1000000) AS DECIMAL(18,0)) AS v_micros
+  FROM events
+), stepped AS (
+  SELECT user_id, ts_us, v_micros,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+  FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_holding_periods,
+       {BIGTODOUBLE}
+         / CAST(MAX(next_us) - MIN(ts_us) AS DOUBLE) / 1000000.0 AS twap
+FROM stepped WHERE next_us IS NOT NULL
+GROUP BY user_id
+"""
+
+_W11_SQL = _W11_SQL_TMPL.replace(
+    "{BIGTODOUBLE}",
+    _big_to_double("duck", "SUM(v_micros * CAST(next_us - ts_us AS DECIMAL(19,0)))"),
+)
+
+
+# ---------------------------------------------------------------------------
+# w12 — interval-overlap join: concurrent sessions across users
+# ---------------------------------------------------------------------------
+
+_IV_BUCKET_US = 60 * 60 * 1_000_000  # 1-hour overlap buckets
+
+
+def w12_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-interval overlap join over the w4 session relation: for
+    each pair of users, how many of their session pairs overlapped in
+    time — the concurrency/co-presence analysis (and the same join
+    shape as genomic interval intersection).
+
+    A naive interval join is a cross join with a range predicate (BNLJ).
+    The scale plan BUCKETS time: each session explodes onto the 1-hour
+    buckets it touches, pairs form by equi-join on the bucket, a
+    residual predicate keeps true overlaps, and a distinct collapses
+    pairs that share several buckets.  Work is bounded by per-bucket
+    session density (concurrency), never total-sessions²; a session
+    explodes into (duration/bucket + 1) keys, bounded because gap
+    sessions are activity-bounded.  Pure integer µs arithmetic →
+    portable."""
+    s = w4_sessionization(spark, sf).select(
+        "user_id",
+        "session_ord",
+        F.col("session_start_us").alias("s0"),
+        F.col("session_end_us").alias("s1"),
+    )
+    exploded = s.select(
+        "user_id",
+        "session_ord",
+        "s0",
+        "s1",
+        F.expr(
+            f"explode(sequence(s0 DIV {_IV_BUCKET_US}, s1 DIV {_IV_BUCKET_US}))"
+        ).alias("bucket"),
+    )
+    a = exploded.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_ord").alias("oa"),
+        F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+        "bucket",
+    )
+    b = exploded.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_ord").alias("ob"),
+        F.col("s0").alias("b0"),
+        F.col("s1").alias("b1"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ua") < F.col("ub"))
+        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .select("ua", "oa", "ub", "ob")
+        .distinct()
+    )
+    return pairs.groupBy("ua", "ub").agg(
+        F.count("*").cast("long").alias("n_overlapping_sessions")
+    )
+
+
+def _w12_sql() -> str:
+    return f"""
+WITH w4 AS ({_W4_SQL})
+SELECT a.user_id AS ua, b.user_id AS ub,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_sessions
+FROM w4 a JOIN w4 b
+  ON a.user_id < b.user_id
+ AND a.session_start_us <= b.session_end_us
+ AND b.session_start_us <= a.session_end_us
+GROUP BY a.user_id, b.user_id
+"""
+# The oracle states the PLAIN quadratic overlap join; the Spark plan's
+# time bucketing is an equivalence-preserving rewrite (two intervals
+# overlap iff they share at least one bucket AND pass the residual
+# predicate; distinct removes multi-bucket double counts).
+
+
+# ---------------------------------------------------------------------------
 # w10 — per-user session-behavior profile (composition on w4)
 # ---------------------------------------------------------------------------
 
@@ -888,6 +1071,17 @@ QUERIES: dict[str, QuerySpec] = {
         _w10_sql(),
         "W-family composition: per-user session-behavior profile on top of the "
         "w4 session relation (windows compose with aggs in one plan)",
+    ),
+    "w11_time_weighted_avg": QuerySpec(
+        w11_time_weighted_avg,
+        _W11_SQL,
+        "W-family extension: time-weighted average (decimal-exact step-function TWAP)",
+    ),
+    "w12_interval_overlap": QuerySpec(
+        w12_interval_overlap,
+        _w12_sql(),
+        "W-family extension: interval-overlap join via time bucketing "
+        "(concurrency analysis; genomic-interval join shape)",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
