@@ -52,6 +52,8 @@ OPS = [
     "w10_session_stats",  # window -> agg -> agg composition
     "pipeline_curation_funnel",  # three-branch signal join
     "d9_mantel_test",  # pinned-order moment folds over pair distances
+    "w11_time_weighted_avg",  # split-idiom wide-int double cast
+    "w12_interval_overlap",  # bucketed interval join + distinct
 ]
 
 

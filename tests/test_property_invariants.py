@@ -149,3 +149,51 @@ def test_bucketed_range_join_covers_window(spark, tmp_path_factory, events):
         if n:
             want[i] = n
     assert got == {(i, n) for i, n in want.items()}
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+def test_interval_bucket_join_is_lossless(spark, tmp_path_factory, events):
+    """w12's bucket explosion must reproduce the plain quadratic interval
+    overlap join over the w4 sessions (two intervals overlap iff they
+    share >= 1 bucket and pass the residual predicate)."""
+    import datetime
+
+    from mmeds_meta_spark.operators import registry as _reg
+
+    tmp = tmp_path_factory.mktemp("iv")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=m * 13),  # spread to force gaps
+            u,
+            "view",
+            1.0,
+            "{}",
+        )
+        for i, (u, m, _p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tmp / "c"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        (r.ua, r.ub): r.n_overlapping_sessions
+        for r in _reg()["w12_interval_overlap"].spark(spark, str(d)).collect()
+    }
+    sess = _reg()["w4_sessionization"].spark(spark, str(d)).collect()
+    from collections import defaultdict
+
+    want = defaultdict(int)
+    for a in sess:
+        for b in sess:
+            if (
+                a.user_id < b.user_id
+                and a.session_start_us <= b.session_end_us
+                and b.session_start_us <= a.session_end_us
+            ):
+                want[(a.user_id, b.user_id)] += 1
+    assert got == dict(want)
