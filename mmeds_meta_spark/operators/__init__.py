@@ -168,6 +168,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # q_meta_cohort keeps the fused partial-agg argmax shape; its slot
     # funds the interval-overlap join
     "dedup_keep_best",
+    # regex parse + groupBy profile (driver-green r01-r04 as f1's
+    # structured-parse twin): the gated f23_json_props_rollup carries the
+    # schema-on-read parse shape forward; a5/a8 keep the profile aggs
+    "a5_rare_category_profile",
 )
 
 

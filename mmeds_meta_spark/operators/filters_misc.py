@@ -776,6 +776,50 @@ FROM cells c JOIN sizes s USING (cohort_day)
 
 
 # ---------------------------------------------------------------------------
+# f23 — semi-structured JSON property extraction + rollup
+# ---------------------------------------------------------------------------
+
+
+def f23_json_props_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse the events feed's JSON ``props`` payload (schema-on-read:
+    ``from_json`` with an explicit struct, malformed rows → NULL) and
+    roll the extracted property up per event type — the semi-structured
+    column pattern every event pipeline hits (clients ship loose JSON;
+    the warehouse types it at read).
+
+    Physical shape at 100 TB: ``from_json`` is a JVM narrow map inside
+    whole-stage codegen (never a Python UDF), the rollup is one
+    partial-agg shuffle on event_type, and Catalyst prunes the parse to
+    the single referenced field.  Sums are integers → exact."""
+    ev = _t(spark, sf, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_unparsed"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+_F23_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM (
+  SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # w11 — time-weighted average value per user (TWAP)
 # ---------------------------------------------------------------------------
 
@@ -1082,6 +1126,12 @@ QUERIES: dict[str, QuerySpec] = {
         _w12_sql(),
         "W-family extension: interval-overlap join via time bucketing "
         "(concurrency analysis; genomic-interval join shape)",
+    ),
+    "f23_json_props_rollup": QuerySpec(
+        f23_json_props_rollup,
+        _F23_SQL,
+        "beyond-reference: semi-structured JSON property extraction "
+        "(schema-on-read from_json, codegen narrow map) + typed rollup",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
