@@ -1,0 +1,59 @@
+"""Hash-bucketed parquet upsert: MERGE semantics, bounded rewrite."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_upsert_merge_semantics_and_bounded_rewrite(spark, tmp_path):
+    from mmeds_meta_spark.sources.upsert_store import HashPartitionedStore
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    store = HashPartitionedStore(spark, str(tmp_path / "store"), n_buckets=8)
+    store.write_initial(docs)
+    assert store.read().count() == docs.count()
+
+    # batch: update 3 existing docs (same bucket keys), insert 2 new
+    updates = docs.filter(F.col("doc_id").isin(0, 8, 16)).withColumn(
+        "text", F.lit("UPDATED")
+    )
+    inserts = spark.createDataFrame(
+        [(100001, "new one", "en", "srcX", 7), (100002, "new two", "en", "srcX", 7)],
+        docs.schema,
+    )
+    batch = updates.unionByName(inserts)
+
+    before = {
+        d: sorted(os.listdir(tmp_path / "store" / d))
+        for d in os.listdir(tmp_path / "store")
+    }
+    report = store.upsert(batch)
+    # doc_ids 0,8,16 -> bucket 0; 100001 -> 1; 100002 -> 2 (mod 8)
+    assert report["buckets_touched"] == 3
+
+    after = store.read()
+    assert after.count() == docs.count() + 2
+    got = {r.doc_id: r.text for r in after.filter(F.col("doc_id").isin(0, 8, 16, 100001)).collect()}
+    assert got[0] == got[8] == got[16] == "UPDATED"
+    assert got[100001] == "new one"
+
+    # untouched buckets were not rewritten (identical file listings)
+    for d, files in before.items():
+        k = int(d.split("=")[1])
+        if k not in (0, 1, 2):
+            assert sorted(os.listdir(tmp_path / "store" / d)) == files
+
+
+def test_upsert_into_empty_bucket(spark, tmp_path):
+    from mmeds_meta_spark.sources.upsert_store import HashPartitionedStore
+
+    store = HashPartitionedStore(spark, str(tmp_path / "s2"), n_buckets=4)
+    batch = spark.createDataFrame(
+        [(5, "a", "en", "s", 1)], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    store.upsert(batch)
+    assert store.read().count() == 1

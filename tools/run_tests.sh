@@ -28,7 +28,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_text_repetition.py tests/test_asof_join.py
          tests/test_streaming_joins.py
          tests/test_documents_jsonl.py tests/test_maintenance.py
-         tests/test_streaming_topk.py tests/test_fastq_datasource.py)
+         tests/test_streaming_topk.py tests/test_fastq_datasource.py
+         tests/test_upsert_store.py)
 
 run_shard() {
     local n=$1; shift
