@@ -91,3 +91,30 @@ class HashPartitionedStore:
             os.rename(tmp, bdir)
             shutil.rmtree(retired, ignore_errors=True)
         return {"buckets_touched": len(touched), "n_buckets": self.n}
+
+
+def start_streaming_upsert(
+    spark: SparkSession,
+    feed_dir: str,
+    store: HashPartitionedStore,
+    checkpoint_dir: str,
+    schema,
+):
+    """CDC intake: every micro-batch MERGEs into the store via
+    ``foreachBatch``.  Upsert is IDEMPOTENT per batch (same keys, same
+    rows → same final state), so checkpoint replay needs no batch-id
+    bookkeeping — the third exactly-once discipline in this repo, next
+    to MAX-merge (HLL) and batch-keyed writes (CMS)."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        store.upsert(batch)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -57,3 +57,36 @@ def test_upsert_into_empty_bucket(spark, tmp_path):
     )
     store.upsert(batch)
     assert store.read().count() == 1
+
+
+def test_streaming_cdc_upsert(spark, tmp_path):
+    import shutil as _sh
+
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.sources.upsert_store import (
+        HashPartitionedStore,
+        start_streaming_upsert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # wave 0: docs 0..249; wave 1: docs 200..299 with updated text
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "w0"))
+    docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)).withColumn(
+        "text", F.lit("V2")
+    ).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for i, wave in enumerate(sorted(tmp_path.glob("w[01]/*.parquet"))):
+        _sh.move(str(wave), str(feed / f"w{i}.parquet"))
+
+    store = HashPartitionedStore(spark, str(tmp_path / "cdc_store"), n_buckets=4)
+    q = start_streaming_upsert(
+        spark, str(feed), store, str(tmp_path / "ck"), docs.schema
+    )
+    q.awaitTermination(180)
+
+    final = store.read()
+    assert final.count() == 300  # 0..299, no duplicates
+    v2 = final.filter(F.col("text") == "V2").select("doc_id").collect()
+    assert {r.doc_id for r in v2} == set(range(200, 300))
