@@ -172,6 +172,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # structured-parse twin): the gated f23_json_props_rollup carries the
     # schema-on-read parse shape forward; a5/a8 keep the profile aggs
     "a5_rare_category_profile",
+    # narrow-map text scoring (driver-green r01-r04): the gated funnel's
+    # quality stage and text_tfidf keep the tokenize-agg shapes; its
+    # slot funds the declared-values PIVOT
+    "text_langid_heuristic",
 )
 
 

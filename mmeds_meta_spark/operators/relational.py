@@ -628,6 +628,54 @@ SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
 """
 
 
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "refund")
+
+
+def r6_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The melt's inverse: long (user, event_type) rows → one wide row
+    per user with a count column per type (`pivot` with the value list
+    DECLARED, so Catalyst skips the extra distinct-values job a dynamic
+    pivot needs and the plan is a single partial-agg shuffle — exactly
+    a groupBy with conditional counts, which is also how the oracle
+    states it portably).  Undeclared types land in `other_events` so the
+    wide schema is total."""
+    ev = _t(spark, sf, "events")
+    known = list(_PIVOT_TYPES)
+    agged = (
+        ev.groupBy("user_id")
+        .pivot("event_type", known)
+        .count()
+        .na.fill(0, subset=known)
+    )
+    renamed = agged.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in known]
+    )
+    totals = ev.groupBy("user_id").agg(F.count("*").alias("_tot"))
+    return (
+        renamed.join(totals, "user_id")
+        .withColumn(
+            "other_events",
+            (F.col("_tot") - sum(F.col(f"n_{t}") for t in known)).cast("long"),
+        )
+        .drop("_tot")
+    )
+
+
+def _r6_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    notin = ", ".join(f"'{t}'" for t in _PIVOT_TYPES)
+    return f"""
+SELECT user_id,
+       {cols},
+       CAST(SUM(CASE WHEN event_type NOT IN ({notin}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS other_events
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # P3/P2 — row-level security predicate + id-column pruning
 # (sql/functions.sql:32-49 owner_check; database.py:387-390)
@@ -801,6 +849,12 @@ QUERIES: dict[str, QuerySpec] = {
     "f16_levenshtein_match": QuerySpec(f16_levenshtein_match, _F16_SQL, "F16 util.py:1233-1234"),
     "f1_structured_parse": QuerySpec(f1_structured_parse, _F1_SQL, "F1 util.py:575-610"),
     "r1_unpivot_melt": QuerySpec(r1_unpivot_melt, _R1_SQL, "R1 summary_code.txt alpha blocks"),
+    "r6_pivot_events": QuerySpec(
+        r6_pivot_events,
+        _r6_sql(),
+        "beyond-reference: declared-values PIVOT (melt's inverse; one partial-agg "
+        "shuffle, no distinct-values pre-job)",
+    ),
     "p3_rls_filter": QuerySpec(p3_rls_filter, _P3_SQL, "P3/P2 sql/functions.sql:32-49"),
     "f19_weight_cascade": QuerySpec(f19_weight_cascade, _F19_SQL, "F19 sql/triggers.sql:5-34"),
     "q_meta_cohort": QuerySpec(q_meta_cohort, _QMETA_SQL, "§3.2 database.py:250-303, formatter.py:63-67"),
