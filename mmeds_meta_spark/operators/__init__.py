@@ -176,6 +176,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # quality stage and text_tfidf keep the tokenize-agg shapes; its
     # slot funds the declared-values PIVOT
     "text_langid_heuristic",
+    # bounded BNLJ query-vector search (driver-green r01-r04): the gated
+    # ann_pq_adc/ivf_pq keep the top-k search shapes; its slot funds the
+    # forward-fill window
+    "ann_cosine_topk",
 )
 
 

@@ -898,6 +898,64 @@ def w11_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# w13 — forward fill (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+
+def w13_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user forward fill: only 'purchase' events carry an observed
+    value; every other event inherits the user's most recent purchase
+    value (LOCF — the time-series gap-fill every sensor/market pipeline
+    runs before resampling).  Rows before a user's first purchase stay
+    NULL (no lookahead).
+
+    Physical shape at 100 TB: ONE window over user_id —
+    ``last(ignorenulls)`` with an unbounded-preceding ROWS frame is
+    Spark's running-state frame (O(1) per row, no per-row rescan);
+    DuckDB's ``last_value(x IGNORE NULLS)`` states the identical
+    semantics.  Values are round(6) decimals → exact; the output is the
+    filled value, not a recomputation, so no float arithmetic at all."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        event_time_us(raw.schema).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value"), 6).cast("decimal(18,6)"),
+        ).alias("obs"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last("obs", ignorenulls=True).over(w).cast("double").alias("last_purchase_value"),
+    )
+
+
+_W13_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       CAST(last_value(
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END
+         IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS last_purchase_value
+FROM events
+"""
+
+
 _W11_SQL_TMPL = """
 WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -1132,6 +1190,11 @@ QUERIES: dict[str, QuerySpec] = {
         _F23_SQL,
         "beyond-reference: semi-structured JSON property extraction "
         "(schema-on-read from_json, codegen narrow map) + typed rollup",
+    ),
+    "w13_forward_fill": QuerySpec(
+        w13_forward_fill,
+        _W13_SQL,
+        "W-family extension: forward fill / LOCF (last ignore-nulls running frame)",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
