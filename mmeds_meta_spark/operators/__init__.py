@@ -180,6 +180,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # ann_pq_adc/ivf_pq keep the top-k search shapes; its slot funds the
     # forward-fill window
     "ann_cosine_topk",
+    # int8 quantization narrow map (driver-green r04 after its round-3
+    # stringification fix): embed/PQ gated twins keep the vector-math
+    # evidence; its slot funds the frame-hash video dedup
+    "embed_quantize_int8",
 )
 
 

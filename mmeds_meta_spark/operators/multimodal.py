@@ -263,7 +263,117 @@ FROM media GROUP BY media_type
 """
 
 
+# ---------------------------------------------------------------------------
+# frame-hash near-dup — the video-dedup pipeline shape, end to end
+# ---------------------------------------------------------------------------
+
+_FRAME_W = 64  # frame window (chars of the decoded payload)
+_FRAME_S = 48  # stride
+_FRAME_TAU = 0.5  # near-dup if ≥ 50% of the smaller side's frames match
+
+
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup by frame fingerprints: sample fixed-stride frames
+    from each video payload, md5 each frame, and flag media pairs whose
+    shared-frame count covers ≥ τ of the smaller side — the standard
+    video-dedup pipeline (sample → per-frame hash → inverted-index
+    overlap), here with the decode step as a deterministic relational
+    window over the payload (a real codec slots into the same frames
+    relation via decode_media/sample_frames).
+
+    Physical shape at 100 TB: frame explode is a narrow map bounded by
+    payload_len/stride rows; pair generation is an inverted-index join
+    on the frame hash (only matching frames meet — no media×media
+    space); the overlap agg is one partial-agg shuffle on the pair.
+    containment-vs-smaller-side catches clipped/extended copies that a
+    symmetric ratio misses.  All md5/substr/integer — oracle-exact."""
+    m = media_table(spark, sf).filter(F.col("media_type") == "video/mp4")
+    decoded = m.select(
+        "media_id", F.decode("payload", "utf-8").alias("txt")
+    ).withColumn("n_chars", F.length("txt"))
+    frames = (
+        decoded.filter(F.col("n_chars") >= _FRAME_W)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_chars") - _FRAME_W, F.lit(_FRAME_S)
+                )
+            ).alias("off"),
+            "txt",
+        )
+        .select(
+            "media_id",
+            F.md5(F.expr(f"substring(txt, off + 1, {_FRAME_W})")).alias("fh"),
+        )
+        .distinct()
+    )
+    sizes = frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    a = frames.select(F.col("media_id").alias("ma"), "fh")
+    b = frames.select(F.col("media_id").alias("mb"), "fh")
+    common = (
+        a.join(b, "fh")
+        .filter(F.col("ma") < F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("media_id").alias("ma"), F.col("n_frames").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("mb"), F.col("n_frames").alias("nb"))
+    return (
+        common.join(sa, "ma")
+        .join(sb, "mb")
+        .filter(
+            2 * F.col("n_common") >= F.least("na", "nb")  # τ = 1/2, integer-exact
+        )
+        .select(
+            "ma",
+            "mb",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("n_frames_a"),
+            F.col("nb").cast("long").alias("n_frames_b"),
+            (F.col("n_common").cast("double") / F.least("na", "nb")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+_FRAME_DEDUP_SQL = f"""
+WITH vid AS (
+  SELECT doc_id AS media_id, text AS txt, length(text) AS n_chars
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT DISTINCT media_id,
+         md5(substr(txt, CAST(o AS INTEGER) + 1, {_FRAME_W})) AS fh
+  FROM (SELECT media_id, txt, UNNEST(range(0, n_chars - {_FRAME_W} + 1, {_FRAME_S})) AS o
+        FROM vid WHERE n_chars >= {_FRAME_W})
+), sizes AS (
+  SELECT media_id, COUNT(*) AS n_frames FROM frames GROUP BY media_id
+), common AS (
+  SELECT a.media_id AS ma, b.media_id AS mb, COUNT(*) AS n_common
+  FROM frames a JOIN frames b ON a.fh = b.fh AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT c.ma, c.mb, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_frames AS BIGINT) AS n_frames_a,
+       CAST(sb.n_frames AS BIGINT) AS n_frames_b,
+       CAST(c.n_common AS DOUBLE) / LEAST(sa.n_frames, sb.n_frames) AS containment
+FROM common c
+JOIN sizes sa ON sa.media_id = c.ma
+JOIN sizes sb ON sb.media_id = c.mb
+WHERE 2 * c.n_common >= LEAST(sa.n_frames, sb.n_frames)
+"""
+# Spark sequence(0, n-W, S) inclusive-stop == DuckDB range(0, n-W+1, S)
+# exclusive-stop: identical offset sets.
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_frame_dedup": QuerySpec(
+        multimodal_frame_dedup,
+        _FRAME_DEDUP_SQL,
+        "LLM-pipeline multimodal (video near-dup via frame fingerprints — "
+        "sample → hash → inverted-index containment)",
+    ),
     "multimodal_meta_profile": QuerySpec(
         multimodal_meta_profile, _META_SQL, "LLM-pipeline multimodal (binary columns + metadata)"
     ),
