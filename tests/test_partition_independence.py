@@ -54,6 +54,10 @@ OPS = [
     "d9_mantel_test",  # pinned-order moment folds over pair distances
     "w11_time_weighted_avg",  # split-idiom wide-int double cast
     "w12_interval_overlap",  # bucketed interval join + distinct
+    "w13_forward_fill",  # running ignore-nulls frame
+    "f23_json_props_rollup",  # schema-on-read parse + rollup
+    "r6_pivot_events",  # declared-values pivot
+    "multimodal_frame_dedup",  # frame-hash inverted-index containment
 ]
 
 
