@@ -62,18 +62,27 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 
-def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf: str, *, repartition_input: bool = False
+) -> DataFrame:
     """(doc_id, shingle) distinct word-2-grams.
 
     Built narrowly — ``transform(sequence(...))`` pairs adjacent tokens
     inside one codegen stage (no self-join, no shuffle until the final
     distinct).  ``array_distinct`` pre-dedups per doc before the explode so
     the distinct shuffle carries no within-doc duplicates."""
-    # NOTE: a repartition-before-hash was tried to parallelize the md5
-    # chain past the single-row-group input split and MEASURED SLOWER at
-    # this scale (extra shuffle > ~1s of hashing); at real scale many
-    # input files provide the parallelism natively.
-    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    # ``repartition_input`` is the single-input-split rescue (see
+    # dedup_simhash): worth it ONLY for consumers whose downstream
+    # per-shingle work is heavy enough to beat the extra shuffle of raw
+    # docs.  Measured at sf0.1: the k-hash MinHash signature chain wins
+    # (0.52 s → 0.35 s warm, 2.7 s → 0.5 s cold); the light ngram-overlap
+    # consumers LOSE (~1 s shuffle > the hashing it parallelizes), so the
+    # default stays False.  On a many-file corpus the scan itself
+    # provides the splits and the flag is a no-op balance pass.
+    d = _t(spark, sf, "documents")
+    if repartition_input:
+        d = d.repartition("doc_id")
+    d = d.select("doc_id", F.split("text", " ").alias("toks"))
     shingles = F.expr(
         "CASE WHEN size(toks) >= 2 THEN "
         "array_distinct(transform(sequence(0, size(toks) - 2),"
@@ -263,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB this is THE dedup path (Jaccard verify runs on candidates
     only).  Output: candidate pairs with the number of agreeing bands.
     """
-    sh = _doc_shingles(spark, sf)
+    sh = _doc_shingles(spark, sf, repartition_input=True)
     # one pass: ONE md5 per shingle, k hashes derived by double hashing
     # (Kirsch–Mitzenmacher: h_i = (a + i·b) mod P) — measured 8×-md5
     # signatures were the dominant cost of the whole operator.  a, b are
