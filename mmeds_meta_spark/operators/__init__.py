@@ -184,6 +184,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # stringification fix): embed/PQ gated twins keep the vector-math
     # evidence; its slot funds the frame-hash video dedup
     "embed_quantize_int8",
+    # partitioned child-ordinal row_number (driver-green r01-r04, still
+    # benched in the headline): sample_stratified_exact keeps the
+    # partitioned-window shape; its slot funds the cluster-stats report
+    "w1_child_ordinal_ids",
 )
 
 

@@ -1488,7 +1488,60 @@ FROM agg WHERE CAST(n_bloom_hits AS DOUBLE) / n_shingles >= {_BLOOM_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# cluster statistics — the dedup-savings report
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster size histogram: for each component size, how many
+    clusters exist, how many documents they hold, and how many are
+    REMOVABLE (all but one keeper per cluster) — the "what will this
+    dedup pass actually save?" report every curation run reads before
+    committing to a deletion.
+
+    COMPOSITION: consumes :func:`dedup_cluster_components` directly —
+    the CC fixpoint, the per-cluster count, and this histogram fuse into
+    one job chain.  Beyond the pair-covered docs, the report is two
+    matrix-sized aggregations (cluster → size, size → histogram) — free
+    at any corpus size once CC has run."""
+    cc = dedup_cluster_components(spark, sf)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+WITH cc AS ({_components_sql()}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cluster_stats": QuerySpec(
+        dedup_cluster_stats,
+        _cluster_stats_sql(),
+        "LLM-pipeline dedup (cluster size histogram / savings report — "
+        "composition over the CC fixpoint)",
+    ),
     "simjoin_prefix_jaccard": QuerySpec(
         simjoin_prefix_jaccard,
         _SIMJOIN_SQL,
