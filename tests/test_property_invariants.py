@@ -197,3 +197,31 @@ def test_interval_bucket_join_is_lossless(spark, tmp_path_factory, events):
             ):
                 want[(a.user_id, b.user_id)] += 1
     assert got == dict(want)
+
+
+def test_kmv_setops_saturation_is_exact(spark, tmp_path_factory):
+    """With fewer distinct elements than k, the KMV estimates must
+    COLLAPSE TO EXACT values (n_kept < k branch): union = true distinct
+    count, jaccard/intersection = true set overlap."""
+    tmp = tmp_path_factory.mktemp("kmv")
+    # tiny vocab -> far fewer distinct 3-gram shingles than k=1024
+    texts = [
+        "aa bb cc dd ee aa bb cc",  # doc 0 (side A)
+        "bb cc dd ee aa bb cc dd",  # doc 1 (side B)
+        "aa bb cc dd ee aa bb cc",  # doc 2 (side A, duplicate of 0)
+        "zz yy xx ww vv uu tt ss",  # doc 3 (side B, disjoint)
+    ]
+    sf = _write_docs(spark, tmp, texts, "c")
+    row = REG["sketch_kmv_setops"].spark(spark, sf).collect()[0]
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    a = shingles(texts[0]) | shingles(texts[2])
+    b = shingles(texts[1]) | shingles(texts[3])
+    union, inter = a | b, a & b
+    assert row.n_kept == len(union) < row.k
+    assert row.est_union == float(len(union))
+    assert row.k_both == len(inter)
+    assert abs(row.est_intersection - len(inter)) < 1e-9
