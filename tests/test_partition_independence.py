@@ -58,6 +58,7 @@ OPS = [
     "f23_json_props_rollup",  # schema-on-read parse + rollup
     "r6_pivot_events",  # declared-values pivot
     "multimodal_frame_dedup",  # frame-hash inverted-index containment
+    "dedup_cluster_stats",  # histogram over the CC fixpoint
 ]
 
 
