@@ -188,6 +188,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # benched in the headline): sample_stratified_exact keeps the
     # partitioned-window shape; its slot funds the cluster-stats report
     "w1_child_ordinal_ids",
+    # stack-generator melt (driver-green r01-r04, still benched): the
+    # gated r6 pivot is its declared inverse and a12/w6 keep the stack
+    # shape; its slot funds the session-funnel composition
+    "r1_unpivot_melt",
 )
 
 

@@ -776,6 +776,134 @@ FROM cells c JOIN sizes s USING (cohort_day)
 
 
 # ---------------------------------------------------------------------------
+# w14 — ordered funnel WITHIN sessions (w4 ∘ w6 composition)
+# ---------------------------------------------------------------------------
+
+
+def w14_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The w6 ordered funnel evaluated per SESSION instead of per user
+    lifetime: a session converts through step k iff its earliest step-k
+    event strictly follows its earliest step-(k−1) event — the
+    within-visit conversion metric (lifetime funnels overstate
+    conversion by crediting a purchase weeks after the view).
+
+    COMPOSITION: the w4 gap rule assigns the session id (same lag +
+    running-sum window), then w6's per-step MIN aggregation runs with
+    (user, session) as the funnel unit — one window + one partial-agg
+    shuffle on user_id, then a #steps-row roll-up.  Same portable
+    integer-µs arithmetic as both parents."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_ord",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    mins = sess.groupBy("user_id", "session_ord").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts_us"))).alias(f"t{i}")
+            for i, s in enumerate(_FUNNEL)
+        ]
+    )
+    conv = mins.select(
+        *[
+            F.when(
+                F.expr(
+                    " AND ".join(f"t{j} IS NOT NULL" for j in range(i + 1))
+                    + (
+                        ""
+                        if i == 0
+                        else " AND "
+                        + " AND ".join(f"t{j-1} < t{j}" for j in range(1, i + 1))
+                    )
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"c{i}")
+            for i in range(len(_FUNNEL))
+        ]
+    )
+    tall = conv.selectExpr(
+        "stack("
+        + str(len(_FUNNEL))
+        + ", "
+        + ", ".join(f"{i}L, '{s}', c{i}" for i, s in enumerate(_FUNNEL))
+        + ") AS (step, step_name, c)"
+    )
+    agg = tall.groupBy("step", "step_name").agg(
+        F.sum("c").cast("long").alias("n_sessions_reached")
+    )
+    wbase = Window.orderBy(F.lit(1))
+    return agg.select(
+        "step",
+        "step_name",
+        "n_sessions_reached",
+        (
+            F.col("n_sessions_reached").cast("double")
+            / F.max(F.when(F.col("step") == 0, F.col("n_sessions_reached"))).over(wbase)
+        ).alias("conv_rate"),
+    )
+
+
+def _w14_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts_us END) AS t{i}"
+        for i, s in enumerate(_FUNNEL)
+    )
+    convs = []
+    for i in range(len(_FUNNEL)):
+        cond = " AND ".join(f"t{j} IS NOT NULL" for j in range(i + 1))
+        if i > 0:
+            cond += " AND " + " AND ".join(f"t{j-1} < t{j}" for j in range(1, i + 1))
+        convs.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END AS c{i}")
+    tall = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS step_name, c{i} AS c FROM conv"
+        for i, s in enumerate(_FUNNEL)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ord
+  FROM flagged
+), mins AS (
+  SELECT user_id, session_ord, {mins}
+  FROM sess GROUP BY user_id, session_ord
+), conv AS (
+  SELECT {", ".join(convs)} FROM mins
+), tall AS (
+  {tall}
+), agg AS (
+  SELECT step, step_name, CAST(SUM(c) AS BIGINT) AS n_sessions_reached
+  FROM tall GROUP BY step, step_name
+)
+SELECT step, step_name, n_sessions_reached,
+       CAST(n_sessions_reached AS DOUBLE)
+         / MAX(CASE WHEN step = 0 THEN n_sessions_reached END) OVER () AS conv_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # f23 — semi-structured JSON property extraction + rollup
 # ---------------------------------------------------------------------------
 
@@ -1195,6 +1323,12 @@ QUERIES: dict[str, QuerySpec] = {
         w13_forward_fill,
         _W13_SQL,
         "W-family extension: forward fill / LOCF (last ignore-nulls running frame)",
+    ),
+    "w14_session_funnel": QuerySpec(
+        w14_session_funnel,
+        _w14_sql(),
+        "W-family composition: ordered funnel per session (w4 gap rule ∘ w6 "
+        "step MINs — within-visit conversion)",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
