@@ -59,6 +59,7 @@ OPS = [
     "r6_pivot_events",  # declared-values pivot
     "multimodal_frame_dedup",  # frame-hash inverted-index containment
     "dedup_cluster_stats",  # histogram over the CC fixpoint
+    "w14_session_funnel",  # session window ∘ funnel MIN composition
 ]
 
 
