@@ -225,3 +225,39 @@ def test_kmv_setops_saturation_is_exact(spark, tmp_path_factory):
     assert row.est_union == float(len(union))
     assert row.k_both == len(inter)
     assert abs(row.est_intersection - len(inter)) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_simhash_banding_is_lossless(spark, tmp_path_factory, texts):
+    """dedup_simhash's pigeonhole band join (+ hot-bucket salting) must
+    return EXACTLY the direct pairwise Hamming-τ pairs: ≤ τ flipped
+    bits leave at least one of the τ+1 bands untouched."""
+    import hashlib
+
+    tmp = tmp_path_factory.mktemp("sh")
+    sf = _write_docs(spark, tmp, texts, "c")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REG["dedup_simhash"].spark(spark, sf).collect()
+    }
+
+    def fingerprint(text):
+        s = [0] * 32
+        for tok in text.split(" "):
+            w = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for j in range(8):
+                for r in range(4):
+                    k = 4 * j + r
+                    n = (7 - j) * 4 + r
+                    s[k] += 2 * ((w >> n) & 1) - 1
+        return sum((1 << k) for k in range(32) if s[k] > 0)
+
+    fps = [fingerprint(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 4:
+                want[(a, b)] = h
+    assert got == want
