@@ -192,6 +192,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated r6 pivot is its declared inverse and a12/w6 keep the stack
     # shape; its slot funds the session-funnel composition
     "r1_unpivot_melt",
+    # global-HLL register agg (driver-green r05 pending; pytest + local):
+    # the gated sketch_hll_by_group is its strict superset (same register
+    # math, grouped); its slot funds that grouped variant
+    "sketch_hll_distinct",
 )
 
 

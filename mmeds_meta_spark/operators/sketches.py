@@ -410,7 +410,77 @@ FROM bottom
 """
 
 
+def sketch_hll_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE distinct-(doc,token) estimates from grouped HLL
+    registers — the sketch as a GROUPED aggregate: per-group register
+    sets merge by (group, bucket) MAX, so per-source sketches roll up
+    to the global one (or any grouping-set level) without rescanning —
+    the property that makes sketch columns cube-able in a warehouse.
+
+    Physical shape at 100 TB: one partial-agg shuffle to
+    |groups|×256 register rows, then a per-group single-row agg.  Same
+    exact-decimal harmonic sum as the global operator → oracle-exact."""
+    d = _t(spark, sf, "documents")
+    pair = d.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "source",
+        F.concat_ws("|", F.col("doc_id").cast("string"), "tok").alias("pk"),
+    )
+    br = pair.selectExpr("source", "md5(pk) AS h").selectExpr(
+        "source",
+        "CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr(h, 3, {_HLL_WBITS // 4}), 16, 10) AS BIGINT) AS w",
+    ).selectExpr(
+        "source",
+        "bucket",
+        f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank",
+    )
+    regs = br.groupBy("source", "bucket").agg(F.max("rank").alias("m_j"))
+    return regs.groupBy("source").agg(
+        F.count("*").alias("n_nonzero"),
+        F.expr(
+            f"ROUND({_HLL_NUM!r}"
+            f" / CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 49 - m_j) AS DECIMAL(38,0)))"
+            f"   + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0)) * {2 ** 49} AS DOUBLE), 4)"
+        ).alias("est_distinct"),
+    )
+
+
+_HLL_GROUP_SQL = f"""
+WITH pair AS (
+  SELECT source,
+         CAST(doc_id AS VARCHAR) || '|' || unnest(string_split(text, ' ')) AS pk
+  FROM documents
+), br AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(pk), 1, 2)) AS UBIGINT)::BIGINT AS bucket,
+         CAST(('0x' || substr(md5(pk), 3, {_HLL_WBITS // 4})) AS UBIGINT)::BIGINT AS w
+  FROM pair
+), ranked AS (
+  SELECT source, bucket,
+         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank
+  FROM br
+), regs AS (
+  SELECT source, bucket, MAX(rank) AS m_j FROM ranked GROUP BY source, bucket
+)
+SELECT source, COUNT(*) AS n_nonzero,
+       ROUND({_HLL_NUM!r}
+             / CAST(SUM(CAST(1::BIGINT << (49 - m_j) AS HUGEINT))
+               + CAST({_HLL_M} - COUNT(*) AS HUGEINT) * CAST({2 ** 49} AS HUGEINT) AS DOUBLE), 4)
+         AS est_distinct
+FROM regs GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_hll_by_group": QuerySpec(
+        sketch_hll_by_group,
+        _HLL_GROUP_SQL,
+        "beyond-reference: GROUPED HyperLogLog — per-source register sets, "
+        "mergeable to any rollup level without rescanning",
+    ),
     "sketch_kmv_setops": QuerySpec(
         sketch_kmv_setops,
         _KMV_SETOPS_SQL,
