@@ -60,6 +60,7 @@ OPS = [
     "multimodal_frame_dedup",  # frame-hash inverted-index containment
     "dedup_cluster_stats",  # histogram over the CC fixpoint
     "w14_session_funnel",  # session window ∘ funnel MIN composition
+    "sketch_hll_by_group",  # grouped register MAX must be layout-independent
 ]
 
 
