@@ -940,7 +940,12 @@ SELECT event_type,
        CAST(SUM(k) AS BIGINT) AS k_sum,
        MIN(k) AS k_min, MAX(k) AS k_max
 FROM (
-  SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  -- json_valid guard: DuckDB's json_extract RAISES on malformed JSON
+  -- (Spark's from_json yields NULL), so malformed rows must be routed to
+  -- NULL before extraction for both engines to count them as n_unparsed
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 GROUP BY event_type

@@ -64,13 +64,21 @@ class FastqReader(DataSourceReader):
                 seq = fh.readline().rstrip("\n")
                 plus = fh.readline()
                 qual = fh.readline().rstrip("\n")
-                if not qual and not plus:
-                    break  # truncated trailing frame — drop, matching the
-                    # reference's silent tail tolerance
+                if not qual:
+                    # truncated trailing frame — whether the file ended
+                    # before OR after the '+' separator, there is no qual
+                    # line, so drop the record (matching the reference's
+                    # silent tail tolerance); an empty qual would otherwise
+                    # ship a seq/qual length mismatch downstream
+                    break
+                hdr = header.rstrip("\n")
+                # strip exactly ONE marker: a header legitimately starting
+                # '@@…' must keep its second '@' (lstrip would eat both)
+                hdr = hdr[1:] if hdr.startswith("@") else hdr
                 yield (
                     partition.path,
                     rid,
-                    header.rstrip("\n").lstrip("@"),
+                    hdr,
                     seq,
                     qual,
                 )

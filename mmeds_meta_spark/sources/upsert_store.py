@@ -24,6 +24,7 @@ at warehouse scale.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pyspark.sql.functions as F
@@ -44,6 +45,26 @@ class HashPartitionedStore:
         self.key = key
         self.n = n_buckets
         os.makedirs(root, exist_ok=True)
+        # Recover from a crash mid-swap before serving reads.  The swap
+        # order is: write __tmp (fully materialized) → rename bucket→__old
+        # → rename __tmp→bucket → rm __old.  So on restart:
+        #   * bucket exists: any __tmp never committed and any __old is
+        #     superseded — delete both.
+        #   * bucket missing but __tmp exists (crash between the renames):
+        #     __tmp holds the COMPLETE merged bucket — promote it.
+        #   * bucket missing, only __old (cannot happen given the order,
+        #     but restore defensively rather than lose rows).
+        # __tmp first: when both artifacts survive, __tmp is the newer
+        # complete state and must win the promotion.
+        for suffix in ("__tmp", "__old"):
+            for d in os.listdir(root):
+                if d.endswith(suffix):
+                    base = os.path.join(root, d[: -len(suffix)])
+                    stale = os.path.join(root, d)
+                    if os.path.isdir(base):
+                        shutil.rmtree(stale, ignore_errors=True)
+                    else:
+                        os.rename(stale, base)
 
     def _bucket_dir(self, k: int) -> str:
         return os.path.join(self.root, f"bucket={k}")
@@ -55,10 +76,13 @@ class HashPartitionedStore:
             part.write.mode("overwrite").parquet(self._bucket_dir(k))
 
     def read(self) -> DataFrame:
+        # fullmatch, not startswith: "bucket=K__tmp"/"bucket=K__old" swap
+        # artifacts must never be served — a read that listed them during
+        # an in-flight upsert would mix old and new rows for that bucket.
         dirs = [
             os.path.join(self.root, d)
             for d in sorted(os.listdir(self.root))
-            if d.startswith("bucket=")
+            if re.fullmatch(r"bucket=\d+", d)
         ]
         return self.spark.read.parquet(*dirs)
 

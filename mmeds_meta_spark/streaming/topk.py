@@ -118,9 +118,12 @@ def streaming_topk_spenders(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .parquet(events_dir)
         .withColumn("ts_us", event_time_us(schema))
+        # round AFTER scaling (repo-wide micro-unit convention, cf. w11 /
+        # streaming rollup): round-then-multiply can land a hair below the
+        # integer (8.165 → 8164999.999…) and truncate off by one micro-unit
         .withColumn(
             "v_micros",
-            (F.round(F.col("value"), 6) * 1_000_000).cast("long"),
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)"),
         )
     )
     return ev.groupBy("event_type").applyInPandasWithState(

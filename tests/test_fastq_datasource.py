@@ -49,3 +49,17 @@ def test_parse_barcodes_via_source_matches_line_scan(spark, tmp_path):
     got = {r.barcode: r.n_reads for r in via_source.collect()}
     want = {r.barcode: r.n_reads for r in parse_barcodes(spark, str(p)).collect()}
     assert got == want == {"GATTACAG": 3, "CATTACAG": 2}
+
+
+def test_truncated_after_plus_and_double_at_header(spark, tmp_path):
+    """A file ending after '+' (qual missing) drops the trailing record;
+    a header starting '@@' keeps its second '@' (strip exactly one)."""
+    from mmeds_meta_spark.sources.fastq_datasource import register_fastq_source
+
+    p = tmp_path / "trunc.fastq"
+    p.write_text("@@weird/1\nACGT\n+\nIIII\n@read1\nGGCC\n+\n")  # no qual line
+    register_fastq_source(spark)
+    rows = spark.read.format("fastq").load(str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].header == "@weird/1"
+    assert rows[0].seq == "ACGT" and rows[0].qual == "IIII"

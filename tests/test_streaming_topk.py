@@ -45,7 +45,8 @@ def test_spacesaving_guarantees(spark, tmp_path):
     truth_rows = (
         raw.groupBy("event_type", "user_id")
         .agg(
-            F.sum((F.round(F.col("value"), 6) * 1_000_000).cast("long")).alias("w")
+            # same round-after-scaling micro-unit convention as the stream
+            F.sum(F.expr("CAST(ROUND(value * 1000000) AS BIGINT)")).alias("w")
         )
         .collect()
     )

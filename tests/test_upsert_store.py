@@ -90,3 +90,50 @@ def test_streaming_cdc_upsert(spark, tmp_path):
     assert final.count() == 300  # 0..299, no duplicates
     v2 = final.filter(F.col("text") == "V2").select("doc_id").collect()
     assert {r.doc_id for r in v2} == set(range(200, 300))
+
+
+def test_read_never_serves_swap_artifacts(spark, tmp_path):
+    """A reader listing mid-upsert must skip bucket=K__tmp/__old (would
+    double-serve that bucket's rows)."""
+    from mmeds_meta_spark.sources.upsert_store import HashPartitionedStore
+
+    root = tmp_path / "s3"
+    store = HashPartitionedStore(spark, str(root), n_buckets=2)
+    batch = spark.createDataFrame(
+        [(0, "a", "en", "s", 1), (1, "b", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    store.write_initial(batch)
+    # simulate an in-flight swap: tmp committed to disk, renames pending
+    store.read().filter(F.col("doc_id") == 0).write.parquet(
+        str(root / "bucket=0__tmp")
+    )
+    assert store.read().count() == 2  # not 3
+
+
+def test_crash_recovery_promotes_tmp(spark, tmp_path):
+    """Crash between the two renames: only __old + __tmp on disk.  Init
+    must promote __tmp (the complete merged bucket), not resurrect __old
+    or drop the bucket."""
+    import os as _os
+
+    from mmeds_meta_spark.sources.upsert_store import HashPartitionedStore
+
+    root = tmp_path / "s4"
+    store = HashPartitionedStore(spark, str(root), n_buckets=2)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    store.write_initial(
+        spark.createDataFrame([(0, "old", "en", "s", 1), (1, "b", "en", "s", 1)], schema)
+    )
+    # hand-build the mid-swap state for bucket 0
+    spark.createDataFrame([(0, "new", "en", "s", 1)], schema).write.parquet(
+        str(root / "bucket=0__tmp")
+    )
+    _os.rename(str(root / "bucket=0"), str(root / "bucket=0__old"))
+
+    recovered = HashPartitionedStore(spark, str(root), n_buckets=2)
+    got = {r.doc_id: r.text for r in recovered.read().collect()}
+    assert got == {0: "new", 1: "b"}
+    assert not any(
+        d.endswith("__tmp") or d.endswith("__old") for d in _os.listdir(root)
+    )
