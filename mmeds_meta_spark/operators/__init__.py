@@ -85,15 +85,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated dedup_embedding_ivf (learned k-means buckets, same assignment
     # plan); its slot goes to the new PQ-ADC searcher
     "ann_ivf_topk",
-    # a18's pre-aggregated-CDF order statistics are the gated
-    # d6_kruskal_wallis rank machinery; verified by the local sweep + pytest
-    "a18_quantile_profile",
-    # vocab top-k = text_token_stats' agg + the gated TakeOrdered shape;
-    # the ROLLUP demo's decimal sum is the streaming/batch rollup convention
-    "text_vocab_topk",
-    "a19_rollup_daily",
-    # a20's integer-scaled moment aggregation is d3/a11's gated shape
-    "a20_corr_profile",
     # ---- round-5 rotation (per round-4 advice: gate slots ROTATE so every
     # operator eventually gets external verification).  IN this round: the
     # genuinely novel-shape round-4 ops asof_join_attribution,
@@ -172,10 +163,8 @@ _GATE_TAIL: tuple[str, ...] = (
     # structured-parse twin): the gated f23_json_props_rollup carries the
     # schema-on-read parse shape forward; a5/a8 keep the profile aggs
     "a5_rare_category_profile",
-    # narrow-map text scoring (driver-green r01-r04): the gated funnel's
-    # quality stage and text_tfidf keep the tokenize-agg shapes; its
-    # slot funds the declared-values PIVOT
-    "text_langid_heuristic",
+    # (text_langid_heuristic, whose slot funded the declared-values PIVOT
+    # in round 5, is already listed in the round-4 block above)
     # bounded BNLJ query-vector search (driver-green r01-r04): the gated
     # ann_pq_adc/ivf_pq keep the top-k search shapes; its slot funds the
     # forward-fill window
@@ -192,10 +181,22 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated r6 pivot is its declared inverse and a12/w6 keep the stack
     # shape; its slot funds the session-funnel composition
     "r1_unpivot_melt",
-    # global-HLL register agg (driver-green r05 pending; pytest + local):
-    # the gated sketch_hll_by_group is its strict superset (same register
-    # math, grouped); its slot funds that grouped variant
-    "sketch_hll_distinct",
+    # ---- round-6 rotation.  IN: the six entries that had NEVER held a
+    # gate slot across rounds 1-5 (pipeline_curation_funnel,
+    # a18_quantile_profile, text_vocab_topk, a19_rollup_daily,
+    # a20_corr_profile, sketch_hll_distinct — each local-sweep-exact every
+    # round, but the stated bar is a driver-green row per operator) plus
+    # the new d2_unifrac_unweighted_newick (unweighted UniFrac over the
+    # REAL parsed tree, the round-5 verdict's missing D2 half).  OUT:
+    # seven entries driver-green in r05 (most also r01-r04) whose
+    # physical shapes keep gated twins:
+    "d8_chisq_independence",  # exact-moment contingency agg: d3_anova_f's gated shape
+    "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
+    "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
+    "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)
+    "d6_kruskal_wallis",  # rank machinery runs verbatim inside the gated d6_lefse_lda
+    "j9_symmetric_anti_join",  # full-outer null-filter: decon_bloom/decon_ngram keep gated anti shapes
+    "w7_transition_matrix",  # lag-pair count matrix: w14_session_funnel/w6 keep the gated lag shapes
 )
 
 

@@ -80,23 +80,55 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_intensity
 
 
-def decode_media(df: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Real-codec branch of the decode seam: Pillow, imported lazily on
+    the executor so environments without it still run the fake path.
+    mean_intensity = band-averaged pixel mean, matching the fake codec's
+    single-scalar contract."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        bands = im.getbands()
+        mean = ImageStat.Stat(im).mean
+    return width, height, len(bands), sum(mean) / len(mean)
+
+
+def decode_media(
+    df: DataFrame, *, use_fake_codec: bool = False, codec: str | None = None
+) -> DataFrame:
     """Decode binary payloads → typed metadata rows via ``mapInPandas``.
 
-    Real decoders (PIL/librosa/ffmpeg) are not in this container: without
-    ``use_fake_codec=True`` the returned plan raises ``NotImplementedError``
-    at execution time — the documented stub seam where a codec plugs in.
+    ``codec``: ``"fake"`` (deterministic byte-derived stand-in),
+    ``"pil"`` (real Pillow decoder — images only; Pillow imports lazily on
+    the executor), or ``None`` — the documented stub seam: the returned
+    plan raises ``NotImplementedError`` at execution time where a codec
+    plugs in.  ``use_fake_codec=True`` is the legacy spelling of
+    ``codec="fake"``.  The Spark-side contract (schema, Arrow batch
+    shape, binary-in/typed-out) is identical for every branch.
     """
     import pandas as pd
 
+    if use_fake_codec and codec is None:
+        codec = "fake"
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in it:
-            if not use_fake_codec:
+        if codec == "fake":
+            decode = _fake_decode
+        elif codec == "pil":
+            decode = _pil_decode
+        else:
+
+            def decode(payload: bytes) -> tuple[int, int, int, float]:
                 raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass use_fake_codec=True or plug a real decoder here"
+                    "media codecs unavailable in this environment; pass "
+                    "codec='fake'/'pil' or plug a real decoder here"
                 )
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+
+        for pdf in it:
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

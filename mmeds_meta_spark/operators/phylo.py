@@ -337,6 +337,26 @@ def d2_unifrac_weighted_newick(
     )
 
 
+def d2_unifrac_unweighted_newick(
+    spark: SparkSession, sf: str, *, block: int = _BLOCK
+) -> DataFrame:
+    """Unweighted UniFrac against the SAME parsed Newick tree the weighted
+    variant uses (rules/diversity_analysis.smk:5-40 computes both metrics
+    over one rooted tree) — presence/absence branch overlap via the
+    branch-inverted-index decomposition, no dense matrix."""
+    from ..functions.tree_metrics import tree_cov, unifrac_unweighted
+    from ..sources.newick import read_newick
+
+    # cov feeds tot + both sides of the shared-branch join — cache the
+    # block-bounded relation or each consumer re-scans events
+    cov = tree_cov(
+        _demo_feats(spark, sf, block=block), read_newick(spark, _NEWICK_DEMO)
+    ).cache()
+    return unifrac_unweighted(cov).select(
+        F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_u"
+    )
+
+
 def _demo_membership_values() -> str:
     return ",\n    ".join(
         f"('{b}', {ln!r}, '{leaf}', {str(is_l).upper()})"
@@ -366,6 +386,25 @@ _FAITH_NEWICK_SQL = f"""
 WITH {_newick_cov_sql(block=None)}
 SELECT sample AS user_id, COUNT(*) AS n_branches, SUM(len) AS pd
 FROM cov GROUP BY sample
+"""
+
+_UF_U_NEWICK_SQL = f"""
+WITH {_newick_cov_sql(block=_BLOCK)},
+present AS (
+  SELECT DISTINCT sample, branch, len FROM cov
+), tot AS (
+  SELECT sample, SUM(len) AS t FROM present GROUP BY sample
+), shared AS (
+  SELECT a.sample AS ua, b.sample AS ub, SUM(a.len) AS s
+  FROM present a JOIN present b ON a.branch = b.branch AND a.sample < b.sample
+  GROUP BY 1, 2
+)
+SELECT ta.sample AS ua, tb.sample AS ub,
+       (ta.t + tb.t - 2 * COALESCE(s, 0))
+       / (ta.t + tb.t - COALESCE(s, 0)) AS unifrac_u
+FROM tot ta
+JOIN tot tb ON ta.sample < tb.sample
+LEFT JOIN shared ON ua = ta.sample AND ub = tb.sample
 """
 
 _UF_W_NEWICK_SQL = f"""
@@ -412,52 +451,159 @@ def _fold(col: str) -> str:
     )
 
 
-def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
-    """Mantel statistic between the Bray-Curtis and weighted-UniFrac
-    distance relations over the same sample block: the Pearson r of the
-    two metrics across all sample pairs — "do taxonomic and phylogenetic
-    distances agree?", the standard matrix-correlation companion to
-    PERMANOVA (vegan::mantel in the reference's downstream R ecosystem;
-    significance there comes from permutations, which a caller drives by
-    re-invoking under sample-relabeling — the statistic is the engine
-    part).
+_N_PERM = 199  # vegan::mantel default is 999; 199 keeps the gate fast
 
-    COMPOSITION: consumes the d2_bray_curtis and d2_unifrac_weighted
-    relations directly (one Catalyst plan).  Mantel is inherently
-    pairwise, so it lives on the same bounded sample block as the inputs
-    — the pair list is block² rows, never corpus-scale.  All five
-    moments use pinned-order folds; the closing r expression is one
-    arithmetic tree on identical doubles → bit-identical."""
-    from .diversity import d2_bray_curtis
 
-    bc = d2_bray_curtis(spark, sf).select("ua", "ub", F.col("bray_curtis").alias("x"))
-    uf = d2_unifrac_weighted(spark, sf).select("ua", "ub", F.col("unifrac_w").alias("y"))
-    p = bc.join(uf, ["ua", "ub"]).withColumn("xx", F.expr("x * x")).withColumn(
-        "yy", F.expr("y * y")
-    ).withColumn("xy", F.expr("x * y"))
-    sums = p.agg(
+def mantel_permutation_test(
+    x_pairs: DataFrame, y_pairs: DataFrame, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """Mantel r between two pairwise-distance relations PLUS the
+    one-sided permutation p-value, all in one Catalyst plan.
+
+    ``x_pairs``/``y_pairs``: (ua, ub, x|y) with ua < ub covering every
+    sample pair (symmetric matrices in canonical-pair form).  The K
+    permutations are a deterministic seed relation — permutation k maps
+    the samples sorted by id onto the samples sorted by
+    ``md5(k || ':' || sample)`` — so Spark and DuckDB generate
+    byte-identical permutations with plain window functions, no RNG.
+    Y is relabeled through the permutation (Y_k[a,b] = Y[πk(a),πk(b)]:
+    two image lookups + one canonical-pair join back into Y), and the
+    y-dependent moments are refolded per k in pinned (ua, ub) order;
+    x-side moments are permutation-invariant and computed once.  p =
+    (#{r_k ≥ r_obs} + 1)/(K + 1), the same +1/+1 correction as
+    functions/permanova.py:45.
+
+    Scale: pairs are block²/2 rows and perms add ×K on THAT bounded
+    relation (never corpus-scale); the perm seed is samples × K rows,
+    broadcast into the image lookups."""
+    p = (
+        x_pairs.join(y_pairs, ["ua", "ub"])
+        .withColumn("xx", F.expr("x * x"))
+        .withColumn("yy", F.expr("y * y"))
+        .withColumn("xy", F.expr("x * y"))
+        .localCheckpoint(eager=False)  # consumed by obs + K perm branches
+    )
+    spark = p.sparkSession
+    obs = p.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.expr(_fold("x")).alias("sx"),
         F.expr(_fold("y")).alias("sy"),
         F.expr(_fold("xx")).alias("sxx"),
         F.expr(_fold("yy")).alias("syy"),
         F.expr(_fold("xy")).alias("sxy"),
-    )
-    return sums.select(
+    ).select(
         "n_pairs",
+        "sx",
+        "sxx",
         F.expr(
             "(n_pairs * sxy - sx * sy)"
             " / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))"
         ).alias("mantel_r"),
     )
+    samples = (
+        p.select(F.col("ua").alias("sample"))
+        .union(p.select("ub"))
+        .distinct()
+    )
+    ks = spark.range(1, n_perm + 1).select(F.col("id").alias("k"))
+    base = ks.crossJoin(samples)
+    o_rank = base.withColumn(
+        "r", F.expr("row_number() OVER (PARTITION BY k ORDER BY sample)")
+    )
+    m_rank = base.withColumn(
+        "r",
+        F.expr(
+            "row_number() OVER (PARTITION BY k ORDER BY"
+            " md5(concat(CAST(k AS STRING), ':', CAST(sample AS STRING))), sample)"
+        ),
+    ).select("k", "r", F.col("sample").alias("image"))
+    perm = o_rank.join(m_rank, ["k", "r"]).select("k", "sample", "image")
+    pa = perm.select(
+        "k", F.col("sample").alias("ua"), F.col("image").alias("ia")
+    )
+    pb = perm.select(
+        "k", F.col("sample").alias("ub"), F.col("image").alias("ib")
+    )
+    yk = y_pairs.select(
+        F.col("ua").alias("ya"), F.col("ub").alias("yb"), F.col("y").alias("py")
+    )
+    permuted = (
+        p.select("ua", "ub", "x")
+        .crossJoin(ks)  # 1 column, n_perm rows — replicate the pair block
+        .join(F.broadcast(pa), ["k", "ua"])
+        .join(F.broadcast(pb), ["k", "ub"])
+        .join(
+            F.broadcast(yk),
+            (F.least("ia", "ib") == F.col("ya"))
+            & (F.greatest("ia", "ib") == F.col("yb")),
+        )
+        .select("k", "ua", "ub", "x", "py")
+    )
+    per_k = permuted.groupBy("k").agg(
+        F.expr(_fold("py")).alias("sy"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(ua, ub, py))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.py * q.py)"
+        ).alias("syy"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(ua, ub, x, py))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.x * q.py)"
+        ).alias("sxy"),
+    )
+    r_perm = per_k.crossJoin(F.broadcast(obs)).select(
+        F.expr(
+            "(n_pairs * sxy - sx * sy)"
+            " / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))"
+        ).alias("r_k"),
+        "mantel_r",
+    )
+    hits = r_perm.agg(
+        F.expr("SUM(CASE WHEN r_k >= mantel_r THEN 1 ELSE 0 END)").alias("h")
+    )
+    return obs.crossJoin(hits).select(
+        "n_pairs",
+        "mantel_r",
+        F.expr(f"CAST(h + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+        F.lit(n_perm).cast("long").alias("n_perm"),
+    )
 
 
-def _mantel_sql() -> str:
+def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Mantel test between the Bray-Curtis and weighted-UniFrac distance
+    relations over the same sample block: the Pearson r of the two
+    metrics across all sample pairs — "do taxonomic and phylogenetic
+    distances agree?" — WITH the permutation p-value (vegan::mantel's
+    full surface: statistic + one-sided significance under sample
+    relabeling, 199 permutations, +1/+1 corrected like
+    functions/permanova.py:45).
+
+    COMPOSITION: consumes the d2_bray_curtis and d2_unifrac_weighted
+    relations directly and runs statistic + permutations in ONE Catalyst
+    plan (see :func:`mantel_permutation_test`).  Mantel is inherently
+    pairwise, so it lives on the same bounded sample block as the inputs
+    — the pair list is block² rows, never corpus-scale.  All moments use
+    pinned-order folds; every closing expression is one arithmetic tree
+    on identical doubles → bit-identical across engines."""
+    from .diversity import d2_bray_curtis
+
+    bc = d2_bray_curtis(spark, sf).select("ua", "ub", F.col("bray_curtis").alias("x"))
+    uf = d2_unifrac_weighted(spark, sf).select("ua", "ub", F.col("unifrac_w").alias("y"))
+    return mantel_permutation_test(bc, uf)
+
+
+def _mantel_sql(n_perm: int = _N_PERM) -> str:
     from .diversity import _D2_SQL
 
     def duck_fold(col: str) -> str:
         return f"list_reduce(list({col} ORDER BY ua, ub), (acc, v) -> acc + v)"
 
+    # list_reduce without init seeds acc with the first element; Spark's
+    # aggregate seeds 0.0 — identical doubles because 0.0 + x == x exactly
+    # and the remaining additions run in the same (ua, ub) order.
+    r_expr = (
+        "(n_pairs * sxy - sx * sy)"
+        " / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))"
+    )
     return f"""
 WITH bc AS ({_D2_SQL}),
 uf AS ({_UF_W_SQL}),
@@ -466,17 +612,55 @@ p AS (
          bray_curtis * bray_curtis AS xx, unifrac_w * unifrac_w AS yy,
          bray_curtis * unifrac_w AS xy
   FROM bc JOIN uf USING (ua, ub)
-), sums AS (
+), obs AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
          {duck_fold('x')} AS sx, {duck_fold('y')} AS sy,
          {duck_fold('xx')} AS sxx, {duck_fold('yy')} AS syy,
          {duck_fold('xy')} AS sxy
   FROM p
+), obs_r AS (
+  SELECT n_pairs, sx, sxx, {r_expr} AS mantel_r FROM obs
+), samples AS (
+  SELECT ua AS sample FROM p UNION SELECT ub FROM p
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), perm AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), permuted AS (
+  SELECT ks.k, p.ua, p.ub, p.x, yk.unifrac_w AS py
+  FROM p
+  CROSS JOIN ks
+  JOIN perm pa ON pa.k = ks.k AND pa.sample = p.ua
+  JOIN perm pb ON pb.k = ks.k AND pb.sample = p.ub
+  JOIN uf yk ON yk.ua = LEAST(pa.image, pb.image)
+            AND yk.ub = GREATEST(pa.image, pb.image)
+), per_k AS (
+  SELECT k,
+         {duck_fold('py')} AS sy,
+         {duck_fold('py * py')} AS syy,
+         {duck_fold('x * py')} AS sxy
+  FROM permuted GROUP BY k
+), r_perm AS (
+  SELECT {r_expr} AS r_k, mantel_r FROM per_k CROSS JOIN obs_r
+), hits AS (
+  SELECT SUM(CASE WHEN r_k >= mantel_r THEN 1 ELSE 0 END) AS h FROM r_perm
 )
-SELECT n_pairs,
-       (n_pairs * sxy - sx * sy)
-         / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)) AS mantel_r
-FROM sums
+SELECT n_pairs, mantel_r,
+       CAST(h + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM obs_r CROSS JOIN hits
 """
 
 
@@ -499,6 +683,12 @@ QUERIES: dict[str, QuerySpec] = {
         d2_unifrac_weighted_newick,
         _UF_W_NEWICK_SQL,
         "D2 via real Newick ingest: rules/diversity_analysis.smk:5-40 on a parsed tree",
+    ),
+    "d2_unifrac_unweighted_newick": QuerySpec(
+        d2_unifrac_unweighted_newick,
+        _UF_U_NEWICK_SQL,
+        "D2 via real Newick ingest: rules/diversity_analysis.smk:5-40 "
+        "(unweighted UniFrac over the SAME parsed tree as the weighted variant)",
     ),
     "d2_unifrac_unweighted": QuerySpec(
         d2_unifrac_unweighted,

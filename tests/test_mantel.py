@@ -1,0 +1,105 @@
+"""Mantel permutation test against a hand-permuted fixture.
+
+The engine's permutation k maps samples sorted by id onto samples sorted
+by md5(k || ':' || sample); this test replays that mapping in plain
+Python (hashlib + sorted) over a 4-sample fixture, recomputes every
+permuted Pearson r with the same pinned (ua, ub) fold order, and checks
+the engine's (mantel_r, p_value) one-sided +1/+1 count exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pytest
+
+N_PERM = 7
+SAMPLES = [0, 1, 2, 3]
+# two 4x4 distance matrices in canonical-pair form (ua < ub)
+X = {(0, 1): 0.2, (0, 2): 0.5, (0, 3): 0.9, (1, 2): 0.4, (1, 3): 0.8, (2, 3): 0.3}
+Y = {(0, 1): 0.25, (0, 2): 0.45, (0, 3): 0.95, (1, 2): 0.35, (1, 3): 0.7, (2, 3): 0.5}
+
+
+def _perm(k: int) -> dict[int, int]:
+    by_md5 = sorted(
+        SAMPLES,
+        key=lambda s: (hashlib.md5(f"{k}:{s}".encode()).hexdigest(), s),
+    )
+    return dict(zip(sorted(SAMPLES), by_md5))
+
+
+def _pearson(pairs, y_of):
+    xs = [X[p] for p in pairs]
+    ys = [y_of(p) for p in pairs]
+    n = len(pairs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    return (n * sxy - sx * sy) / (
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    )
+
+
+def test_mantel_matches_hand_permutations(spark):
+    from mmeds_meta_spark.operators.phylo import mantel_permutation_test
+
+    pairs = sorted(X)  # the engine's pinned fold order
+    r_obs = _pearson(pairs, lambda p: Y[p])
+    hits = 0
+    for k in range(1, N_PERM + 1):
+        pi = _perm(k)
+        r_k = _pearson(
+            pairs, lambda p: Y[tuple(sorted((pi[p[0]], pi[p[1]])))]
+        )
+        if r_k >= r_obs:
+            hits += 1
+    expected_p = (hits + 1) / (N_PERM + 1)
+
+    xdf = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in X.items()], "ua long, ub long, x double"
+    )
+    ydf = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in Y.items()], "ua long, ub long, y double"
+    )
+    row = mantel_permutation_test(xdf, ydf, n_perm=N_PERM).collect()[0]
+    assert row.n_pairs == 6 and row.n_perm == N_PERM
+    assert row.mantel_r == pytest.approx(r_obs, abs=1e-12)
+    assert row.p_value == expected_p
+
+
+def test_identity_permutation_would_always_hit(spark):
+    """Sanity on the one-sided count: if Y is a strictly monotone function
+    of X, the observed r is 1.0 and NO proper permutation of a
+    non-degenerate Y can exceed it, so p is at most (hits+1)/(K+1) with
+    hits counting only r_k == 1.0 ties."""
+    from mmeds_meta_spark.operators.phylo import mantel_permutation_test
+
+    xdf = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in X.items()], "ua long, ub long, x double"
+    )
+    y2 = spark.createDataFrame(
+        [(a, b, 2.0 * v + 1.0) for (a, b), v in X.items()],
+        "ua long, ub long, y double",
+    )
+    row = mantel_permutation_test(xdf, y2, n_perm=N_PERM).collect()[0]
+    assert row.mantel_r == pytest.approx(1.0, abs=1e-12)
+    assert 0.0 < row.p_value <= 1.0
+
+
+def test_permutation_images_are_bijections():
+    for k in range(1, 20):
+        pi = _perm(k)
+        assert sorted(pi.values()) == SAMPLES
+    # not all identity: at least one k actually shuffles
+    assert any(_perm(k) != {s: s for s in SAMPLES} for k in range(1, 20))
+
+
+def test_all_permutations_reachable_small():
+    """With 4 samples there are 24 permutations; the md5 family over many
+    k values should hit a healthy variety (no structural bias)."""
+    seen = {tuple(_perm(k)[s] for s in SAMPLES) for k in range(1, 200)}
+    assert len(seen) >= 20  # 24 possible; md5 mixing should reach most
+    assert len(seen) <= len(list(itertools.permutations(SAMPLES)))

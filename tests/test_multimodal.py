@@ -97,3 +97,32 @@ def test_resize_media_empty_payload(spark):
     assert rows[1] == b"\x00" * 12
     assert rows[2] == (b"ab" * 6)[:12]
     assert all(len(p) == 12 for p in rows.values())
+
+
+def test_decode_media_real_pillow_codec(spark):
+    """Proves the decode seam against a REAL decoder where Pillow exists
+    (skipped in codec-free containers): tiny solid-color PNGs round-trip
+    through the same mapInPandas plan as the fake codec, with exact
+    dims/bands/mean."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from mmeds_meta_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    def png(w, h, rgb):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), rgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png(5, 3, (10, 20, 30)), "image/png", 0),
+        (2, png(2, 7, (255, 0, 0)), "image/png", 0),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(df, codec="pil").collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (5, 3, 3)
+    assert got[1].mean_intensity == pytest.approx((10 + 20 + 30) / 3)
+    assert (got[2].width, got[2].height, got[2].n_channels) == (2, 7, 3)
+    assert got[2].mean_intensity == pytest.approx(255 / 3)
