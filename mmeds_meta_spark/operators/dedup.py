@@ -917,13 +917,14 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     # swapped) otherwise executes the salted band-join subplan twice
     # inside the one edges materialization.
     pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b").localCheckpoint()
-    # localCheckpoint truncates lineage: without it every round's plan
-    # embeds all previous rounds' joins (exponential plan growth — the
-    # standard iterative-graph pitfall).
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    # edges/l1 stay LAZY: both are cheap projections/aggs over the
+    # checkpointed pairs blocks, and re-evaluating them inside the one
+    # contraction plan is faster than materializing each (measured 3.75 s
+    # → 3.18 s at sf0.1 — two fewer sequential job barriers).  Only the
+    # loop-carried frames below checkpoint, which is what truncates the
+    # iterative lineage (the exponential-plan-growth pitfall).
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
     )
     # Phase A — one min-label round + GRAPH CONTRACTION.  Near-dup graphs
     # are dense (families of near-identical docs form near-cliques), so a
@@ -937,7 +938,6 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         edges.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
         .select(F.col("src").alias("node"), F.least("src", "nmin").alias("l1"))
-        .localCheckpoint()
     )
     edges = (
         edges.join(l1.select(F.col("node").alias("src"), F.col("l1").alias("ls")), "src")
