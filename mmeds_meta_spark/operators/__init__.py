@@ -191,6 +191,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # seven entries driver-green in r05 (most also r01-r04) whose
     # physical shapes keep gated twins:
     "d8_chisq_independence",  # exact-moment contingency agg: d3_anova_f's gated shape
+    # one-way F via exact moments (driver-green r01-r05): the new gated
+    # d4_permanova carries the full F-statistic + permutation surface
+    # (pseudo-F is the distance-space generalization); d5/d6 keep the
+    # exact-moment agg family gated.  Its slot funds d4_permanova.
+    "d3_anova_f",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

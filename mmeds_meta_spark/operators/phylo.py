@@ -454,6 +454,41 @@ def _fold(col: str) -> str:
 _N_PERM = 199  # vegan::mantel default is 999; 199 keeps the gate fast
 
 
+def _perm_seed(
+    spark: SparkSession,
+    samples: DataFrame,
+    n_perm: int,
+    *,
+    include_identity: bool = False,
+) -> DataFrame:
+    """(k, sample, image): K deterministic sample permutations as a
+    relation — permutation k maps the samples sorted by id onto the
+    samples sorted by ``md5(k || ':' || sample)`` (ties by sample), so
+    Spark and DuckDB generate byte-identical permutations with plain
+    window functions, no RNG.  ``include_identity`` prepends k = 0 as
+    the identity mapping (for observed-statistic-through-the-same-plan
+    patterns)."""
+    ks = spark.range(1, n_perm + 1).select(F.col("id").alias("k"))
+    base = ks.crossJoin(samples)
+    o_rank = base.withColumn(
+        "r", F.expr("row_number() OVER (PARTITION BY k ORDER BY sample)")
+    )
+    m_rank = base.withColumn(
+        "r",
+        F.expr(
+            "row_number() OVER (PARTITION BY k ORDER BY"
+            " md5(concat(CAST(k AS STRING), ':', CAST(sample AS STRING))), sample)"
+        ),
+    ).select("k", "r", F.col("sample").alias("image"))
+    perm = o_rank.join(m_rank, ["k", "r"]).select("k", "sample", "image")
+    if include_identity:
+        ident = samples.select(
+            F.lit(0).cast("long").alias("k"), "sample", F.col("sample").alias("image")
+        )
+        perm = ident.union(perm)
+    return perm
+
+
 def mantel_permutation_test(
     x_pairs: DataFrame, y_pairs: DataFrame, *, n_perm: int = _N_PERM
 ) -> DataFrame:
@@ -505,19 +540,8 @@ def mantel_permutation_test(
         .union(p.select("ub"))
         .distinct()
     )
+    perm = _perm_seed(spark, samples, n_perm)
     ks = spark.range(1, n_perm + 1).select(F.col("id").alias("k"))
-    base = ks.crossJoin(samples)
-    o_rank = base.withColumn(
-        "r", F.expr("row_number() OVER (PARTITION BY k ORDER BY sample)")
-    )
-    m_rank = base.withColumn(
-        "r",
-        F.expr(
-            "row_number() OVER (PARTITION BY k ORDER BY"
-            " md5(concat(CAST(k AS STRING), ':', CAST(sample AS STRING))), sample)"
-        ),
-    ).select("k", "r", F.col("sample").alias("image"))
-    perm = o_rank.join(m_rank, ["k", "r"]).select("k", "sample", "image")
     pa = perm.select(
         "k", F.col("sample").alias("ua"), F.col("image").alias("ia")
     )
@@ -589,6 +613,167 @@ def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
     bc = d2_bray_curtis(spark, sf).select("ua", "ub", F.col("bray_curtis").alias("x"))
     uf = d2_unifrac_weighted(spark, sf).select("ua", "ub", F.col("unifrac_w").alias("y"))
     return mantel_permutation_test(bc, uf)
+
+
+def d4_permanova(
+    spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """D4 — PERMANOVA fully IN-PLAN: Anderson (2001) pseudo-F over the
+    Bray-Curtis distance relation plus the permutation p-value, with the
+    permutation loop as a relation instead of a driver-side numpy loop
+    (functions/permanova.py keeps the collected-matrix variant for API
+    parity with scikit-bio; this operator is the same test at engine
+    scale — reference rules/diversity_analysis.smk:90-103,
+    ``qiime diversity beta-group-significance --p-method permanova``).
+
+    Decomposition on the pair relation (no n×n matrix ever):
+    SST = Σ_{all pairs} d²/n, SSW = Σ_g Σ_{pairs within g} d²/n_g,
+    F = ((SST−SSW)/(a−1)) / (SSW/(n−a)).  Group sizes are permutation-
+    invariant (labels are relabeled by a bijection), so each permutation
+    only re-selects WHICH pairs are within-group — one broadcast image
+    join per side, exactly the :func:`mantel_permutation_test` seed
+    pattern, with k = 0 as the identity so the observed F runs through
+    the IDENTICAL expression tree as every permuted F (bit-identical
+    comparisons on both engines).  All d² sums are pinned-order folds.
+
+    Groups: user_id % 3 — the deterministic 3-cohort split the other
+    demo operators use.  p-value is +1/+1 corrected, one-sided."""
+    from .diversity import d2_bray_curtis
+
+    p = (
+        d2_bray_curtis(spark, sf)
+        .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
+        .localCheckpoint(eager=False)  # consumed by sst + K+1 perm branches
+    )
+    samples = (
+        p.select(F.col("ua").alias("sample")).union(p.select("ub")).distinct()
+    )
+    scal = samples.agg(F.count("*").alias("n"))
+    ng = samples.groupBy((F.col("sample") % 3).alias("g")).agg(
+        F.count("*").alias("n_g")
+    )
+    agrp = ng.agg(F.count("*").alias("a"))
+    sst = p.crossJoin(F.broadcast(scal)).groupBy("n").agg(
+        (F.expr(_fold("dd")) / F.col("n")).alias("sst")
+    )
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    ks = spark.range(0, n_perm + 1).select(F.col("id").alias("k"))
+    pa = perm.select("k", F.col("sample").alias("ua"), (F.col("image") % 3).alias("ga"))
+    pb = perm.select("k", F.col("sample").alias("ub"), (F.col("image") % 3).alias("gb"))
+    within = (
+        p.crossJoin(ks)
+        .join(F.broadcast(pa), ["k", "ua"])
+        .join(F.broadcast(pb), ["k", "ub"])
+        .filter(F.col("ga") == F.col("gb"))
+        .select("k", F.col("ga").alias("g"), "ua", "ub", "dd")
+    )
+    ssq = within.groupBy("k", "g").agg(F.expr(_fold("dd")).alias("ssq"))
+    ssw = (
+        ssq.join(F.broadcast(ng), "g")
+        .select("k", "g", (F.col("ssq") / F.col("n_g")).alias("v"))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(g, v))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.v)"
+            ).alias("ssw")
+        )
+    )
+    f = ssw.crossJoin(F.broadcast(sst)).crossJoin(F.broadcast(agrp)).select(
+        "k",
+        F.expr(
+            "((sst - ssw) / CAST(a - 1 AS DOUBLE)) / (ssw / CAST(n - a AS DOUBLE))"
+        ).alias("f"),
+    )
+    obs = f.filter(F.col("k") == 0).select(F.col("f").alias("pseudo_f"))
+    hits = (
+        f.crossJoin(F.broadcast(obs))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN k > 0 AND f >= pseudo_f THEN 1 ELSE 0 END)"
+            ).alias("h")
+        )
+    )
+    return (
+        scal.crossJoin(agrp)
+        .crossJoin(obs)
+        .crossJoin(hits)
+        .select(
+            F.col("n").cast("long").alias("n_samples"),
+            F.col("a").cast("long").alias("n_groups"),
+            "pseudo_f",
+            F.expr(f"CAST(h + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _permanova_sql(n_perm: int = _N_PERM) -> str:
+    from .diversity import _D2_SQL
+
+    def duck_fold(col: str) -> str:
+        return f"list_reduce(list({col} ORDER BY ua, ub), (acc, v) -> acc + v)"
+
+    return f"""
+WITH bc AS ({_D2_SQL}),
+p AS (
+  SELECT ua, ub, bray_curtis * bray_curtis AS dd FROM bc
+), samples AS (
+  SELECT ua AS sample FROM p UNION SELECT ub FROM p
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samples
+), ng AS (
+  SELECT sample % 3 AS g, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM samples GROUP BY 1
+), agrp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS a FROM ng
+), sst AS (
+  SELECT (SELECT {duck_fold('dd')} FROM p) / n AS sst FROM scal
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), permk AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), perm AS (
+  SELECT CAST(0 AS BIGINT) AS k, sample, sample AS image FROM samples
+  UNION ALL SELECT k, sample, image FROM permk
+), within AS (
+  SELECT pa.k, pa.image % 3 AS g, p.ua, p.ub, p.dd
+  FROM p
+  JOIN perm pa ON pa.sample = p.ua
+  JOIN perm pb ON pb.k = pa.k AND pb.sample = p.ub
+  WHERE pa.image % 3 = pb.image % 3
+), ssq AS (
+  SELECT k, g, {duck_fold('dd')} AS ssq FROM within GROUP BY k, g
+), ssw AS (
+  SELECT k, list_reduce(list(ssq / n_g ORDER BY g), (acc, v) -> acc + v) AS ssw
+  FROM ssq JOIN ng USING (g) GROUP BY k
+), f AS (
+  SELECT k, ((sst - ssw) / CAST(a - 1 AS DOUBLE))
+           / (ssw / CAST(n - a AS DOUBLE)) AS f
+  FROM ssw CROSS JOIN sst CROSS JOIN agrp CROSS JOIN scal
+), obs AS (
+  SELECT f AS pseudo_f FROM f WHERE k = 0
+), hits AS (
+  SELECT SUM(CASE WHEN k > 0 AND f >= pseudo_f THEN 1 ELSE 0 END) AS h
+  FROM f CROSS JOIN obs
+)
+SELECT n AS n_samples, a AS n_groups, pseudo_f,
+       CAST(h + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM scal CROSS JOIN agrp CROSS JOIN obs CROSS JOIN hits
+"""
 
 
 def _mantel_sql(n_perm: int = _N_PERM) -> str:
@@ -665,6 +850,12 @@ FROM obs_r CROSS JOIN hits
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "d4_permanova": QuerySpec(
+        d4_permanova,
+        _permanova_sql(),
+        "D4 rules/diversity_analysis.smk:90-103 (beta-group-significance permanova): "
+        "pseudo-F + permutation p fully in-plan, 199 md5-seeded relabelings",
+    ),
     "d9_mantel_test": QuerySpec(
         d9_mantel_test,
         _mantel_sql(),

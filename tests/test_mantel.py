@@ -103,3 +103,31 @@ def test_all_permutations_reachable_small():
     seen = {tuple(_perm(k)[s] for s in SAMPLES) for k in range(1, 200)}
     assert len(seen) >= 20  # 24 possible; md5 mixing should reach most
     assert len(seen) <= len(list(itertools.permutations(SAMPLES)))
+
+
+def test_d4_permanova_matches_numpy_pseudo_f(spark):
+    """The in-plan pseudo-F must agree with the collected-matrix numpy
+    implementation (functions/permanova.py) on the same distances and
+    the same user_id % 3 grouping; permutation families differ (md5 seed
+    relation vs np RNG) so only the statistic is compared."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_CORRECT
+    from mmeds_meta_spark.functions.permanova import permanova
+    from mmeds_meta_spark.operators.diversity import d2_bray_curtis
+    from mmeds_meta_spark.operators.phylo import d4_permanova
+
+    bc = d2_bray_curtis(spark, SF_CORRECT)
+    samples = (
+        bc.select(F.col("ua").alias("s")).union(bc.select("ub")).distinct()
+    )
+    groups = samples.select("s", (F.col("s") % 3).alias("g"))
+    ref = permanova(
+        bc.select("ua", "ub", "bray_curtis"), groups, n_permutations=10, seed=7
+    )
+    row = d4_permanova(spark, SF_CORRECT, n_perm=11).collect()[0]
+    assert row.n_samples == ref.n_samples
+    assert row.n_groups == ref.n_groups == 3
+    assert row.pseudo_f == pytest.approx(ref.pseudo_f, rel=1e-9)
+    assert 0.0 < row.p_value <= 1.0
+    assert row.n_perm == 11
