@@ -196,6 +196,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # (pseudo-F is the distance-space generalization); d5/d6 keep the
     # exact-moment agg family gated.  Its slot funds d4_permanova.
     "d3_anova_f",
+    # Allen interval-overlap join (driver-green r05): the gated
+    # w5_range_join_bucketed keeps the bucket-explode range-join shape.
+    # Its slot funds d10_anosim (the anosim p-method of the same
+    # beta-group-significance surface d4_permanova gates).
+    "w12_interval_overlap",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

@@ -708,6 +708,198 @@ def d4_permanova(
     )
 
 
+def d10_anosim(
+    spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """D10 — ANOSIM fully in-plan: Clarke (1993) R statistic over the
+    Bray-Curtis distance relation plus the permutation p-value — the
+    alternate ``--p-method`` of the same qiime call the reference runs
+    (``qiime diversity beta-group-significance``,
+    rules/diversity_analysis.smk:101; PERMANOVA is the default method,
+    gated as :func:`d4_permanova`).
+
+    R = (r̄_between − r̄_within) / (M/2) over the mid-ranks of all
+    M = n(n−1)/2 pairwise distances.  The ranks are computed ONCE —
+    they are permutation-invariant (relabeling only re-selects which
+    pairs are within-group) — with a TWO-PHASE distributed mid-rank
+    instead of a single-partition global window: per distinct distance
+    value, mid-rank = (# strictly smaller values) + (ties+1)/2, built
+    from per-bucket running sums (``FLOOR(d*1024)`` buckets, parallel
+    windows) plus a ≤1025-row broadcast bucket-offset relation.  The
+    same two-phase scan is the shape a 1000-executor global rank needs;
+    nothing here is driver-side.  Mid-ranks are kept ×2 (``mr2``) so
+    every sum is exact BIGINT arithmetic; per-permutation state is ONE
+    within-group sum (between = permutation-invariant total − within).
+    k = 0 is the identity relabeling, so the observed R runs through
+    the identical expression tree as every permuted R.
+
+    Groups: user_id % 3 (the deterministic 3-cohort demo split).
+    p-value is +1/+1 corrected, one-sided."""
+    from .diversity import d2_bray_curtis
+
+    p = (
+        d2_bray_curtis(spark, sf)
+        .select("ua", "ub", F.col("bray_curtis").alias("d"))
+        .localCheckpoint(eager=False)  # consumed by rank build + pair probe
+    )
+    dist = p.groupBy("d").agg(F.count("*").cast("long").alias("cnt")).withColumn(
+        "b", F.expr("CAST(FLOOR(d * 1024) AS BIGINT)")
+    )
+    in_b = dist.withColumn(
+        "cum_in",
+        F.expr(
+            "sum(cnt) OVER (PARTITION BY b ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt"
+        ),
+    )
+    off = (
+        dist.groupBy("b")
+        .agg(F.sum("cnt").alias("bc"))
+        .withColumn(
+            "off",
+            F.expr(
+                "sum(bc) OVER (ORDER BY b"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bc"
+            ),
+        )
+        .select("b", "off")
+    )
+    ranked = in_b.join(F.broadcast(off), "b").select(
+        "d", F.expr("2 * (off + cum_in) + cnt + 1").alias("mr2")
+    )
+    pr = (
+        p.join(ranked, "d")
+        .select("ua", "ub", "mr2")
+        .localCheckpoint(eager=False)  # consumed by totals + K+1 perm branches
+    )
+    tot = pr.agg(F.count("*").cast("long").alias("m"), F.sum("mr2").alias("t2"))
+    samples = (
+        pr.select(F.col("ua").alias("sample")).union(pr.select("ub")).distinct()
+    )
+    nsamp = samples.agg(F.count("*").cast("long").alias("n_samples"))
+    agrp = samples.agg(
+        F.expr("CAST(COUNT(DISTINCT sample % 3) AS BIGINT)").alias("a")
+    )
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    ks = spark.range(0, n_perm + 1).select(F.col("id").alias("k"))
+    pa = perm.select(
+        "k", F.col("sample").alias("ua"), (F.col("image") % 3).alias("ga")
+    )
+    pb = perm.select(
+        "k", F.col("sample").alias("ub"), (F.col("image") % 3).alias("gb")
+    )
+    within = (
+        pr.crossJoin(ks)
+        .join(F.broadcast(pa), ["k", "ua"])
+        .join(F.broadcast(pb), ["k", "ub"])
+        .filter(F.col("ga") == F.col("gb"))
+        .groupBy("k")
+        .agg(F.sum("mr2").alias("s2w"), F.count("*").cast("long").alias("nw"))
+    )
+    r = within.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.expr(
+            "((CAST(t2 - s2w AS DOUBLE) / CAST(2 * (m - nw) AS DOUBLE))"
+            " - (CAST(s2w AS DOUBLE) / CAST(2 * nw AS DOUBLE)))"
+            " / (CAST(m AS DOUBLE) / 2)"
+        ).alias("r"),
+    )
+    obs = r.filter(F.col("k") == 0).select(F.col("r").alias("anosim_r"))
+    hits = r.crossJoin(F.broadcast(obs)).agg(
+        F.expr("SUM(CASE WHEN k > 0 AND r >= anosim_r THEN 1 ELSE 0 END)").alias(
+            "h"
+        )
+    )
+    return (
+        nsamp.crossJoin(agrp)
+        .crossJoin(obs)
+        .crossJoin(hits)
+        .select(
+            "n_samples",
+            F.col("a").alias("n_groups"),
+            "anosim_r",
+            F.expr(f"CAST(h + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _anosim_sql(n_perm: int = _N_PERM) -> str:
+    from .diversity import _D2_SQL
+
+    return f"""
+WITH bc AS ({_D2_SQL}),
+p AS (
+  SELECT ua, ub, bray_curtis AS d FROM bc
+), dist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(d * 1024) AS BIGINT) AS b
+  FROM p GROUP BY d
+), in_b AS (
+  SELECT d, cnt, b,
+         SUM(cnt) OVER (PARTITION BY b ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_in
+  FROM dist
+), boff AS (
+  SELECT b, SUM(bc) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bc AS off
+  FROM (SELECT b, SUM(cnt) AS bc FROM dist GROUP BY b)
+), ranked AS (
+  SELECT d, 2 * (off + cum_in) + cnt + 1 AS mr2 FROM in_b JOIN boff USING (b)
+), pr AS (
+  SELECT p.ua, p.ub, mr2 FROM p JOIN ranked USING (d)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, SUM(mr2) AS t2 FROM pr
+), samples AS (
+  SELECT ua AS sample FROM pr UNION SELECT ub FROM pr
+), nsamp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples FROM samples
+), agrp AS (
+  SELECT CAST(COUNT(DISTINCT sample % 3) AS BIGINT) AS a FROM samples
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), permk AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), perm AS (
+  SELECT CAST(0 AS BIGINT) AS k, sample, sample AS image FROM samples
+  UNION ALL SELECT k, sample, image FROM permk
+), within AS (
+  SELECT pa.k, SUM(mr2) AS s2w, CAST(COUNT(*) AS BIGINT) AS nw
+  FROM pr
+  JOIN perm pa ON pa.sample = pr.ua
+  JOIN perm pb ON pb.k = pa.k AND pb.sample = pr.ub
+  WHERE pa.image % 3 = pb.image % 3
+  GROUP BY pa.k
+), rstat AS (
+  SELECT k, ((CAST(t2 - s2w AS DOUBLE) / CAST(2 * (m - nw) AS DOUBLE))
+           - (CAST(s2w AS DOUBLE) / CAST(2 * nw AS DOUBLE)))
+           / (CAST(m AS DOUBLE) / 2) AS r
+  FROM within CROSS JOIN tot
+), obs AS (
+  SELECT r AS anosim_r FROM rstat WHERE k = 0
+), hits AS (
+  SELECT SUM(CASE WHEN k > 0 AND r >= anosim_r THEN 1 ELSE 0 END) AS h
+  FROM rstat CROSS JOIN obs
+)
+SELECT n_samples, a AS n_groups, anosim_r,
+       CAST(h + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM nsamp CROSS JOIN agrp CROSS JOIN obs CROSS JOIN hits
+"""
+
+
 def _permanova_sql(n_perm: int = _N_PERM) -> str:
     from .diversity import _D2_SQL
 
@@ -855,6 +1047,13 @@ QUERIES: dict[str, QuerySpec] = {
         _permanova_sql(),
         "D4 rules/diversity_analysis.smk:90-103 (beta-group-significance permanova): "
         "pseudo-F + permutation p fully in-plan, 199 md5-seeded relabelings",
+    ),
+    "d10_anosim": QuerySpec(
+        d10_anosim,
+        _anosim_sql(),
+        "D10 rules/diversity_analysis.smk:101 (beta-group-significance, anosim "
+        "p-method): Clarke R over two-phase distributed mid-ranks + 199 "
+        "in-plan permutations",
     ),
     "d9_mantel_test": QuerySpec(
         d9_mantel_test,

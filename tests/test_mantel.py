@@ -131,3 +131,30 @@ def test_d4_permanova_matches_numpy_pseudo_f(spark):
     assert row.pseudo_f == pytest.approx(ref.pseudo_f, rel=1e-9)
     assert 0.0 < row.p_value <= 1.0
     assert row.n_perm == 11
+
+
+def test_d10_anosim_matches_pandas_ranks(spark):
+    """The in-plan Clarke R (two-phase distributed mid-rank) must agree
+    with a driver-side pandas mid-rank computation on the same distances
+    and the same user_id % 3 grouping."""
+    import pandas as pd
+
+    from conftest import SF_CORRECT
+    from mmeds_meta_spark.operators.diversity import d2_bray_curtis
+    from mmeds_meta_spark.operators.phylo import d10_anosim
+
+    pdf = d2_bray_curtis(spark, SF_CORRECT).toPandas()
+    ranks = pdf["bray_curtis"].rank(method="average")
+    within = (pdf["ua"] % 3) == (pdf["ub"] % 3)
+    m = len(pdf)
+    r_expected = (
+        ranks[~within].mean() - ranks[within].mean()
+    ) / (m / 2.0)
+
+    row = d10_anosim(spark, SF_CORRECT, n_perm=11).collect()[0]
+    n_samples = len(set(pdf["ua"]) | set(pdf["ub"]))
+    assert row.n_samples == n_samples
+    assert row.n_groups == 3
+    assert row.anosim_r == pytest.approx(r_expected, rel=1e-9)
+    assert 0.0 < row.p_value <= 1.0
+    assert row.n_perm == 11
