@@ -201,6 +201,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # Its slot funds d10_anosim (the anosim p-method of the same
     # beta-group-significance surface d4_permanova gates).
     "w12_interval_overlap",
+    # segment-weighted lag window TWAP (driver-green r05): the gated
+    # w10_session_stats/w13_forward_fill keep every lag/running-window
+    # shape.  Its slot funds d11_alpha_group_significance (the
+    # alpha-group-significance qiime surface, smk:88).
+    "w11_time_weighted_avg",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

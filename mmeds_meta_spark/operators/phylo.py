@@ -824,6 +824,208 @@ def d10_anosim(
     )
 
 
+def d11_alpha_group_significance(
+    spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """D11 — alpha-group-significance fully in-plan: Kruskal-Wallis H of
+    the per-sample Shannon alpha-diversity vector across the cohort
+    split, plus a permutation p-value (reference
+    rules/diversity_analysis.smk:88, ``qiime diversity
+    alpha-group-significance``, which runs Kruskal-Wallis on the alpha
+    vector grouped by a metadata column).
+
+    Unlike :func:`~.diversity.d6_kruskal_wallis` (H + df only, features
+    as groups), this runs over the D1 alpha vector and adds the
+    permutation p the qiime visualization reports.  Mid-ranks of the n
+    alpha values are computed ONCE with the same two-phase distributed
+    scan as :func:`d10_anosim` (width_bucket buckets over the value
+    range since Shannon is unbounded above, per-bucket parallel running
+    sums + a ≤1025-row broadcast offset relation) and kept ×2 (``mr2``,
+    exact BIGINT).  Ranks and group sizes are permutation-invariant;
+    each of the K+1 relabelings (k = 0 = identity) only re-buckets which
+    samples feed which group rank-sum — one broadcast image join.  The
+    Σ_g R_g²/n_g fold is pinned in group order so both engines add the
+    three doubles identically.  Tie correction matches d6."""
+    from .diversity import d1_shannon_diversity
+
+    alpha = (
+        d1_shannon_diversity(spark, sf)
+        .select(F.col("user_id").alias("sample"), F.col("shannon").alias("v"))
+        .localCheckpoint(eager=False)  # consumed by rank build + perm probe
+    )
+    vt = alpha.groupBy("v").agg(F.count("*").cast("long").alias("t"))
+    bounds = vt.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    vb = vt.crossJoin(F.broadcast(bounds)).withColumn(
+        "b",
+        F.when(F.col("vlo") == F.col("vhi"), F.lit(1)).otherwise(
+            F.least(F.lit(1024), F.expr("width_bucket(v, vlo, vhi, 1024)"))
+        ),
+    )
+    in_b = vb.withColumn(
+        "cum_in",
+        F.expr(
+            "sum(t) OVER (PARTITION BY b ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t"
+        ),
+    )
+    off = (
+        vb.groupBy("b")
+        .agg(F.sum("t").alias("bc"))
+        .withColumn(
+            "off",
+            F.expr(
+                "sum(bc) OVER (ORDER BY b"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bc"
+            ),
+        )
+        .select("b", "off")
+    )
+    ranked = in_b.join(F.broadcast(off), "b").select(
+        "v", F.expr("2 * (off + cum_in) + t + 1").alias("mr2")
+    )
+    av = (
+        alpha.join(ranked, "v")
+        .select("sample", "mr2")
+        .localCheckpoint(eager=False)  # consumed by totals + K+1 perm branches
+    )
+    ng = av.groupBy((F.col("sample") % 3).alias("g")).agg(
+        F.count("*").cast("long").alias("n_g")
+    )
+    scal = av.agg(F.count("*").cast("long").alias("n"))
+    agrp = ng.agg(F.count("*").cast("long").alias("a"))
+    ties = vt.agg(
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)").alias("tie_sum")
+    )
+    samples = av.select("sample")
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    rg = (
+        av.join(
+            F.broadcast(perm.select("k", "sample", (F.col("image") % 3).alias("g"))),
+            "sample",
+        )
+        .groupBy("k", "g")
+        .agg(F.sum("mr2").alias("r2"))
+    )
+    sumr2n = (
+        rg.join(F.broadcast(ng), "g")
+        .select(
+            "k",
+            "g",
+            F.expr("CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n_g / 4").alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(g, v))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.v)"
+            ).alias("sum_r2n")
+        )
+    )
+    h = (
+        sumr2n.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "k",
+            F.expr(
+                "(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n - 3.0 * (n + 1))"
+                " / (1.0 - CAST(tie_sum AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * n * n - n))"
+            ).alias("h"),
+        )
+    )
+    obs = h.filter(F.col("k") == 0).select(F.col("h").alias("h_stat"))
+    hits = h.crossJoin(F.broadcast(obs)).agg(
+        F.expr("SUM(CASE WHEN k > 0 AND h >= h_stat THEN 1 ELSE 0 END)").alias("hh")
+    )
+    return (
+        scal.crossJoin(agrp)
+        .crossJoin(obs)
+        .crossJoin(hits)
+        .select(
+            F.col("n").alias("n_samples"),
+            F.col("a").alias("n_groups"),
+            F.expr("ROUND(h_stat, 6)").alias("h_stat"),
+            F.expr("CAST(a - 1 AS BIGINT)").alias("df"),
+            F.expr(f"CAST(hh + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _alpha_gs_sql(n_perm: int = _N_PERM) -> str:
+    from .diversity import _D1_SQL
+
+    return f"""
+WITH d1 AS ({_D1_SQL}),
+alpha AS (
+  SELECT user_id AS sample, shannon AS v FROM d1
+), vt AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM alpha GROUP BY v
+), ranked AS (
+  -- mid-rank ×2 from the value-level CDF; DuckDB is single-node so a
+  -- global window is fine here — the Spark side's two-phase bucketed
+  -- scan computes the same C(v) = (# smaller) by construction
+  SELECT v, 2 * (SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS mr2
+  FROM vt
+), av AS (
+  SELECT sample, mr2 FROM alpha JOIN ranked USING (v)
+), ng AS (
+  SELECT sample % 3 AS g, CAST(COUNT(*) AS BIGINT) AS n_g FROM av GROUP BY 1
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM av
+), agrp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS a FROM ng
+), ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum FROM vt
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN (SELECT sample FROM av) samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), permk AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), perm AS (
+  SELECT CAST(0 AS BIGINT) AS k, sample, sample AS image FROM av
+  UNION ALL SELECT k, sample, image FROM permk
+), rg AS (
+  SELECT k, image % 3 AS g, SUM(mr2) AS r2
+  FROM av JOIN perm USING (sample)
+  GROUP BY k, image % 3
+), sumr2n AS (
+  SELECT k, list_reduce(
+           list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n_g / 4 ORDER BY g),
+           (acc, x) -> acc + x) AS sum_r2n
+  FROM rg JOIN ng USING (g) GROUP BY k
+), h AS (
+  SELECT k,
+         (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n - 3.0 * (n + 1))
+         / (1.0 - CAST(tie_sum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * n * n - n)) AS h
+  FROM sumr2n CROSS JOIN scal CROSS JOIN ties
+), obs AS (
+  SELECT h AS h_stat FROM h WHERE k = 0
+), hits AS (
+  SELECT SUM(CASE WHEN k > 0 AND h >= h_stat THEN 1 ELSE 0 END) AS hh
+  FROM h CROSS JOIN obs
+)
+SELECT n AS n_samples, a AS n_groups, ROUND(h_stat, 6) AS h_stat,
+       CAST(a - 1 AS BIGINT) AS df,
+       CAST(hh + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM scal CROSS JOIN agrp CROSS JOIN obs CROSS JOIN hits
+"""
+
+
 def _anosim_sql(n_perm: int = _N_PERM) -> str:
     from .diversity import _D2_SQL
 
@@ -1047,6 +1249,13 @@ QUERIES: dict[str, QuerySpec] = {
         _permanova_sql(),
         "D4 rules/diversity_analysis.smk:90-103 (beta-group-significance permanova): "
         "pseudo-F + permutation p fully in-plan, 199 md5-seeded relabelings",
+    ),
+    "d11_alpha_group_significance": QuerySpec(
+        d11_alpha_group_significance,
+        _alpha_gs_sql(),
+        "D11 rules/diversity_analysis.smk:88 (alpha-group-significance): "
+        "Kruskal-Wallis over the D1 Shannon vector, two-phase mid-ranks, "
+        "199 in-plan permutations",
     ),
     "d10_anosim": QuerySpec(
         d10_anosim,

@@ -158,3 +158,32 @@ def test_d10_anosim_matches_pandas_ranks(spark):
     assert row.anosim_r == pytest.approx(r_expected, rel=1e-9)
     assert 0.0 < row.p_value <= 1.0
     assert row.n_perm == 11
+
+
+def test_d11_alpha_gs_matches_pandas_kw(spark):
+    """The in-plan Kruskal-Wallis H over the Shannon alpha vector must
+    agree with a driver-side pandas mid-rank computation (tie-corrected
+    H, groups = user_id % 3)."""
+    from conftest import SF_CORRECT
+    from mmeds_meta_spark.operators.diversity import d1_shannon_diversity
+    from mmeds_meta_spark.operators.phylo import d11_alpha_group_significance
+
+    pdf = d1_shannon_diversity(spark, SF_CORRECT).toPandas()
+    ranks = pdf["shannon"].rank(method="average")
+    g = pdf["user_id"] % 3
+    n = len(pdf)
+    sum_r2n = sum(
+        ranks[g == gi].sum() ** 2 / (g == gi).sum() for gi in sorted(g.unique())
+    )
+    h_raw = 12.0 / (n * (n + 1)) * sum_r2n - 3.0 * (n + 1)
+    t = pdf["shannon"].value_counts()
+    tie = 1.0 - float((t**3 - t).sum()) / (n**3 - n)
+    h_expected = h_raw / tie
+
+    row = d11_alpha_group_significance(spark, SF_CORRECT, n_perm=11).collect()[0]
+    assert row.n_samples == n
+    assert row.n_groups == 3
+    assert row.df == 2
+    assert row.h_stat == pytest.approx(h_expected, abs=5.1e-7)  # 6-dp ROUND
+    assert 0.0 < row.p_value <= 1.0
+    assert row.n_perm == 11
