@@ -206,6 +206,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # shape.  Its slot funds d11_alpha_group_significance (the
     # alpha-group-significance qiime surface, smk:88).
     "w11_time_weighted_avg",
+    # within-session ordered funnel (driver-green r05): the gated
+    # w6_funnel_conversion + w10_session_stats keep the ordered-match and
+    # session-window shapes.  Its slot funds d4_permanova_pairwise (the
+    # --p-pairwise half of the beta-group-significance surface, smk:101).
+    "w14_session_funnel",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

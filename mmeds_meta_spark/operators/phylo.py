@@ -824,6 +824,219 @@ def d10_anosim(
     )
 
 
+def d4_permanova_pairwise(
+    spark: SparkSession, sf: str, *, n_perm: int = 99
+) -> DataFrame:
+    """D4 — the ``--p-pairwise`` half of beta-group-significance
+    (rules/diversity_analysis.smk:101): for every unordered pair of
+    groups, PERMANOVA restricted to that pair's samples, each pair with
+    its OWN permutation family — one row (g1, g2, n_samples, pseudo_f,
+    p_value, n_perm) per pair, exactly what qiime's pairwise table
+    reports.
+
+    The group-pair dimension ``gp`` rides the whole plan as a column:
+    subset membership is a 3-row broadcast (``gpairs``) joined against
+    the samples, the permutation seed ranks PARTITION BY (gp, k) with
+    the md5 mix keyed on (gp, k, sample) so families are independent
+    across pairs, and each (gp, k) slice relabels only within its
+    subset (image % 3 stays inside {g1, g2} because permutations are
+    subset bijections).  Group sizes and SST are permutation-invariant
+    per gp; within-group d² sums are pinned-order folds.  a = 2 always,
+    so F = (SST − SSW) / (SSW / (n − 2))."""
+    from .diversity import d2_bray_curtis
+
+    p = (
+        d2_bray_curtis(spark, sf)
+        .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
+        .localCheckpoint(eager=False)  # probed once per gp subset
+    )
+    s = (
+        p.select(F.col("ua").alias("sample"))
+        .union(p.select("ub"))
+        .distinct()
+        .select("sample", (F.col("sample") % 3).alias("g"))
+    )
+    gs = s.select("g").distinct()
+    gpairs = (
+        gs.alias("x")
+        .join(gs.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(
+            F.col("x.g").alias("g1"),
+            F.col("y.g").alias("g2"),
+            F.concat_ws("_", "x.g", "y.g").alias("gp"),
+        )
+    )
+    mem = (
+        F.broadcast(gpairs)
+        .join(s, (F.col("g") == F.col("g1")) | (F.col("g") == F.col("g2")))
+        .select("gp", "sample", "g")
+        .localCheckpoint(eager=False)  # seed + two probe joins + sizes
+    )
+    ng = mem.groupBy("gp", "g").agg(F.count("*").cast("long").alias("n_g"))
+    nsub = mem.groupBy("gp").agg(F.count("*").cast("long").alias("n"))
+    sub = (
+        p.join(mem.select("gp", F.col("sample").alias("ua")), "ua")
+        .join(mem.select("gp", F.col("sample").alias("ub")).alias("mb"), ["gp", "ub"])
+        .select("gp", "ua", "ub", "dd")
+        .localCheckpoint(eager=False)  # SST + K+1 perm branches
+    )
+    sst = (
+        sub.groupBy("gp")
+        .agg(F.expr(_fold("dd")).alias("sdd"))
+        .join(F.broadcast(nsub), "gp")
+        .select("gp", "n", (F.col("sdd") / F.col("n")).alias("sst"))
+    )
+    ks = spark.range(1, n_perm + 1).select(F.col("id").alias("k"))
+    base = mem.crossJoin(F.broadcast(ks))
+    o_rank = base.withColumn(
+        "r", F.expr("row_number() OVER (PARTITION BY gp, k ORDER BY sample)")
+    ).select("gp", "k", "sample", "r")
+    m_rank = base.withColumn(
+        "r",
+        F.expr(
+            "row_number() OVER (PARTITION BY gp, k ORDER BY"
+            " md5(concat(gp, ':', CAST(k AS STRING), ':',"
+            " CAST(sample AS STRING))), sample)"
+        ),
+    ).select("gp", "k", "r", F.col("g").alias("gi"))
+    ident = mem.select(
+        "gp", F.lit(0).cast("long").alias("k"), "sample", F.col("g").alias("gi")
+    )
+    perm = ident.union(
+        o_rank.join(m_rank, ["gp", "k", "r"]).select("gp", "k", "sample", "gi")
+    )
+    pa = perm.select("gp", "k", F.col("sample").alias("ua"), F.col("gi").alias("ga"))
+    pb = perm.select("gp", "k", F.col("sample").alias("ub"), F.col("gi").alias("gb"))
+    within = (
+        sub.join(F.broadcast(pa), ["gp", "ua"])
+        .join(F.broadcast(pb), ["gp", "k", "ub"])
+        .filter(F.col("ga") == F.col("gb"))
+        .select("gp", "k", F.col("ga").alias("g"), "ua", "ub", "dd")
+    )
+    ssq = within.groupBy("gp", "k", "g").agg(F.expr(_fold("dd")).alias("ssq"))
+    ssw = (
+        ssq.join(F.broadcast(ng), ["gp", "g"])
+        .select("gp", "k", "g", (F.col("ssq") / F.col("n_g")).alias("v"))
+        .groupBy("gp", "k")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(g, v))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.v)"
+            ).alias("ssw")
+        )
+    )
+    f = ssw.join(F.broadcast(sst), "gp").select(
+        "gp",
+        "k",
+        F.expr("(sst - ssw) / (ssw / CAST(n - 2 AS DOUBLE))").alias("f"),
+    )
+    obs = f.filter(F.col("k") == 0).select("gp", F.col("f").alias("pseudo_f"))
+    hits = (
+        f.join(F.broadcast(obs), "gp")
+        .groupBy("gp")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN k > 0 AND f >= pseudo_f THEN 1 ELSE 0 END)"
+            ).alias("h")
+        )
+    )
+    return (
+        F.broadcast(gpairs)
+        .join(nsub, "gp")
+        .join(obs, "gp")
+        .join(hits, "gp")
+        .select(
+            F.col("g1").cast("long").alias("g1"),
+            F.col("g2").cast("long").alias("g2"),
+            F.col("n").alias("n_samples"),
+            "pseudo_f",
+            F.expr(f"CAST(h + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _permanova_pairwise_sql(n_perm: int = 99) -> str:
+    from .diversity import _D2_SQL
+
+    def duck_fold(col: str) -> str:
+        return f"list_reduce(list({col} ORDER BY ua, ub), (acc, v) -> acc + v)"
+
+    return f"""
+WITH bc AS ({_D2_SQL}),
+p AS (
+  SELECT ua, ub, bray_curtis * bray_curtis AS dd FROM bc
+), s AS (
+  SELECT sample, sample % 3 AS g FROM (
+    SELECT ua AS sample FROM p UNION SELECT ub FROM p
+  )
+), gpairs AS (
+  SELECT x.g AS g1, y.g AS g2,
+         CAST(x.g AS VARCHAR) || '_' || CAST(y.g AS VARCHAR) AS gp
+  FROM (SELECT DISTINCT g FROM s) x JOIN (SELECT DISTINCT g FROM s) y
+    ON x.g < y.g
+), mem AS (
+  SELECT gp, sample, g FROM gpairs JOIN s ON s.g = g1 OR s.g = g2
+), ng AS (
+  SELECT gp, g, CAST(COUNT(*) AS BIGINT) AS n_g FROM mem GROUP BY gp, g
+), nsub AS (
+  SELECT gp, CAST(COUNT(*) AS BIGINT) AS n FROM mem GROUP BY gp
+), sub AS (
+  SELECT ma.gp, p.ua, p.ub, p.dd
+  FROM p
+  JOIN mem ma ON ma.sample = p.ua
+  JOIN mem mb ON mb.gp = ma.gp AND mb.sample = p.ub
+), sst AS (
+  SELECT gp, {duck_fold('dd')} / ANY_VALUE(n) AS sst, ANY_VALUE(n) AS n
+  FROM sub JOIN nsub USING (gp) GROUP BY gp
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT gp, k, sample, g FROM mem CROSS JOIN ks
+), o_rank AS (
+  SELECT gp, k, sample,
+         row_number() OVER (PARTITION BY gp, k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT gp, k, g AS gi,
+         row_number() OVER (PARTITION BY gp, k ORDER BY
+           md5(gp || ':' || CAST(k AS VARCHAR) || ':' ||
+               CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), perm AS (
+  SELECT gp, CAST(0 AS BIGINT) AS k, sample, g AS gi FROM mem
+  UNION ALL
+  SELECT o.gp, o.k, o.sample, m.gi
+  FROM o_rank o JOIN m_rank m ON o.gp = m.gp AND o.k = m.k AND o.r = m.r
+), within AS (
+  SELECT sub.gp, pa.k, pa.gi AS g, sub.ua, sub.ub, sub.dd
+  FROM sub
+  JOIN perm pa ON pa.gp = sub.gp AND pa.sample = sub.ua
+  JOIN perm pb ON pb.gp = sub.gp AND pb.k = pa.k AND pb.sample = sub.ub
+  WHERE pa.gi = pb.gi
+), ssq AS (
+  SELECT gp, k, g, {duck_fold('dd')} AS ssq FROM within GROUP BY gp, k, g
+), ssw AS (
+  SELECT gp, k,
+         list_reduce(list(ssq / n_g ORDER BY g), (acc, v) -> acc + v) AS ssw
+  FROM ssq JOIN ng USING (gp, g) GROUP BY gp, k
+), f AS (
+  SELECT gp, k, (sst - ssw) / (ssw / CAST(n - 2 AS DOUBLE)) AS f
+  FROM ssw JOIN sst USING (gp)
+), obs AS (
+  SELECT gp, f AS pseudo_f FROM f WHERE k = 0
+), hits AS (
+  SELECT gp, SUM(CASE WHEN k > 0 AND f >= pseudo_f THEN 1 ELSE 0 END) AS h
+  FROM f JOIN obs USING (gp) GROUP BY gp
+)
+SELECT CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+       n AS n_samples, pseudo_f,
+       CAST(h + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM gpairs JOIN nsub USING (gp) JOIN obs USING (gp) JOIN hits USING (gp)
+"""
+
+
 def d11_alpha_group_significance(
     spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
 ) -> DataFrame:
@@ -1249,6 +1462,12 @@ QUERIES: dict[str, QuerySpec] = {
         _permanova_sql(),
         "D4 rules/diversity_analysis.smk:90-103 (beta-group-significance permanova): "
         "pseudo-F + permutation p fully in-plan, 199 md5-seeded relabelings",
+    ),
+    "d4_permanova_pairwise": QuerySpec(
+        d4_permanova_pairwise,
+        _permanova_pairwise_sql(),
+        "D4 rules/diversity_analysis.smk:101 (--p-pairwise): per-group-pair "
+        "PERMANOVA, each pair with its own in-plan 99-permutation family",
     ),
     "d11_alpha_group_significance": QuerySpec(
         d11_alpha_group_significance,

@@ -187,3 +187,37 @@ def test_d11_alpha_gs_matches_pandas_kw(spark):
     assert row.h_stat == pytest.approx(h_expected, abs=5.1e-7)  # 6-dp ROUND
     assert 0.0 < row.p_value <= 1.0
     assert row.n_perm == 11
+
+
+def test_d4_pairwise_matches_restricted_full_permanova(spark):
+    """Each pairwise row's pseudo-F must equal the collected-matrix numpy
+    PERMANOVA run on the distances restricted to that pair's samples."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_CORRECT
+    from mmeds_meta_spark.functions.permanova import permanova
+    from mmeds_meta_spark.operators.diversity import d2_bray_curtis
+    from mmeds_meta_spark.operators.phylo import d4_permanova_pairwise
+
+    bc = d2_bray_curtis(spark, SF_CORRECT)
+    rows = {
+        (r.g1, r.g2): r
+        for r in d4_permanova_pairwise(spark, SF_CORRECT, n_perm=7).collect()
+    }
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    for g1, g2 in rows:
+        sub = bc.filter(
+            (F.col("ua") % 3).isin(g1, g2) & (F.col("ub") % 3).isin(g1, g2)
+        )
+        samples = (
+            sub.select(F.col("ua").alias("s")).union(sub.select("ub")).distinct()
+        )
+        groups = samples.select("s", (F.col("s") % 3).alias("g"))
+        ref = permanova(
+            sub.select("ua", "ub", "bray_curtis"), groups, n_permutations=5, seed=3
+        )
+        row = rows[(g1, g2)]
+        assert row.n_samples == ref.n_samples
+        assert row.pseudo_f == pytest.approx(ref.pseudo_f, rel=1e-9)
+        assert 0.0 < row.p_value <= 1.0
+        assert row.n_perm == 7
