@@ -211,6 +211,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # session-window shapes.  Its slot funds d4_permanova_pairwise (the
     # --p-pairwise half of the beta-group-significance surface, smk:101).
     "w14_session_funnel",
+    # last-touch as-of join (driver-green r04-r05): the gated
+    # w5_range_join_bucketed keeps the bucketed range-join family.  Its
+    # slot funds a21_taxa_barplot (taxa barplot's relative-abundance
+    # layer, taxonomy.smk:86-97).
+    "asof_join_attribution",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

@@ -452,6 +452,69 @@ GROUP BY 1
 """
 
 
+def a21_taxa_barplot(spark: SparkSession, sf: str) -> DataFrame:
+    """qiime taxa barplot's data layer (rules/taxonomy.smk:86-97): the
+    per-group × level-2-taxon RELATIVE-abundance matrix the barplot
+    renders — each group's taxon counts normalized by the group total.
+    Groups are the nation dimension (the metadata column); taxa are the
+    full 3-level paths whose level-2 truncation :func:`a13_hierarchical_collapse`
+    collapses — here the leaf level keeps a real per-group distribution
+    (the 5 segment leaves under each nation).
+
+    Two aggregations + one broadcast join of the 25-row group totals —
+    no window over the big side, so the taxon agg shuffles once on
+    (group, taxon) and the totals ride in as a broadcast.  Counts are
+    exact BIGINTs; the final division is the identical double expression
+    on both engines."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_name",
+            F.concat_ws(";", "r_name", "n_name", "c_mktsegment").alias(
+                "taxon_l3"
+            ),
+        )
+    )
+    per_taxon = joined.groupBy("n_name", "taxon_l3").agg(
+        F.count("*").alias("n_orders")
+    )
+    totals = per_taxon.groupBy("n_name").agg(F.sum("n_orders").alias("tot"))
+    return per_taxon.join(F.broadcast(totals), "n_name").select(
+        F.col("n_name").alias("group_name"),
+        "taxon_l3",
+        "n_orders",
+        F.expr("CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE)").alias(
+            "rel_abundance"
+        ),
+    )
+
+
+_A21_SQL = """
+WITH joined AS (
+  SELECT n_name,
+         CONCAT(r_name, ';', n_name, ';', c_mktsegment) AS taxon_l3
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+), per_taxon AS (
+  SELECT n_name, taxon_l3, COUNT(*) AS n_orders
+  FROM joined GROUP BY n_name, taxon_l3
+), totals AS (
+  SELECT n_name, SUM(n_orders) AS tot FROM per_taxon GROUP BY n_name
+)
+SELECT n_name AS group_name, taxon_l3, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE) AS rel_abundance
+FROM per_taxon JOIN totals USING (n_name)
+"""
+
+
 # ---------------------------------------------------------------------------
 # A14/U1 — union of runs + re-aggregation  (rules/process_sequencing_data.smk)
 # ---------------------------------------------------------------------------
@@ -843,6 +906,12 @@ QUERIES: dict[str, QuerySpec] = {
     "a7_dup_in_group": QuerySpec(a7_dup_in_group, _A7_SQL, "A7 validate.py:222-252"),
     "a8_column_profile": QuerySpec(a8_column_profile, _A8_SQL, "A8 util.py:414-465"),
     "a13_hierarchical_collapse": QuerySpec(a13_hierarchical_collapse, _A13_SQL, "A13 rules/taxonomy.smk:71-85"),
+    "a21_taxa_barplot": QuerySpec(
+        a21_taxa_barplot,
+        _A21_SQL,
+        "A21 rules/taxonomy.smk:86-97 (taxa barplot): per-group relative-"
+        "abundance matrix, broadcast group totals",
+    ),
     "a14_union_merge": QuerySpec(a14_union_merge, _A14_SQL, "A14/U1 rules/process_sequencing_data.smk:1-15, util.py:1765-1774"),
     "p5_nullsafe_lookup": QuerySpec(p5_nullsafe_lookup, _P5_SQL, "P5 sql_builder.py:173-194"),
     "f9_date_range_check": QuerySpec(f9_date_range_check, _F9_SQL, "F9 validate.py:365-377"),
