@@ -216,6 +216,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # slot funds a21_taxa_barplot (taxa barplot's relative-abundance
     # layer, taxonomy.smk:86-97).
     "asof_join_attribution",
+    # session gap/duration stats (driver-green r05): the gated
+    # w13_forward_fill + w6_funnel_conversion keep the lag/session-window
+    # family.  Its slot funds text_lm_score (the unigram-LM perplexity-
+    # proxy curation filter).
+    "w10_session_stats",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

@@ -327,6 +327,99 @@ SELECT rank, term, tf, df FROM ranked WHERE rank <= {_VOCAB_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM quality score — the CCNet-style perplexity-proxy filter
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB_K = 50_000
+
+
+def text_lm_score(
+    spark: SparkSession, sf: str, *, vocab_k: int = _LM_VOCAB_K
+) -> DataFrame:
+    """Perplexity-proxy quality score: train a capped-vocabulary unigram
+    LM on the corpus and score every document by mean token log-prob —
+    the CCNet / Gopher-style "train a cheap LM, drop the high-perplexity
+    tail" curation filter, with train + apply as ONE Catalyst plan.
+
+    Vocabulary = deterministic top-K tokens by count (ties broken by
+    token — TakeOrderedAndProject, no global sort), with add-one
+    smoothing over N total tokens and V = |vocab| + 1 classes (OOV is
+    the +1 class and scores at c = 0).  At 100 TB the capped vocab is
+    what makes the score join a BROADCAST instead of a shuffle on the
+    (Zipf-hot) token key.  Per-doc log-prob sums are pinned-order folds
+    over token position, so both engines add the same doubles in the
+    same order; mean is rounded to 6dp before the EXP that produces the
+    perplexity proxy (d1's LN precedent for cross-engine libm parity)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_k)
+    )
+    totn = tok.agg(F.count("*").cast("long").alias("n_tot"))
+    vv = vocab.agg(F.count("*").cast("long").alias("v"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totn))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+                " / CAST(n_tot + v + 1 AS DOUBLE))"
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+        ).alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("ROUND(slp / n_tokens, 6)").alias("mean_logprob"),
+        F.expr("ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6)").alias("ppl_proxy"),
+    )
+
+
+_LM_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {_LM_VOCAB_K}
+), totn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tok
+), vv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), scored AS (
+  SELECT doc_id, pos,
+         LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+            / CAST(n_tot + v + 1 AS DOUBLE)) AS lp
+  FROM tok LEFT JOIN vocab USING (tok)
+  CROSS JOIN totn CROSS JOIN vv
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
+       ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
 
@@ -514,6 +607,12 @@ FROM documents
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "text_lm_score": QuerySpec(
+        text_lm_score,
+        _LM_SCORE_SQL,
+        "LLM-pipeline text (CCNet-style unigram-LM perplexity proxy: "
+        "capped-vocab train + broadcast apply in one plan)",
+    ),
     "text_pii_scrub": QuerySpec(
         text_pii_scrub,
         _pii_sql(),

@@ -74,3 +74,39 @@ def test_repetition_covers_every_doc_and_bounds(spark):
         )
     )
     assert bad.count() == 0
+
+
+def test_lm_score_matches_pandas_unigram(spark):
+    """The in-plan unigram LM must agree with a pandas reimplementation:
+    same capped vocab, same add-one smoothing, same mean log-prob."""
+    import math
+
+    import pandas as pd
+    import pytest
+
+    from mmeds_meta_spark.operators.text import text_lm_score
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = pdf["text"].str.split(" ")
+    counts = pd.Series([t for ts in toks for t in ts]).value_counts()
+    n_tot = int(counts.sum())
+    v = len(counts)  # corpus vocab < 50k cap -> all kept
+    expected = {
+        row.doc_id: sum(
+            math.log((counts.get(t, 0) + 1) / (n_tot + v + 1)) for t in ts
+        )
+        / len(ts)
+        for row, ts in zip(pdf.itertuples(), toks)
+    }
+
+    out = {
+        r.doc_id: r for r in text_lm_score(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(expected)
+    for doc_id, exp_mean in expected.items():
+        r = out[doc_id]
+        assert r.mean_logprob == pytest.approx(exp_mean, abs=5.1e-7)
+        assert r.ppl_proxy == pytest.approx(
+            math.exp(-r.mean_logprob), abs=5.1e-7
+        )
+        assert r.mean_logprob < 0 and r.ppl_proxy > 1
