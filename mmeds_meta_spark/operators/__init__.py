@@ -221,6 +221,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # family.  Its slot funds text_lm_score (the unigram-LM perplexity-
     # proxy curation filter).
     "w10_session_stats",
+    # grouped HLL registers (driver-green r05): sketch_hll_distinct — the
+    # same register/estimator arithmetic ungrouped — is gated THIS round,
+    # so the register evidence stays external.  Its slot funds
+    # d2_pcoa_power (the in-plan power-iteration ordination).
+    "sketch_hll_by_group",
     "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
     "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
     "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)

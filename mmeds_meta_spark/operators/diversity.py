@@ -563,7 +563,253 @@ FROM mom a JOIN mom b
 """
 
 
+# ---------------------------------------------------------------------------
+# D2 (ordination half) — PCoA fully in-plan via power iteration
+# ---------------------------------------------------------------------------
+
+_PCOA_ITERS = 24  # fixed iteration count: both engines run the IDENTICAL
+# arithmetic sequence, so results are bit-equal regardless of convergence
+
+
+def _pinned(col: str, by: str) -> str:
+    """Order-pinned double fold: Σ col in strict `by` order."""
+    return (
+        f"aggregate(array_sort(collect_list(struct({by}, {col}))),"
+        f" CAST(0 AS DOUBLE), (acc, q) -> acc + q.{col})"
+    )
+
+
+def d2_pcoa_power(
+    spark: SparkSession, sf: str, *, n_iter: int = _PCOA_ITERS
+) -> DataFrame:
+    """D2 ordination — classical PCoA (Gower-centered MDS) computed
+    ENTIRELY in-plan: no n×n matrix ever leaves the executors
+    (functions/pcoa.py keeps the collected-matrix variant for API
+    parity; reference: ``qiime diversity pcoa`` inside core-metrics,
+    rules/diversity_analysis.smk:5-40, consumed by summary.py:156-167).
+
+    B = −½·J·D²·J is held as the pair RELATION b(i,j) =
+    −½·(d²ᵢⱼ − rowmeanᵢ − rowmeanⱼ + grandmean); the top-2 axes come
+    from ``n_iter`` fixed power-iteration steps (matvec = one join +
+    one pinned-order fold per step, norm = one pinned fold), with the
+    second axis on the deflated B − λ₁v₁v₁ᵀ.  Signs are fixed by making
+    the smallest sample's loading non-negative.  Every fold is pinned,
+    every step count fixed, so the DuckDB oracle — the SAME iteration
+    UNROLLED as a CTE chain — reproduces the doubles bit-for-bit.
+
+    Scale shape: the matvec joins shuffle on the sample key and
+    distribute over the n² pair relation — the form that survives large
+    n; lineage is truncated each step with a lazy localCheckpoint so
+    Catalyst plans stay O(1) per iteration."""
+    p = (
+        d2_bray_curtis(spark, sf)
+        .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
+        .localCheckpoint(eager=False)
+    )
+    samples = (
+        p.select(F.col("ua").alias("s")).union(p.select("ub")).distinct()
+    )
+    # full symmetric matrix incl. the zero diagonal
+    m = (
+        p.select(F.col("ua").alias("i"), F.col("ub").alias("j"), "dd")
+        .union(p.select(F.col("ub").alias("i"), F.col("ua").alias("j"), "dd"))
+        .union(samples.select(F.col("s").alias("i"), F.col("s").alias("j"), F.lit(0.0).alias("dd")))
+    )
+    nrel = samples.agg(F.count("*").cast("long").alias("n"))
+    rm = (
+        m.groupBy("i")
+        .agg(F.expr(_pinned("dd", "j")).alias("rs"))
+        .crossJoin(F.broadcast(nrel))
+        .select("i", (F.col("rs") / F.col("n")).alias("rm"))
+    )
+    gm = (
+        rm.agg(F.expr(_pinned("rm", "i")).alias("srm"))
+        .crossJoin(F.broadcast(nrel))
+        .select((F.col("srm") / F.col("n")).alias("g"))
+    )
+    b = (
+        m.join(F.broadcast(rm.withColumnRenamed("i", "ri").withColumnRenamed("rm", "rmi")), F.col("i") == F.col("ri"))
+        .join(F.broadcast(rm.withColumnRenamed("i", "rj").withColumnRenamed("rm", "rmj")), F.col("j") == F.col("rj"))
+        .crossJoin(F.broadcast(gm))
+        .select("i", "j", F.expr("-0.5 * (dd - rmi - rmj + g)").alias("b"))
+        .localCheckpoint(eager=False)  # reused 2 * n_iter times
+    )
+
+    def normalize(v: DataFrame) -> DataFrame:
+        nrm = v.agg(
+            F.expr(
+                "SQRT(aggregate(array_sort(collect_list(struct(i, x))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.x * q.x))"
+            ).alias("nrm")
+        )
+        return v.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("x") / F.col("nrm")).alias("x")
+        )
+
+    def matvec(mat: DataFrame, v: DataFrame) -> DataFrame:
+        return (
+            mat.join(v.select(F.col("i").alias("j"), F.col("x").alias("vj")), "j")
+            .select("i", "j", F.expr("b * vj").alias("bv"))
+            .groupBy("i")
+            .agg(F.expr(_pinned("bv", "j")).alias("x"))
+        )
+
+    def power(mat: DataFrame, start_mod: int) -> DataFrame:
+        v = normalize(
+            samples.select(
+                F.col("s").alias("i"),
+                F.expr(f"CAST(1 + s % {start_mod} AS DOUBLE)").alias("x"),
+            )
+        )
+        for _ in range(n_iter):
+            v = normalize(matvec(mat, v)).localCheckpoint(eager=False)
+        return v
+
+    def rayleigh(mat: DataFrame, v: DataFrame) -> DataFrame:
+        w = matvec(mat, v).withColumnRenamed("x", "wx")
+        return (
+            v.join(w, "i")
+            .select("i", F.expr("x * wx").alias("vw"))
+            .agg(F.expr(_pinned("vw", "i")).alias("lam"))
+        )
+
+    def signfix(v: DataFrame) -> DataFrame:
+        smin = v.agg(F.min("i").alias("imin"))
+        sgn = (
+            v.join(F.broadcast(smin), F.col("i") == F.col("imin"))
+            .select(F.expr("CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END").alias("sg"))
+        )
+        return v.crossJoin(F.broadcast(sgn)).select("i", F.expr("x * sg").alias("x"))
+
+    v1 = signfix(power(b, 7))
+    l1 = rayleigh(b, v1)
+    b2 = (
+        b.join(F.broadcast(v1.select(F.col("i").alias("di"), F.col("x").alias("v1i"))), F.col("i") == F.col("di"))
+        .join(F.broadcast(v1.select(F.col("i").alias("dj"), F.col("x").alias("v1j"))), F.col("j") == F.col("dj"))
+        .crossJoin(F.broadcast(l1))
+        .select("i", "j", F.expr("b - lam * v1i * v1j").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    v2 = signfix(power(b2, 5))
+    l2 = rayleigh(b2, v2)
+    return (
+        v1.withColumnRenamed("x", "u1")
+        .join(v2.withColumnRenamed("x", "u2"), "i")
+        .crossJoin(F.broadcast(l1))
+        .crossJoin(F.broadcast(l2.withColumnRenamed("lam", "lam2")))
+        .select(
+            F.col("i").alias("sample"),
+            F.expr("ROUND(SQRT(GREATEST(lam, 0.0)) * u1, 6)").alias("pc1"),
+            F.expr("ROUND(SQRT(GREATEST(lam2, 0.0)) * u2, 6)").alias("pc2"),
+            F.expr("ROUND(lam, 6)").alias("eig1"),
+            F.expr("ROUND(lam2, 6)").alias("eig2"),
+        )
+    )
+
+
+def _pcoa_power_sql(n_iter: int = _PCOA_ITERS) -> str:
+    """The SAME power iteration UNROLLED: one CTE pair (matvec, normalize)
+    per step, pinned list_reduce folds, identical expressions."""
+
+    def fold(col: str, by: str) -> str:
+        return f"list_reduce(list({col} ORDER BY {by}), (acc, x) -> acc + x)"
+
+    def chain(mat: str, vec0: str, prefix: str) -> str:
+        ctes = []
+        prev = vec0
+        for t in range(n_iter):
+            w, v = f"{prefix}w{t}", f"{prefix}v{t}"
+            ctes.append(
+                f"{w} AS MATERIALIZED (SELECT m.i, {fold('m.b * v.x', 'm.j')} AS x"
+                f" FROM {mat} m JOIN {prev} v ON m.j = v.i GROUP BY m.i)"
+            )
+            ctes.append(
+                f"{v} AS MATERIALIZED (SELECT i, x / (SELECT SQRT({fold('x * x', 'i')})"
+                f" FROM {w}) AS x FROM {w})"
+            )
+            prev = v
+        return ",\n".join(ctes), prev
+
+    c1, last1 = chain("bmat", "v1seed", "a")
+    c2, last2 = chain("bdef", "v2seed", "b")
+    return f"""
+WITH bc AS MATERIALIZED ({_D2_SQL}),
+p AS MATERIALIZED (
+  SELECT ua, ub, bray_curtis * bray_curtis AS dd FROM bc
+), samples AS MATERIALIZED (
+  SELECT ua AS s FROM p UNION SELECT ub FROM p
+), m AS MATERIALIZED (
+  SELECT ua AS i, ub AS j, dd FROM p
+  UNION ALL SELECT ub, ua, dd FROM p
+  UNION ALL SELECT s, s, 0.0 FROM samples
+), nrel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samples
+), rm AS (
+  SELECT i, {fold('dd', 'j')} / (SELECT n FROM nrel) AS rm FROM m GROUP BY i
+), gm AS (
+  SELECT {fold('rm', 'i')} / (SELECT n FROM nrel) AS g FROM rm
+), bmat AS MATERIALIZED (
+  SELECT m.i, m.j, -0.5 * (m.dd - ri.rm - rj.rm + (SELECT g FROM gm)) AS b
+  FROM m JOIN rm ri ON m.i = ri.i JOIN rm rj ON m.j = rj.i
+), v1seed0 AS (
+  SELECT s AS i, CAST(1 + s % 7 AS DOUBLE) AS x FROM samples
+), v1seed AS (
+  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM v1seed0) AS x
+  FROM v1seed0
+),
+{c1},
+sg1 AS (
+  SELECT CASE WHEN (SELECT x FROM {last1}
+                    WHERE i = (SELECT MIN(i) FROM {last1})) < 0
+              THEN -1.0 ELSE 1.0 END AS sg
+), v1 AS MATERIALIZED (
+  SELECT i, x * (SELECT sg FROM sg1) AS x FROM {last1}
+), w1r AS (
+  SELECT m.i, {fold('m.b * v.x', 'm.j')} AS wx
+  FROM bmat m JOIN v1 v ON m.j = v.i GROUP BY m.i
+), l1 AS (
+  SELECT {fold('v1.x * w1r.wx', 'v1.i')} AS lam
+  FROM v1 JOIN w1r ON v1.i = w1r.i
+), bdef AS MATERIALIZED (
+  SELECT b.i, b.j, b.b - (SELECT lam FROM l1) * vi.x * vj.x AS b
+  FROM bmat b JOIN v1 vi ON b.i = vi.i JOIN v1 vj ON b.j = vj.i
+), v2seed0 AS (
+  SELECT s AS i, CAST(1 + s % 5 AS DOUBLE) AS x FROM samples
+), v2seed AS (
+  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM v2seed0) AS x
+  FROM v2seed0
+),
+{c2},
+sg2 AS (
+  SELECT CASE WHEN (SELECT x FROM {last2}
+                    WHERE i = (SELECT MIN(i) FROM {last2})) < 0
+              THEN -1.0 ELSE 1.0 END AS sg
+), v2 AS MATERIALIZED (
+  SELECT i, x * (SELECT sg FROM sg2) AS x FROM {last2}
+), w2r AS (
+  SELECT m.i, {fold('m.b * v.x', 'm.j')} AS wx
+  FROM bdef m JOIN v2 v ON m.j = v.i GROUP BY m.i
+), l2 AS (
+  SELECT {fold('v2.x * w2r.wx', 'v2.i')} AS lam2
+  FROM v2 JOIN w2r ON v2.i = w2r.i
+)
+SELECT v1.i AS sample,
+       ROUND(SQRT(GREATEST((SELECT lam FROM l1), 0.0)) * v1.x, 6) AS pc1,
+       ROUND(SQRT(GREATEST((SELECT lam2 FROM l2), 0.0)) * v2.x, 6) AS pc2,
+       ROUND((SELECT lam FROM l1), 6) AS eig1,
+       ROUND((SELECT lam2 FROM l2), 6) AS eig2
+FROM v1 JOIN v2 ON v1.i = v2.i
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d2_pcoa_power": QuerySpec(
+        d2_pcoa_power,
+        _pcoa_power_sql(),
+        "D2 rules/diversity_analysis.smk:5-40 (qiime diversity pcoa): "
+        "Gower-centered top-2 axes via fixed-step in-plan power iteration; "
+        "oracle = the same iteration unrolled as a CTE chain",
+    ),
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
     "d2_bray_curtis": QuerySpec(d2_bray_curtis, _D2_SQL, "D2 rules/diversity_analysis.smk:5-40"),
     "d5_ancombc": QuerySpec(

@@ -114,3 +114,30 @@ def test_add_samples_generates_ids(spark, warehouse):
     # the aliquot already carries 1 sample from the import → ordinal 2
     assert rows[0].SampleID == "SP-000-Aliquot1-Sample2"
     assert wh.table("Sample").count() == n_before + 1
+
+
+def test_pcoa_power_matches_numpy_eigh(spark):
+    """The in-plan power-iteration PCoA must agree with the collected-
+    matrix numpy eigendecomposition on the same Bray-Curtis block:
+    same top-2 eigenvalues and, up to sign (fixed by the smallest
+    sample's loading), the same coordinates."""
+    from conftest import SF_CORRECT
+    from mmeds_meta_spark.operators.diversity import d2_bray_curtis, d2_pcoa_power
+
+    bc = d2_bray_curtis(spark, SF_CORRECT).select(
+        "ua", "ub", F.col("bray_curtis").alias("distance")
+    )
+    ref = pcoa(bc, n_axes=2)
+    out = {r.sample: r for r in d2_pcoa_power(spark, SF_CORRECT).collect()}
+    assert set(out) == set(ref.sample_ids)
+
+    row0 = out[ref.sample_ids[0]]
+    assert row0.eig1 == pytest.approx(ref.eigenvalues[0], rel=1e-4)
+    assert row0.eig2 == pytest.approx(ref.eigenvalues[1], rel=1e-3)
+    for axis, attr in ((0, "pc1"), (1, "pc2")):
+        got = np.array([getattr(out[s], attr) for s in ref.sample_ids])
+        want = ref.coordinates[:, axis]
+        # numpy's eigenvector sign is arbitrary; align before comparing
+        if np.dot(got, want) < 0:
+            want = -want
+        assert np.allclose(got, want, atol=5e-3), f"axis {axis} mismatch"
