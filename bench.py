@@ -58,6 +58,11 @@ HEAVY = [
     "simjoin_prefix_jaccard",
     "d9_mantel_test",
     "pipeline_curation_funnel",
+    # round-6 additions: the in-plan permutation-statistics family and the
+    # power-iteration ordination — heavy by construction (K+1 relabelings /
+    # 2×24 matvec steps), so their wall-times are tracked from day one
+    "d4_permanova",
+    "d2_pcoa_power",
 ]
 
 
