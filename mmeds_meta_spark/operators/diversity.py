@@ -72,16 +72,23 @@ FROM terms
 _BC_BLOCK = 40  # samples 0..39 → 780 pairs; blocking keeps pairs bounded
 
 
-def d2_bray_curtis(spark: SparkSession, sf: str, *, block: int = _BC_BLOCK) -> DataFrame:
+def d2_bray_curtis(
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int = _BC_BLOCK,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """BC(a,b) = Σ|xᵢ−yᵢ| / Σ(xᵢ+yᵢ).  Decomposed so only co-occurring
     features join:  Σ|x−y| = Σ_common|x−y| + (Sa−Σ_common x) + (Sb−Σ_common y),
     denominator Sa+Sb — all integers, hence exact.  At 100 TB the pair
     space is bucketed (here: the ``block`` sample-id prefix; the default
     matches the registered oracle) and features act as the inverted
     index; no dense matrix ever exists."""
-    ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
-    # block-bounded; read by totals + both join sides (different prunings)
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c")).cache()
+    if counts is None:
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
+        # block-bounded; read by totals + both join sides (different prunings)
+        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c")).cache()
     totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
     a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
     # shuffle-hash: event_type has 5 fat keys — SMJ sorts the full pair

@@ -61,13 +61,23 @@ def _branch_array(feature: str) -> list[str]:
     ] + [f"concat('L', {feature})"]
 
 
-def _cov(spark: SparkSession, sf: str, *, block: int | None) -> DataFrame:
+def _cov(
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int | None,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """(user_id, branch, len, cb): per-sample branch coverage — cb is the
-    total abundance under the branch, len its integer length."""
-    ev = _t(spark, sf, "events")
-    if block is not None:
-        ev = ev.filter(F.col("user_id") < block)
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    total abundance under the branch, len its integer length.  Pass a
+    pre-computed (and ideally cached) ``counts`` (user_id, event_type, c)
+    to share ONE events scan across several metrics (the qiime
+    core-metrics pattern: one feature table feeds every distance)."""
+    if counts is None:
+        ev = _t(spark, sf, "events")
+        if block is not None:
+            ev = ev.filter(F.col("user_id") < block)
+        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     mem = counts.select(
         "user_id",
         "c",
@@ -190,11 +200,15 @@ LEFT JOIN shared ON ua = ta.user_id AND ub = tb.user_id
 
 
 def d2_unifrac_weighted(
-    spark: SparkSession, sf: str, *, block: int = _BLOCK
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int = _BLOCK,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
     is an integer until the single final division by N_a·N_b."""
-    cov = _cov(spark, sf, block=block).cache()
+    cov = _cov(spark, sf, block=block, counts=counts).cache()
     # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
     nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
         F.expr("SUM(cb)").alias("n")
@@ -610,8 +624,22 @@ def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
     on identical doubles → bit-identical across engines."""
     from .diversity import d2_bray_curtis
 
-    bc = d2_bray_curtis(spark, sf).select("ua", "ub", F.col("bray_curtis").alias("x"))
-    uf = d2_unifrac_weighted(spark, sf).select("ua", "ub", F.col("unifrac_w").alias("y"))
+    # ONE events scan feeds both metrics (qiime core-metrics: one feature
+    # table -> every distance): the block-bounded counts relation is
+    # cached and shared, saving a full corpus scan per metric
+    counts = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < _BLOCK)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    bc = d2_bray_curtis(spark, sf, counts=counts).select(
+        "ua", "ub", F.col("bray_curtis").alias("x")
+    )
+    uf = d2_unifrac_weighted(spark, sf, counts=counts).select(
+        "ua", "ub", F.col("unifrac_w").alias("y")
+    )
     return mantel_permutation_test(bc, uf)
 
 
