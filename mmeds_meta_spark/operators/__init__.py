@@ -232,6 +232,11 @@ _GATE_TAIL: tuple[str, ...] = (
     "d6_kruskal_wallis",  # rank machinery runs verbatim inside the gated d6_lefse_lda
     "j9_symmetric_anti_join",  # full-outer null-filter: decon_bloom/decon_ngram keep gated anti shapes
     "w7_transition_matrix",  # lag-pair count matrix: w14_session_funnel/w6 keep the gated lag shapes
+    # PQ asymmetric-distance top-k (driver-green r05): the gated
+    # ann_ivf_pq_topk runs the identical codebook/ADC machinery behind an
+    # IVF route.  Its slot funds sample_dsir_importance (DSIR hashed-n-gram
+    # importance resampling, Xie et al. 2023).
+    "ann_pq_adc_topk",
 )
 
 

@@ -385,7 +385,162 @@ FROM starts
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"  # the "target domain" corpus (DSIR's Wikipedia role)
+_DSIR_B = 256  # hashed n-gram feature buckets (two md5 nibbles)
+_DSIR_K = 100  # documents to resample
+
+
+def sample_dsir_importance(spark: SparkSession, sf: str, *, k: int = _DSIR_K) -> DataFrame:
+    """DSIR data selection: score every raw document by the hashed-n-gram
+    importance ratio between a target-domain LM and a raw-corpus LM, then
+    resample k docs by deterministic Gumbel-top-k.
+
+    Features are unigrams + bigrams hashed into {b} buckets (first two
+    md5 nibbles — the repo's portable bucket hash).  Both "LMs" are
+    bag-of-buckets unigram models with add-one smoothing: p̂_target from
+    the docs of source ``{target}``, q̂_raw from the whole corpus.  A
+    candidate doc's log importance weight is
+    ``log w = Σ_b c_b · (ln p̂_t(b) − ln q̂_r(b))`` — folded in pinned
+    bucket order so both engines add identical doubles identically.
+    Resampling ∝ exp(log w) without replacement is Gumbel-top-k with the
+    uniform drawn from md5(doc_id) (no rand(): same selection on every
+    engine, retry, and partitioning).
+
+    Physical shape at 100 TB: ONE corpus pass (explode → groupBy on the
+    uniform (doc_id, bucket) key); both LMs contract to ≤{b}-row tables
+    that BROADCAST into the scoring join, and selection is a TakeOrdered
+    k — no corpus-scale sort, no pair space, no driver loop.  The
+    {b}-bucket cap is what DSIR's hashing buys: the Zipf-hot token key
+    never becomes a shuffle key.
+
+    Beyond-reference (training-data pipeline); reference's nearest
+    analog is the two-class cohort selection in
+    mmeds/mmeds/util.py (load_metadata splits)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("a")
+    )
+    uni = d.select("doc_id", "source", F.explode("a").alias("f"))
+    big = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(slice(a, 1, size(a) - 1), (x, i) -> concat(x, ' ', a[i + 1]))")
+        ).alias("f"),
+    )
+    bexpr = _bucket_expr("spark", "f")
+    # ONE corpus pass: (doc_id, b, c) is consumed three ways (target LM,
+    # raw LM, candidate scoring) — cache so the explode+agg runs once
+    # (at cluster scale: persist(DISK_ONLY) or a checkpoint table)
+    cnt = (
+        uni.unionByName(big)
+        .select("doc_id", "source", F.expr(bexpr).alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .cache()
+    )
+    tgt = (
+        cnt.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("tc"))
+    )
+    raw = cnt.groupBy("b").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("rc"))
+    tn = tgt.agg(F.expr("CAST(SUM(tc) AS BIGINT)").alias("tn"))
+    rn = raw.agg(F.expr("CAST(SUM(rc) AS BIGINT)").alias("rn"))
+    lm = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .select(
+            "b",
+            F.expr(
+                f"LN(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(tn + {_DSIR_B} AS DOUBLE))"
+                f" - LN(CAST(rc + 1 AS DOUBLE) / CAST(rn + {_DSIR_B} AS DOUBLE))"
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        cnt.filter(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(b, c, lr))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.c * q.lr)"
+            ).alias("lw"),
+        )
+    )
+    h8 = _h8_expr("spark", "concat('gumbel:', CAST(doc_id AS STRING))")
+    keyed = scored.select(
+        "doc_id",
+        "n_buckets",
+        F.expr("ROUND(lw, 6)").alias("log_w"),
+        F.expr(
+            f"ROUND(lw - LN(-LN(CAST({h8} + 1 AS DOUBLE) / CAST(4294967297 AS DOUBLE))), 6)"
+        ).alias("sel_key"),
+    )
+    return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(k)
+
+
+sample_dsir_importance.__doc__ = sample_dsir_importance.__doc__.format(
+    b=_DSIR_B, target=_DSIR_TARGET
+)
+
+_DSIR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS a FROM documents
+), uni AS (
+  SELECT doc_id, source, generate_subscripts(a, 1) AS i, unnest(a) AS f FROM d
+), big AS (
+  SELECT t1.doc_id, t1.source, t1.f || ' ' || t2.f AS f
+  FROM uni t1 JOIN uni t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+), feats AS (
+  SELECT doc_id, source, f FROM uni UNION ALL SELECT doc_id, source, f FROM big
+), cnt AS (
+  SELECT doc_id, source, {_bucket_expr("duck", "f")} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM feats GROUP BY 1, 2, 3
+), tgt AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS tc FROM cnt
+  WHERE source = '{_DSIR_TARGET}' GROUP BY b
+), raw AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS rc FROM cnt GROUP BY b
+), tn AS (SELECT CAST(SUM(tc) AS BIGINT) AS tn FROM tgt
+), rn AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn FROM raw
+), lm AS (
+  SELECT b,
+         LN(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(tn + {_DSIR_B} AS DOUBLE))
+         - LN(CAST(rc + 1 AS DOUBLE) / CAST(rn + {_DSIR_B} AS DOUBLE)) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tn CROSS JOIN rn
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         list_reduce(list(c * lr ORDER BY b), (acc, x) -> acc + x) AS lw
+  FROM cnt JOIN lm USING (b)
+  WHERE source <> '{_DSIR_TARGET}'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_buckets, ROUND(lw, 6) AS log_w,
+       ROUND(lw - LN(-LN(
+         CAST({_h8_expr("duck", "'gumbel:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         / CAST(4294967297 AS DOUBLE))), 6) AS sel_key
+FROM scored
+ORDER BY sel_key DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_dsir_importance": QuerySpec(
+        sample_dsir_importance,
+        _DSIR_SQL,
+        "beyond-reference: DSIR importance resampling (hashed-n-gram LM ratio"
+        " + deterministic Gumbel-top-k; Xie et al. 2023)",
+    ),
     "chunk_documents": QuerySpec(
         chunk_documents,
         _CHUNK_SQL,
