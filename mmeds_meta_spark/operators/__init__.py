@@ -237,6 +237,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # IVF route.  Its slot funds sample_dsir_importance (DSIR hashed-n-gram
     # importance resampling, Xie et al. 2023).
     "ann_pq_adc_topk",
+    # first-occurrence novelty curve (driver-green r05): the gated
+    # text_tfidf_topk + text_lm_score keep the broadcast-token-stat
+    # family.  Its slot funds text_nb_classifier (NB train+apply — the
+    # classify-sklearn engine twin).
+    "text_novelty_ratio",
 )
 
 

@@ -606,7 +606,195 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# naive-Bayes text classifier — train + apply in ONE plan
+# ---------------------------------------------------------------------------
+
+_NB_VOCAB_K = 512  # capped vocabulary → the model stays broadcastable
+_NB_TRAIN_PCT = 50  # md5(doc_id) % 100 < 50 → train; the rest is scored
+
+
+def text_nb_classifier(spark: SparkSession, sf: str, *, vocab_k: int = _NB_VOCAB_K) -> DataFrame:
+    """Multinomial naive-Bayes classifier, trained AND applied in one
+    Catalyst plan: predict ``lang`` from unigram tokens for the held-out
+    half of the corpus — the fastText-style quality/domain classifier of
+    CCNet/LLaMA-era pipelines, and the engine twin of the reference's
+    k-mer NB taxonomy rule
+    (mmeds/snakemake/rules/taxonomy.smk classify_taxonomy_*:
+    ``qiime feature-classifier classify-sklearn``).
+
+    Model: vocabulary = deterministic top-{k} train tokens (count DESC,
+    token tie-break) plus one OOV symbol (``''``); every token maps to
+    its vocab symbol or OOV, so likelihoods use one consistent V+1-symbol
+    alphabet with add-one smoothing — p(s|c) = (c_{{s,c}}+1)/(N_c+V).
+    Priors are doc-count MLE with add-one over C classes.  Train/apply
+    split = md5(doc_id) % 100 (the sample_hash_split convention — no
+    rand(), stable across engines/retries).
+
+    Physical shape at 100 TB: the model is (V+1)·C rows — BROADCAST into
+    the apply join, never a shuffle on the Zipf-hot token key; training
+    is one (class, sym) partial-agg shuffle; apply streams eval tokens
+    ×C and folds per-(doc, class) log-probs in pinned token order, so
+    both engines add identical doubles identically; argmax is a
+    row_number over the C candidate rows per doc."""
+    from .sampling import _bucket_expr
+
+    bexpr = f"({_bucket_expr('spark', 'CAST(doc_id AS STRING)')} % 100) < {_NB_TRAIN_PCT}"
+    tok = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.expr(bexpr).alias("is_train"),
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        # consumed by vocab, the sym mapping, train counts, and apply —
+        # cache so the corpus explode runs once (cluster: DISK_ONLY)
+        .cache()
+    )
+    train = tok.filter(F.col("is_train"))
+    vocab = (
+        train.groupBy("tok")
+        .agg(F.count("*").alias("vc"))
+        .orderBy(F.col("vc").desc(), "tok")
+        .limit(vocab_k)
+        .select("tok")
+    )
+    syms = vocab.select(F.col("tok").alias("sym")).union(
+        spark.range(1).select(F.lit("").alias("sym"))
+    )
+    tokm = tok.join(F.broadcast(vocab.withColumn("inv", F.lit(1))), "tok", "left").select(
+        "doc_id",
+        "true_lang",
+        "is_train",
+        "pos",
+        F.expr("CASE WHEN inv IS NOT NULL THEN tok ELSE '' END").alias("sym"),
+    )
+    trm = tokm.filter(F.col("is_train"))
+    classes = trm.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_c"),
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)").alias("d_c"),
+    )
+    dd = classes.agg(
+        F.expr("CAST(SUM(d_c) AS BIGINT)").alias("d_tot"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cls"),
+    )
+    vv = syms.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("v"))
+    cnt = trm.groupBy(F.col("true_lang").alias("cls"), "sym").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    model = (
+        classes.select("cls", "n_c")
+        .crossJoin(F.broadcast(syms))
+        .join(cnt, ["cls", "sym"], "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "cls",
+            "sym",
+            F.expr("LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE))").alias("lp"),
+        )
+    )
+    pri = classes.crossJoin(F.broadcast(dd)).select(
+        "cls",
+        F.expr("LN(CAST(d_c + 1 AS DOUBLE) / CAST(d_tot + n_cls AS DOUBLE))").alias("lp0"),
+    )
+    per = (
+        tokm.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "sym")
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, lp))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+            ).alias("slp")
+        )
+    )
+    tot = per.join(F.broadcast(pri), "cls").select(
+        "doc_id", "true_lang", "cls", F.expr("lp0 + slp").alias("t")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("t").desc(), F.col("cls").asc())
+    return (
+        tot.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("true_lang").alias("lang"),
+            F.col("cls").alias("pred_lang"),
+            F.expr("ROUND(t, 6)").alias("log_posterior"),
+            F.expr("true_lang = cls").alias("correct"),
+        )
+    )
+
+
+text_nb_classifier.__doc__ = text_nb_classifier.__doc__.format(k=_NB_VOCAB_K)
+
+
+def _nb_sql() -> str:
+    from .sampling import _bucket_expr
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang AS true_lang,
+         ({_bucket_expr("duck", "CAST(doc_id AS VARCHAR)")} % 100) < {_NB_TRAIN_PCT} AS is_train,
+         string_split(text, ' ') AS a
+  FROM documents
+), tk AS (
+  SELECT doc_id, true_lang, is_train, generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+  FROM d
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS vc FROM tk WHERE is_train GROUP BY tok
+    ORDER BY vc DESC, tok LIMIT {_NB_VOCAB_K}
+  )
+), syms AS (
+  SELECT tok AS sym FROM vocab UNION ALL SELECT ''
+), tokm AS (
+  SELECT t.doc_id, t.true_lang, t.is_train, t.pos,
+         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '' END AS sym
+  FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+), classes AS (
+  SELECT true_lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_c
+  FROM tokm WHERE is_train GROUP BY 1
+), dd AS (
+  SELECT CAST(SUM(d_c) AS BIGINT) AS d_tot, CAST(COUNT(*) AS BIGINT) AS n_cls FROM classes
+), vv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM syms
+), cnt AS (
+  SELECT true_lang AS cls, sym, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokm WHERE is_train GROUP BY 1, 2
+), model AS (
+  SELECT g.cls, g.sym,
+         LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE)) AS lp
+  FROM (SELECT cls, n_c, sym FROM classes CROSS JOIN syms) g
+  LEFT JOIN cnt ON g.cls = cnt.cls AND g.sym = cnt.sym
+  CROSS JOIN vv
+), pri AS (
+  SELECT cls, LN(CAST(d_c + 1 AS DOUBLE) / CAST(d_tot + n_cls AS DOUBLE)) AS lp0
+  FROM classes CROSS JOIN dd
+), per AS (
+  SELECT doc_id, true_lang, m.cls,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM tokm JOIN model m USING (sym)
+  WHERE NOT is_train GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, true_lang, cls, lp0 + slp AS t FROM per JOIN pri USING (cls)
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t DESC, cls ASC) AS rk FROM tot
+)
+SELECT doc_id, true_lang AS lang, cls AS pred_lang,
+       ROUND(t, 6) AS log_posterior, true_lang = cls AS correct
+FROM rk WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_nb_classifier": QuerySpec(
+        text_nb_classifier,
+        _nb_sql(),
+        "LLM-pipeline text (multinomial naive-Bayes train+apply in one plan; "
+        "engine twin of reference taxonomy.smk classify-sklearn)",
+    ),
     "text_lm_score": QuerySpec(
         text_lm_score,
         _LM_SCORE_SQL,
