@@ -242,6 +242,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # family.  Its slot funds text_nb_classifier (NB train+apply — the
     # classify-sklearn engine twin).
     "text_novelty_ratio",
+    # asymmetric containment dedup (driver-green r05): the gated
+    # simjoin_prefix_jaccard + decon_ngram_overlap keep the
+    # inverted-index pair-generation family.  Its slot funds
+    # dedup_semdedup (SemDeDup cluster-prefix pruning).
+    "dedup_containment",
 )
 
 

@@ -25,7 +25,7 @@ level.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..testdata import table as _t
 from . import QuerySpec
@@ -539,13 +539,10 @@ def dedup_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    """Unrolled transcription of kmeans_buckets_exact: seeds → (assign →
-    update)×ITERS → final assign → bucket-local cosine pairs.  All bucket
-    arithmetic on DECIMAL(9,4) quantized coordinates (exact, order-free);
-    centroid updates CAST(exact-decimal-sum AS DOUBLE)/n re-quantized —
-    the identical-double-expression rule, so buckets match Spark's."""
-    k, iters = _IVF_K, _IVF_ITERS
+def _kmeans_cte(k: int, iters: int) -> tuple[list[str], str]:
+    """The unrolled kmeans_buckets_exact CTE chain (seeds → (assign →
+    update)×iters → final assign), shared by the IVF and SemDeDup
+    oracles.  Returns (cte_list, final_assignment_name)."""
     cte = [
         "e AS (\n  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)",
         "el AS (\n  SELECT vec_id, u.i, CAST(u.x AS DECIMAL(9,4)) AS q\n"
@@ -574,7 +571,16 @@ def _ivf_sql() -> str:
                 f"  FROM {prev} p LEFT JOIN u{t} ON u{t}.cid = p.cid AND u{t}.i = p.i\n)"
             )
             prev = f"c{t}"
-    fin = f"a{iters + 1}"
+    return cte, f"a{iters + 1}"
+
+
+def _ivf_sql() -> str:
+    """Unrolled transcription of kmeans_buckets_exact: seeds → (assign →
+    update)×ITERS → final assign → bucket-local cosine pairs.  All bucket
+    arithmetic on DECIMAL(9,4) quantized coordinates (exact, order-free);
+    centroid updates CAST(exact-decimal-sum AS DOUBLE)/n re-quantized —
+    the identical-double-expression rule, so buckets match Spark's."""
+    cte, fin = _kmeans_cte(_IVF_K, _IVF_ITERS)
     cos = (
         "ROUND(list_dot_product(ea.v, eb.v) / (SQRT(list_dot_product(ea.v, ea.v))"
         " * SQRT(list_dot_product(eb.v, eb.v))), 4)"
@@ -587,6 +593,134 @@ JOIN {fin} fb ON fa.bucket = fb.bucket AND fa.vec_id < fb.vec_id
 JOIN e ea ON ea.vec_id = fa.vec_id
 JOIN e eb ON eb.vec_id = fb.vec_id
 WHERE {cos} >= {_COS_TAU}
+"""
+    )
+
+
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space with k-means, and within each cluster PRUNE every
+    item that has an ε-similar neighbor ranked "more extreme" than it —
+    where the keep-order is cosine-to-centroid ASCENDING (the paper's
+    finding: keeping the examples FARTHEST from the centroid beats
+    keeping the closest).  An item is removed iff some lower-rank
+    cluster-mate is within cosine ≥ ε of it — the pure pairwise form of
+    the reference implementation's prefix rule (each point is compared
+    against all points before it in the sorted cluster block).
+
+    Composition: kmeans_buckets_exact (the dedup_embedding_ivf blocking)
+    → per-bucket centroid = per-dim mean of the quantized coordinates
+    (exact decimal sums ÷ n — identical doubles on both engines) →
+    rank by pinned-order cosine-to-centroid → bucket-local ε-pair join
+    restricted to rank_lo < rank_hi.  Output is a per-vector decision
+    relation (vec_id, bucket, cos_centroid, keep).
+
+    Scale shape at 100 TB: centroids contract to K×dim rows (BROADCAST
+    into the rank pass), the pair space is bucket-local (candidates per
+    vector ≈ N/K, never N), and the rank window partitions per bucket.
+    ε here reuses τ = {tau} so the demo corpus exercises both branches;
+    production SemDeDup runs ε ≈ 0.95."""
+    from ..functions.kmeans import kmeans_buckets_exact
+
+    e = (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
+    )
+    assigned = kmeans_buckets_exact(e, k=_IVF_K, iters=_IVF_ITERS).persist()
+    cent = (
+        assigned.select("bucket", F.posexplode("qv").alias("i", "q"))
+        .groupBy("bucket", "i")
+        .agg(F.expr("CAST(CAST(SUM(q) AS DOUBLE) / COUNT(*) AS DOUBLE)").alias("c"))
+        .groupBy("bucket")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
+            ).alias("carr")
+        )
+    )
+    cosc = F.expr(
+        "aggregate(zip_with(v, carr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+        " / (SQRT(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"
+        " * SQRT(aggregate(zip_with(carr, carr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)))"
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("cosc").asc(), F.col("vec_id").asc())
+    ranked = (
+        assigned.join(F.broadcast(cent), "bucket")
+        .select("vec_id", "bucket", "v", cosc.alias("cosc"))
+        .withColumn("rk", F.row_number().over(w))
+        .persist()
+    )
+    lo = ranked.select(
+        F.col("bucket").alias("b2"), F.col("v").alias("va"), F.col("rk").alias("rka")
+    )
+    hi = ranked.select("vec_id", "bucket", F.col("v").alias("vb"), F.col("rk").alias("rkb"))
+    pcos = F.expr(
+        "ROUND(aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+        " / (SQRT(aggregate(zip_with(va, va, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"
+        " * SQRT(aggregate(zip_with(vb, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z))), 4)"
+    )
+    rem = (
+        hi.join(lo, (F.col("bucket") == F.col("b2")) & (F.col("rka") < F.col("rkb")))
+        .filter(pcos >= _COS_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return ranked.join(rem, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.expr("ROUND(cosc, 6)").alias("cos_centroid"),
+        F.expr("rm IS NULL").alias("keep"),
+    )
+
+
+dedup_semdedup.__doc__ = dedup_semdedup.__doc__.format(tau=_COS_TAU)
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the shared kmeans CTE chain, then centroid means
+    / pinned-order cosine folds / rank / prefix ε-pair removal —
+    list_reduce over i-ordered products so DuckDB adds the exact doubles
+    Spark's zip_with folds add."""
+    cte, fin = _kmeans_cte(_IVF_K, _IVF_ITERS)
+    pcos = (
+        "ROUND(list_dot_product(ea.v, eb.v) / (SQRT(list_dot_product(ea.v, ea.v))"
+        " * SQRT(list_dot_product(eb.v, eb.v))), 4)"
+    )
+    cte.extend(
+        [
+            f"cm AS (\n  SELECT f.bucket, el.i,"
+            " CAST(CAST(SUM(el.q) AS DOUBLE) / COUNT(*) AS DOUBLE) AS c\n"
+            f"  FROM el JOIN {fin} f USING (vec_id) GROUP BY 1, 2\n)",
+            "ev AS (\n  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e\n)",
+            f"cp AS (\n  SELECT f.vec_id, f.bucket, ev.i, ev.x * cm.c AS xc,"
+            " ev.x * ev.x AS xx, cm.c * cm.c AS cc\n"
+            f"  FROM {fin} f JOIN ev ON ev.vec_id = f.vec_id\n"
+            "  JOIN cm ON cm.bucket = f.bucket AND cm.i = ev.i\n)",
+            "cosr AS (\n  SELECT vec_id, bucket,\n"
+            "         list_reduce(list(xc ORDER BY i), (a, b) -> a + b)\n"
+            "         / (SQRT(list_reduce(list(xx ORDER BY i), (a, b) -> a + b))\n"
+            "            * SQRT(list_reduce(list(cc ORDER BY i), (a, b) -> a + b))) AS cosc\n"
+            "  FROM cp GROUP BY 1, 2\n)",
+            "ranked AS (\n  SELECT *,"
+            " ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cosc ASC, vec_id ASC) AS rk\n"
+            "  FROM cosr\n)",
+            f"rem AS (\n  SELECT DISTINCT hi.vec_id\n"
+            "  FROM ranked lo JOIN ranked hi ON lo.bucket = hi.bucket AND lo.rk < hi.rk\n"
+            "  JOIN e ea ON ea.vec_id = lo.vec_id\n"
+            "  JOIN e eb ON eb.vec_id = hi.vec_id\n"
+            f"  WHERE {pcos} >= {_COS_TAU}\n)",
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(cte) + """
+SELECT r.vec_id, r.bucket, ROUND(r.cosc, 6) AS cos_centroid,
+       rem.vec_id IS NULL AS keep
+FROM ranked r LEFT JOIN rem ON r.vec_id = rem.vec_id
 """
     )
 
@@ -1602,6 +1736,12 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_embedding_ivf,
         _ivf_sql(),
         "LLM-pipeline near-dup on LEARNED kmeans IVF buckets (kmeans_buckets_exact + bucket-local cosine)",
+    ),
+    "dedup_semdedup": QuerySpec(
+        dedup_semdedup,
+        _semdedup_sql(),
+        "LLM-pipeline semantic dedup (SemDeDup, Abbas et al. 2023: kmeans clusters + "
+        "keep-farthest-from-centroid prefix pruning)",
     ),
     "dedup_exact_hash": QuerySpec(
         dedup_exact_hash, _EXACT_SQL, "LLM-pipeline dedup (exact); A7 validate.py:222-252 analog"
