@@ -247,6 +247,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # inverted-index pair-generation family.  Its slot funds
     # dedup_semdedup (SemDeDup cluster-prefix pruning).
     "dedup_containment",
+    # multimodal metadata/feature extraction (driver-green r05): the gated
+    # multimodal_frame_dedup keeps the Arrow-batched mapInPandas shape.
+    # Its slot funds d12_feature_table_summarize (qiime feature-table
+    # summarize, process_sequencing_data.smk).
+    "multimodal_feature_extract",
 )
 
 

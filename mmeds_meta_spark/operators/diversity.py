@@ -809,7 +809,131 @@ FROM v1 JOIN v2 ON v1.i = v2.i
 """
 
 
+# ---------------------------------------------------------------------------
+# feature-table summarize — qiime's table-overview surface
+# ---------------------------------------------------------------------------
+
+_FTS_QUANTILES = (25, 50, 75)
+
+
+def _fts_branch(counts: DataFrame, entity: str) -> DataFrame:
+    """Frequency summary for one entity axis.  ``counts``: one ``fv``
+    (BIGINT total frequency) row per sample or per feature.  Quantiles
+    use the a18 CDF construction — one groupBy on the frequency VALUE
+    (cardinality-bounded, never row-bounded), a cumulative window over
+    the distinct values, and interpolated order statistics as exact
+    integer arithmetic with one final /100.0."""
+    vc = counts.groupBy("fv").agg(F.count("*").alias("c"))
+    w = Window.orderBy("fv").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = vc.withColumn("cum", F.sum("c").over(w))
+    tot = vc.agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(fv * c) AS BIGINT)").alias("tf"),
+    )
+    j = cdf.crossJoin(F.broadcast(tot))
+    aggs, outs = [], []
+    for p in _FTS_QUANTILES:
+        t = f"({p} * (n - 1))"
+        lo, fr = f"({t} div 100)", f"({t} % 100)"
+        aggs += [
+            F.expr(f"MIN(CASE WHEN cum >= {lo} + 1 THEN fv END)").alias(f"vlo{p}"),
+            F.expr(f"MIN(CASE WHEN cum >= {lo} + 2 THEN fv END)").alias(f"vhi{p}"),
+            F.expr(f"MIN({fr})").alias(f"f{p}"),
+        ]
+        outs.append(
+            F.expr(
+                f"CAST(CASE WHEN f{p} = 0 THEN 100 * vlo{p} "
+                f"ELSE 100 * vlo{p} + f{p} * (vhi{p} - vlo{p}) END AS DOUBLE) / 100.0"
+            ).alias(f"f_q{p}")
+        )
+    stats = j.groupBy("n", "tf").agg(
+        F.expr("CAST(MIN(fv) AS BIGINT)").alias("f_min"),
+        F.expr("CAST(MAX(fv) AS BIGINT)").alias("f_max"),
+        *aggs,
+    )
+    return stats.select(
+        F.lit(entity).alias("entity"),
+        F.col("n").cast("long").alias("n"),
+        F.col("tf").cast("long").alias("total_freq"),
+        "f_min",
+        *outs,
+        "f_max",
+        F.expr("CAST(tf AS DOUBLE) / n").alias("f_mean"),
+    )
+
+
+def d12_feature_table_summarize(spark: SparkSession, sf: str) -> DataFrame:
+    """``qiime feature-table summarize`` as a relation: table totals plus
+    per-sample AND per-feature frequency distributions (min / q1 /
+    median / q3 / max / mean) — the overview artifact the reference
+    generates for every feature table
+    (mmeds/snakemake/rules/process_sequencing_data.smk
+    build_phylogenetic_tree: ``qiime feature-table summarize``).
+
+    Two frequency branches over ONE events scan (sample axis = user_id,
+    feature axis = event_type — the repo's demo feature-table mapping),
+    each contracting to distinct-frequency cardinality before the
+    quantile window; output is two rows.  All interpolation is exact
+    integer arithmetic (a18's construction) with a single final /100.0,
+    and the mean is one exact-integer ratio — identical doubles on both
+    engines."""
+    ev = _t(spark, sf, "events")
+    samples = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("fv"))
+    features = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("fv"))
+    return _fts_branch(samples.select("fv"), "sample").unionByName(
+        _fts_branch(features.select("fv"), "feature")
+    )
+
+
+def _fts_sql() -> str:
+    branches = []
+    for entity, key in (("sample", "user_id"), ("feature", "event_type")):
+        per_p, sel = [], []
+        for p in _FTS_QUANTILES:
+            t = f"({p} * (n - 1))"
+            lo, fr = f"({t} // 100)", f"({t} % 100)"
+            per_p += [
+                f"MIN(CASE WHEN cum >= {lo} + 1 THEN fv END) AS vlo{p}",
+                f"MIN(CASE WHEN cum >= {lo} + 2 THEN fv END) AS vhi{p}",
+                f"MIN({fr}) AS f{p}",
+            ]
+            sel.append(
+                f"CAST(CASE WHEN f{p} = 0 THEN 100 * vlo{p} "
+                f"ELSE 100 * vlo{p} + f{p} * (vhi{p} - vlo{p}) END AS DOUBLE) / 100.0 AS f_q{p}"
+            )
+        branches.append(
+            f"""
+SELECT '{entity}' AS entity, CAST(n AS BIGINT) AS n, CAST(tf AS BIGINT) AS total_freq,
+       f_min, {', '.join(sel)}, f_max, CAST(tf AS DOUBLE) / n AS f_mean
+FROM (
+  SELECT n, tf, CAST(MIN(fv) AS BIGINT) AS f_min, CAST(MAX(fv) AS BIGINT) AS f_max,
+         {', '.join(per_p)}
+  FROM (
+    SELECT vc.fv, vc.c,
+           SUM(vc.c) OVER (ORDER BY vc.fv
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           tot.n, tot.tf
+    FROM (SELECT fv, COUNT(*) AS c FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS fv FROM events GROUP BY {key}
+          ) GROUP BY fv) vc
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(cnt) AS BIGINT) AS tf
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY {key})) tot
+  )
+  GROUP BY n, tf
+)"""
+        )
+    return " UNION ALL ".join(branches)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d12_feature_table_summarize": QuerySpec(
+        d12_feature_table_summarize,
+        _fts_sql(),
+        "process_sequencing_data.smk build_phylogenetic_tree (qiime feature-table "
+        "summarize): per-sample + per-feature frequency distributions via the "
+        "cardinality-bounded CDF quantile construction",
+    ),
     "d2_pcoa_power": QuerySpec(
         d2_pcoa_power,
         _pcoa_power_sql(),
