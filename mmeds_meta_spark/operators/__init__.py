@@ -252,6 +252,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # Its slot funds d12_feature_table_summarize (qiime feature-table
     # summarize, process_sequencing_data.smk).
     "multimodal_feature_extract",
+    # event pivot (driver-green r05): pivot = groupBy + conditional agg —
+    # a13_hierarchical_collapse and a19_rollup_daily keep that family
+    # gated.  Its slot funds text_bm25_topk (BM25 retrieval scoring).
+    "r6_pivot_events",
 )
 
 

@@ -788,7 +788,131 @@ FROM rk WHERE rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — query → top-k documents
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("spark", "table", "hash", "merge")  # fixed demo query terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf: str, *, k: int = _BM25_TOPK) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones; Lucene's smoothed
+    IDF): score every document against a fixed query term set and return
+    the k best — the retrieval primitive behind RAG indexing and
+    retrieval-based decontamination.
+
+    score(D,Q) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    (f_t,D·(k1+1)) / (f_t,D + k1·(1 − b + b·|D|/avgdl)).
+
+    Physical shape at 100 TB: |D| is a NARROW MAP (size(split()) — no
+    token shuffle for doc length), term frequencies explode→filter to
+    the query terms BEFORE the (doc, term) groupBy (the filter reaches
+    the scan side, so the shuffle carries only query-term hits), the
+    per-term IDF table contracts to |Q| broadcast rows, and selection is
+    a TakeOrdered k.  avgdl and every IDF are exact-integer ratios
+    pushed through identical double expressions; the per-doc sum folds
+    in pinned term order."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    dl = d.select("doc_id", F.expr("CAST(size(a) AS BIGINT)").alias("dl"))
+    stats = dl.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(dl) AS BIGINT)").alias("tot_dl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("a").alias("tok"))
+        .filter(F.expr(f"tok IN ({terms})"))
+        .groupBy("doc_id", "tok")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.expr(
+                "LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+            ).alias("idf"),
+            "n_docs",
+            "tot_dl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                f"idf * (c * ({_BM25_K1} + 1)) / (c + {_BM25_K1} * (1 - {_BM25_B}"
+                f" + {_BM25_B} * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))"
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_terms"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(tok, s))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.s)"
+        ).alias("score"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_terms", F.expr("ROUND(score, 6)").alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(a) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(a) AS tok FROM d)
+  WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})
+  GROUP BY 1, 2
+), idf AS (
+  SELECT tok,
+         LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf,
+         n_docs, tot_dl
+  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+  CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         idf * (c * ({_BM25_K1} + 1)) / (c + {_BM25_K1} * (1 - {_BM25_B}
+           + {_BM25_B} * dl / (CAST(tot_dl AS DOUBLE) / n_docs))) AS s
+  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         list_reduce(list(s ORDER BY tok), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, ROUND(score, 6) AS bm25
+FROM per_doc
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bm25_topk": QuerySpec(
+        text_bm25_topk,
+        _BM25_SQL,
+        "LLM-pipeline retrieval (BM25 top-k: narrow-map doc lengths, "
+        "query-filtered tf shuffle, broadcast IDF, TakeOrdered)",
+    ),
     "text_nb_classifier": QuerySpec(
         text_nb_classifier,
         _nb_sql(),
