@@ -654,8 +654,11 @@ def d2_pcoa_power(
         )
 
     def matvec(mat: DataFrame, v: DataFrame) -> DataFrame:
+        # v is n rows (the sample vector) — BROADCAST it so the n² pair
+        # relation joins in place instead of shuffling every step; the
+        # only per-step shuffle is the groupBy(i) partial agg
         return (
-            mat.join(v.select(F.col("i").alias("j"), F.col("x").alias("vj")), "j")
+            mat.join(F.broadcast(v.select(F.col("i").alias("j"), F.col("x").alias("vj"))), "j")
             .select("i", "j", F.expr("b * vj").alias("bv"))
             .groupBy("i")
             .agg(F.expr(_pinned("bv", "j")).alias("x"))
@@ -669,7 +672,11 @@ def d2_pcoa_power(
             )
         )
         for _ in range(n_iter):
-            v = normalize(matvec(mat, v)).localCheckpoint(eager=False)
+            # checkpoint the matvec OUTPUT, not the normalized vector:
+            # normalize consumes its input twice (norm agg + the scaled
+            # projection), so materializing before it halves the per-step
+            # work and still truncates lineage once per step
+            v = normalize(matvec(mat, v).localCheckpoint(eager=False))
         return v
 
     def rayleigh(mat: DataFrame, v: DataFrame) -> DataFrame:
