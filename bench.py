@@ -63,6 +63,11 @@ HEAVY = [
     # 2×24 matvec steps), so their wall-times are tracked from day one
     "d4_permanova",
     "d2_pcoa_power",
+    # round-6 session-2 additions: the two full-corpus-pass selection ops
+    # (hashed-n-gram LM ratio scoring; NB train+apply) — tracked so the
+    # broadcast-model claims carry measured times
+    "sample_dsir_importance",
+    "text_nb_classifier",
 ]
 
 
