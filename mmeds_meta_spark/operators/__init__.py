@@ -256,6 +256,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # a13_hierarchical_collapse and a19_rollup_daily keep that family
     # gated.  Its slot funds text_bm25_topk (BM25 retrieval scoring).
     "r6_pivot_events",
+    # CC savings report (driver-green r05): dedup_cluster_components keeps
+    # the full CC fixpoint gated; the stats layer is one agg on top.  Its
+    # slot funds a22_mad_outliers (robust MAD outlier rule).
+    "dedup_cluster_stats",
 )
 
 

@@ -481,7 +481,125 @@ FROM per_cell
 """
 
 
+# ---------------------------------------------------------------------------
+# A22 — robust MAD outliers (the robust twin of A6's z-score)
+# ---------------------------------------------------------------------------
+
+
+def _median100(vals: DataFrame) -> DataFrame:
+    """1-row (m BIGINT) = 100 × the interpolated median of a BIGINT
+    column ``v`` — the a18 CDF construction at p = 50, where the
+    interpolation fraction is always 0 or 50, so 100·median is exact
+    integer arithmetic end to end."""
+    vc = vals.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = vc.withColumn("cum", F.sum("c").over(w))
+    n = vc.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n"))
+    t = "(50 * (n - 1))"
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .agg(
+            F.expr(f"MIN(CASE WHEN cum >= ({t} div 100) + 1 THEN v END)").alias("vlo"),
+            F.expr(f"MIN(CASE WHEN cum >= ({t} div 100) + 2 THEN v END)").alias("vhi"),
+            F.expr(f"MIN({t} % 100)").alias("f"),
+        )
+        .select(
+            F.expr(
+                "CAST(CASE WHEN f = 0 THEN 100 * vlo"
+                " ELSE 100 * vlo + f * (vhi - vlo) END AS BIGINT)"
+            ).alias("m")
+        )
+    )
+
+
+def a22_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection on the event value stream: the
+    Iglewicz-Hoaglin modified z-score 0.6745·(x − median)/MAD with the
+    |z| > 3.5 rule — the robust sibling of A6's moment z-score over the
+    SAME column (reference validate.py:137-151), and the filter that
+    survives heavy-tailed distributions where mean/std explode on the
+    very tail they're supposed to detect (events.value flags ~0.4% here;
+    the moment z is dragged by those same points).
+
+    EXACT decision rule: values enter in a6's micro-unit integers
+    (ROUND(value·10⁶)); both medians come from the cardinality-bounded
+    CDF construction in hundredfold units (p = 50 ⇒ the interpolation
+    fraction is 0 or 50, so 100·median is an integer), giving
+    X2 = 100x − 100·med and D100 = 10⁴·MAD as integers; the flag is the
+    pure-integer comparison 1349·|X2| > 70·D100 — no double ever decides
+    membership — and the reported z is ONE identical double expression
+    67.45·X2/D100 on both engines.
+
+    Scale shape: two value-cardinality-bounded CDF windows + two 1-row
+    broadcasts over narrow maps; no row-scale sort, no shuffle beyond
+    the two distinct-value groupBys."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "value", F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("v")
+    )
+    m1 = _median100(ev.select("v"))
+    dev = ev.crossJoin(F.broadcast(m1)).select(
+        "event_id",
+        "value",
+        F.expr("100 * v - m").alias("x2"),
+        F.expr("ABS(100 * v - m)").alias("dv"),
+    )
+    m2 = _median100(dev.select(F.col("dv").alias("v"))).select(
+        F.col("m").alias("m4")
+    )
+    return (
+        dev.crossJoin(F.broadcast(m2))
+        .filter(F.expr("m4 > 0 AND 1349 * ABS(x2) > 70 * m4"))
+        .select(
+            "event_id",
+            "value",
+            F.expr("ROUND(67.45 * CAST(x2 AS DOUBLE) / m4, 6)").alias("robust_z"),
+        )
+    )
+
+
+def _a22_sql() -> str:
+    def med(src: str, out: str) -> str:
+        t = "(50 * (n - 1))"
+        return f"""{out} AS (
+  SELECT CAST(CASE WHEN f = 0 THEN 100 * vlo
+              ELSE 100 * vlo + f * (vhi - vlo) END AS BIGINT) AS m
+  FROM (
+    SELECT MIN(CASE WHEN cum >= ({t} // 100) + 1 THEN v END) AS vlo,
+           MIN(CASE WHEN cum >= ({t} // 100) + 2 THEN v END) AS vhi,
+           MIN({t} % 100) AS f
+    FROM (
+      SELECT v, SUM(c) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n
+      FROM (SELECT v, COUNT(*) AS c FROM {src} GROUP BY v)
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src})
+    )
+  )
+)"""
+
+    return f"""
+WITH d AS (
+  SELECT event_id, value, CAST(ROUND(value * 1e6) AS BIGINT) AS v FROM events
+), {med("d", "m1")},
+dev AS (
+  SELECT event_id, value, 100 * v - m AS x2, ABS(100 * v - m) AS dv
+  FROM d CROSS JOIN m1
+), dvv AS (
+  SELECT dv AS v FROM dev
+), {med("dvv", "m2")}
+SELECT event_id, value,
+       ROUND(67.45 * CAST(x2 AS DOUBLE) / m, 6) AS robust_z
+FROM dev CROSS JOIN m2
+WHERE m > 0 AND 1349 * ABS(x2) > 70 * m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a22_mad_outliers": QuerySpec(
+        a22_mad_outliers,
+        _a22_sql(),
+        "beyond-reference: robust MAD outliers (Iglewicz-Hoaglin modified z; "
+        "pure-integer decision rule, CDF medians)",
+    ),
     "d8_chisq_independence": QuerySpec(
         d8_chisq_independence,
         _D8_SQL,
