@@ -61,6 +61,12 @@ OPS = [
     "dedup_cluster_stats",  # histogram over the CC fixpoint
     "w14_session_funnel",  # session window ∘ funnel MIN composition
     "sketch_hll_by_group",  # grouped register MAX must be layout-independent
+    # round-6 session-3 additions
+    "sample_dsir_importance",  # pinned bucket folds + md5-Gumbel top-k
+    "text_nb_classifier",  # broadcast model, per-(doc,class) pinned folds
+    "dedup_semdedup",  # centroid-rank windows over kmeans buckets
+    "text_bm25_topk",  # per-doc pinned term folds + TakeOrdered
+    "a22_mad_outliers",  # two-level CDF medians, integer decision rule
 ]
 
 
