@@ -576,6 +576,9 @@ FROM mom a JOIN mom b
 
 _PCOA_ITERS = 24  # fixed iteration count: both engines run the IDENTICAL
 # arithmetic sequence, so results are bit-equal regardless of convergence
+_PCOA_NORM_EVERY = 6  # normalize every 6th step (+ the last): direction is
+# scale-invariant, λ^6 segment growth stays far inside double range, and
+# the per-step norm aggregation job drops 6×
 
 
 def _pinned(col: str, by: str) -> str:
@@ -671,12 +674,17 @@ def d2_pcoa_power(
                 F.expr(f"CAST(1 + s % {start_mod} AS DOUBLE)").alias("x"),
             )
         )
-        for _ in range(n_iter):
-            # checkpoint the matvec OUTPUT, not the normalized vector:
-            # normalize consumes its input twice (norm agg + the scaled
-            # projection), so materializing before it halves the per-step
-            # work and still truncates lineage once per step
-            v = normalize(matvec(mat, v).localCheckpoint(eager=False))
+        for it in range(n_iter):
+            # checkpoint the matvec OUTPUT (normalize consumes its input
+            # twice, so materialize first), and normalize only every
+            # _PCOA_NORM_EVERY-th step + the last: the direction is
+            # invariant to positive scaling, λ^6 segment growth stays far
+            # inside double range, and both engines normalize at the
+            # IDENTICAL steps with identical expressions — the norm agg
+            # (a driver job per occurrence) drops 6×
+            v = matvec(mat, v).localCheckpoint(eager=False)
+            if (it + 1) % _PCOA_NORM_EVERY == 0 or it == n_iter - 1:
+                v = normalize(v)
         return v
 
     def rayleigh(mat: DataFrame, v: DataFrame) -> DataFrame:
@@ -729,19 +737,25 @@ def _pcoa_power_sql(n_iter: int = _PCOA_ITERS) -> str:
         return f"list_reduce(list({col} ORDER BY {by}), (acc, x) -> acc + x)"
 
     def chain(mat: str, vec0: str, prefix: str) -> str:
+        # mirrors the Spark loop: matvec every step, normalize only every
+        # _PCOA_NORM_EVERY-th step + the last — the identical schedule,
+        # so both engines produce the identical double sequence
         ctes = []
         prev = vec0
         for t in range(n_iter):
-            w, v = f"{prefix}w{t}", f"{prefix}v{t}"
+            w = f"{prefix}w{t}"
             ctes.append(
                 f"{w} AS MATERIALIZED (SELECT m.i, {fold('m.b * v.x', 'm.j')} AS x"
                 f" FROM {mat} m JOIN {prev} v ON m.j = v.i GROUP BY m.i)"
             )
-            ctes.append(
-                f"{v} AS MATERIALIZED (SELECT i, x / (SELECT SQRT({fold('x * x', 'i')})"
-                f" FROM {w}) AS x FROM {w})"
-            )
-            prev = v
+            prev = w
+            if (t + 1) % _PCOA_NORM_EVERY == 0 or t == n_iter - 1:
+                v = f"{prefix}v{t}"
+                ctes.append(
+                    f"{v} AS MATERIALIZED (SELECT i, x / (SELECT SQRT({fold('x * x', 'i')})"
+                    f" FROM {w}) AS x FROM {w})"
+                )
+                prev = v
         return ",\n".join(ctes), prev
 
     c1, last1 = chain("bmat", "v1seed", "a")
