@@ -260,6 +260,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # the full CC fixpoint gated; the stats layer is one agg on top.  Its
     # slot funds a22_mad_outliers (robust MAD outlier rule).
     "dedup_cluster_stats",
+    # learned-IVF near-dup pairs (driver-green r05): the gated
+    # dedup_semdedup runs the identical kmeans blocking + bucket-local
+    # pair join and adds the prune layer on top.  Its slot funds
+    # sample_kcenter_coreset (greedy exact-decimal k-center).
+    "dedup_embedding_ivf",
 )
 
 

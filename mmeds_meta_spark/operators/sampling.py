@@ -534,7 +534,135 @@ LIMIT {_DSIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# greedy k-center coreset (Gonzalez 2-approximation) — diversity selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size
+
+
+def sample_kcenter_coreset(spark: SparkSession, sf: str, *, k: int = _KC_K) -> DataFrame:
+    """Greedy k-center coreset over the embedding table (Gonzalez's
+    2-approximation): start from the lowest vec_id, then repeatedly add
+    the point FARTHEST from the selected set — the
+    diversity-maximizing selection that complements dedup (remove
+    near-dups) and DSIR (match a target) in a data-selection toolkit.
+    Output: (round, vec_id, r2) — r2 is the squared distance at which
+    the center was selected, i.e. the coverage radius² the selection
+    improved; a 2-approx bound on the optimal k-center radius².
+
+    EXACT argmax: all distances are squared L2 over DECIMAL(9,4)
+    -quantized coordinates accumulated in DECIMAL(30,8) (the
+    kmeans_buckets_exact discipline) — every comparison is rational, so
+    Spark (which embeds each new center's coordinates as decimal
+    literals) and DuckDB (which derives them relationally) select
+    byte-identical centers; r2 ships as the exact decimal.
+
+    Scale shape: k−1 rounds, each ONE narrow distance map (the center is
+    a broadcast-in-all-but-name literal) + a running LEAST + a
+    TakeOrdered(1); only k rows and k×dim decimal strings ever cross the
+    driver.  Lineage truncates each round with a lazy localCheckpoint."""
+    e = (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(9,4)))"
+            ).alias("qv"),
+        )
+    )
+
+    def d2_expr(coords: list[str]) -> str:
+        arr = ", ".join(f"CAST('{c}' AS DECIMAL(9,4))" for c in coords)
+        return (
+            f"aggregate(zip_with(qv, array({arr}), (a, b) -> (a - b) * (a - b)), "
+            f"CAST(0 AS DECIMAL(30,8)), (acc, z) -> CAST(acc + z AS DECIMAL(30,8)))"
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(0, int(first.vec_id), None)]
+    coords = [str(x) for x in first.qv]
+    cur = e.select(
+        "vec_id", "qv", F.expr(d2_expr(coords)).alias("d2min")
+    ).localCheckpoint(eager=False)
+    for r in range(1, k):
+        far = (
+            cur.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .orderBy(F.col("d2min").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((r, int(far.vec_id), str(far.d2min)))
+        coords = [str(x) for x in far.qv]
+        cur = cur.select(
+            "vec_id",
+            "qv",
+            F.expr(f"LEAST(d2min, {d2_expr(coords)})").alias("d2min"),
+        ).localCheckpoint(eager=False)
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, CAST({v} AS BIGINT) AS vec_id, "
+        + (
+            "CAST(NULL AS DOUBLE) AS r2"
+            if d2 is None
+            else f"CAST(CAST('{d2}' AS DECIMAL(30,8)) AS DOUBLE) AS r2"
+        )
+        for r, v, d2 in picked
+    )
+    return spark.sql(rows)
+
+
+def _kcenter_sql() -> str:
+    """The same greedy loop unrolled: each round derives the new center
+    RELATIONALLY (the argmax row joined back to the coordinate table) —
+    identical decimals, identical selections."""
+    cte = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "el AS MATERIALIZED (\n  SELECT vec_id, u.i, CAST(u.x AS DECIMAL(9,4)) AS q\n"
+        "  FROM (SELECT vec_id, unnest(list_transform(v, (x, i) -> {'x': x, 'i': i})) AS u FROM e)\n)",
+        "s0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM el)",
+        "c0 AS MATERIALIZED (SELECT i, q FROM el WHERE vec_id = (SELECT cid FROM s0))",
+        "m0 AS MATERIALIZED (\n  SELECT el.vec_id, CAST(SUM((el.q - c.q) * (el.q - c.q)) AS DECIMAL(30,8)) AS d2min\n"
+        "  FROM el JOIN c0 c ON el.i = c.i GROUP BY el.vec_id\n)",
+        "sel AS MATERIALIZED (SELECT 0 AS round, cid AS vec_id, CAST(NULL AS DECIMAL(30,8)) AS r2 FROM s0)",
+    ]
+    prev_m, prev_sel = "m0", "sel"
+    for r in range(1, _KC_K):
+        s, c, m, ns = f"s{r}", f"c{r}", f"m{r}", f"sel{r}"
+        cte.append(
+            f"{s} AS MATERIALIZED (\n  SELECT vec_id, d2min FROM {prev_m}\n"
+            f"  WHERE vec_id NOT IN (SELECT vec_id FROM {prev_sel})\n"
+            f"  ORDER BY d2min DESC, vec_id LIMIT 1\n)"
+        )
+        cte.append(
+            f"{c} AS MATERIALIZED (SELECT i, q FROM el WHERE vec_id = (SELECT vec_id FROM {s}))"
+        )
+        cte.append(
+            f"{m} AS MATERIALIZED (\n  SELECT m.vec_id,"
+            f" LEAST(m.d2min, d.d2) AS d2min\n"
+            f"  FROM {prev_m} m JOIN (\n"
+            f"    SELECT el.vec_id, CAST(SUM((el.q - c.q) * (el.q - c.q)) AS DECIMAL(30,8)) AS d2\n"
+            f"    FROM el JOIN {c} c ON el.i = c.i GROUP BY el.vec_id\n"
+            f"  ) d ON m.vec_id = d.vec_id\n)"
+        )
+        cte.append(
+            f"{ns} AS MATERIALIZED (\n  SELECT * FROM {prev_sel}\n"
+            f"  UNION ALL SELECT {r}, vec_id, d2min FROM {s}\n)"
+        )
+        prev_m, prev_sel = m, ns
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT round, CAST(vec_id AS BIGINT) AS vec_id,"
+        f" CAST(r2 AS DOUBLE) AS r2 FROM {prev_sel}"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_kcenter_coreset": QuerySpec(
+        sample_kcenter_coreset,
+        _kcenter_sql(),
+        "beyond-reference: greedy k-center coreset (Gonzalez 2-approx, exact-decimal "
+        "argmax; diversity-maximizing selection)",
+    ),
     "sample_dsir_importance": QuerySpec(
         sample_dsir_importance,
         _DSIR_SQL,
