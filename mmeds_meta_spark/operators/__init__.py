@@ -265,6 +265,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # pair join and adds the prune layer on top.  Its slot funds
     # sample_kcenter_coreset (greedy exact-decimal k-center).
     "dedup_embedding_ivf",
+    # sliding-window chunking (driver-green r05): a pure narrow map whose
+    # windowed-slice explode shape stays gated via dedup_span_exact.  Its
+    # slot funds pipeline_selection_funnel (the composed selection side).
+    "chunk_documents",
 )
 
 

@@ -171,7 +171,157 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# selection funnel — the SELECTION side of the pipeline, composed
+# ---------------------------------------------------------------------------
+
+_SEL_K = 100  # stage-3 DSIR selection size (matches sample_dsir_importance)
+_SEL_STAGES = ("raw", "lang", "quality", "dsir_topk")
+
+
+def pipeline_selection_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative data-SELECTION funnel — the complement of
+    :func:`pipeline_curation_funnel` (which removes bad docs, this one
+    picks the training set):
+
+    * stage 0 ``raw``      — every document
+    * stage 1 ``lang``     — English only
+    * stage 2 ``quality``  — + ≥{mt} tokens and type-token ratio ≥ {ttr}
+    * stage 3 ``dsir_topk``— + among the top-{k} DSIR importance
+      resamples of the eligible pool (target-domain docs are the LM
+      target, never candidates)
+
+    One Catalyst plan: the language/quality flags, the DSIR score
+    relation (sampling.dsir_scores — broadcast LM tables), and the
+    selection cut share scans and optimize together.  The top-k cut is
+    SCALE-SAFE: no global rank window — a TakeOrdered({k}) finds the
+    k-th (weakest) selected key, which broadcasts back as a 1-row
+    threshold; membership is then a narrow comparison
+    (key, doc_id) ≥ threshold, exact under the rounded-key ties."""
+    from .sampling import dsir_scores
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    qual = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_types"))
+    )
+    base = (
+        d.select("doc_id", "lang")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("lang = 'en'").alias("is_en"),
+            F.expr(
+                f"n_tok >= {_MIN_TOK} AND CAST(n_types AS DOUBLE) / n_tok >= {_MIN_TTR}"
+            ).alias("is_quality"),
+        )
+    )
+    flags = base.join(
+        dsir_scores(spark, sf).select("doc_id", "sel_key"), "doc_id", "left"
+    )
+    elig = flags.filter(F.expr("is_en AND is_quality AND sel_key IS NOT NULL"))
+    thr = (
+        elig.orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(_SEL_K)
+        .orderBy(F.col("sel_key").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("sel_key").alias("t_key"), F.col("doc_id").alias("t_doc"))
+    )
+    full = flags.join(F.broadcast(thr), F.lit(True), "left")
+    tall = full.selectExpr(
+        "n_tok",
+        "stack(4, "
+        f"0L, '{_SEL_STAGES[0]}', true, "
+        f"1L, '{_SEL_STAGES[1]}', is_en, "
+        f"2L, '{_SEL_STAGES[2]}', is_en AND is_quality, "
+        f"3L, '{_SEL_STAGES[3]}', is_en AND is_quality AND sel_key IS NOT NULL"
+        " AND (sel_key > t_key OR (sel_key = t_key AND doc_id <= t_doc))"
+        ") AS (stage, stage_name, alive)"
+    )
+    agg = tall.groupBy("stage", "stage_name").agg(
+        F.sum(F.when(F.col("alive"), 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("alive"), F.col("n_tok"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.lit(1))  # 4-row frame
+    return agg.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.max(F.when(F.col("stage") == 0, F.col("n_docs"))).over(w)
+        ).alias("pct_of_raw"),
+    )
+
+
+pipeline_selection_funnel.__doc__ = pipeline_selection_funnel.__doc__.format(
+    mt=_MIN_TOK, ttr=_MIN_TTR, k=_SEL_K
+)
+
+
+def _selection_sql() -> str:
+    from .sampling import _DSIR_CTES
+
+    return f"""
+WITH {_DSIR_CTES},
+q AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         COUNT(*) >= {_MIN_TOK}
+           AND CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) >= {_MIN_TTR}
+           AS is_quality
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id, q.n_tok, d.lang = 'en' AS is_en, q.is_quality
+  FROM documents d JOIN q USING (doc_id)
+), flags AS (
+  SELECT b.*, k.sel_key FROM base b LEFT JOIN dsirkeyed k USING (doc_id)
+), elig AS (
+  SELECT doc_id, sel_key FROM flags
+  WHERE is_en AND is_quality AND sel_key IS NOT NULL
+), thr AS (
+  SELECT sel_key AS t_key, doc_id AS t_doc FROM (
+    SELECT * FROM elig ORDER BY sel_key DESC, doc_id LIMIT {_SEL_K}
+  ) ORDER BY sel_key ASC, doc_id DESC LIMIT 1
+), allf AS (
+  SELECT f.*, t.t_key, t.t_doc FROM flags f LEFT JOIN thr t ON TRUE
+), tall AS (
+  SELECT 0 AS stage, '{_SEL_STAGES[0]}' AS stage_name, TRUE AS alive, n_tok FROM allf
+  UNION ALL
+  SELECT 1, '{_SEL_STAGES[1]}', is_en, n_tok FROM allf
+  UNION ALL
+  SELECT 2, '{_SEL_STAGES[2]}', is_en AND is_quality, n_tok FROM allf
+  UNION ALL
+  SELECT 3, '{_SEL_STAGES[3]}',
+         is_en AND is_quality AND sel_key IS NOT NULL
+           AND (sel_key > t_key OR (sel_key = t_key AND doc_id <= t_doc)),
+         n_tok
+  FROM allf
+), agg AS (
+  SELECT stage, stage_name,
+         CAST(SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN alive THEN n_tok END) AS BIGINT) AS n_tokens
+  FROM tall GROUP BY stage, stage_name
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE)
+         / MAX(CASE WHEN stage = 0 THEN n_docs END) OVER () AS pct_of_raw
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_selection_funnel": QuerySpec(
+        pipeline_selection_funnel,
+        _selection_sql(),
+        "beyond-reference: composed data-selection funnel (lang → quality → "
+        "DSIR top-k with a broadcast-threshold cut) as ONE Catalyst plan",
+    ),
     "pipeline_curation_funnel": QuerySpec(
         pipeline_curation_funnel,
         _FUNNEL_SQL,

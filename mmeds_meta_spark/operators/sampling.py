@@ -395,6 +395,16 @@ _DSIR_B = 256  # hashed n-gram feature buckets (two md5 nibbles)
 _DSIR_K = 100  # documents to resample
 
 
+def dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """The DSIR score relation BEFORE the top-k cut: (doc_id, n_buckets,
+    log_w, sel_key) for every candidate document — consumed by
+    :func:`sample_dsir_importance` (TakeOrdered k) and by
+    pipeline.pipeline_selection_funnel (rank within a filtered
+    population).  See sample_dsir_importance for semantics and the scale
+    shape."""
+    return _dsir_scores(spark, sf)
+
+
 def sample_dsir_importance(spark: SparkSession, sf: str, *, k: int = _DSIR_K) -> DataFrame:
     """DSIR data selection: score every raw document by the hashed-n-gram
     importance ratio between a target-domain LM and a raw-corpus LM, then
@@ -421,6 +431,14 @@ def sample_dsir_importance(spark: SparkSession, sf: str, *, k: int = _DSIR_K) ->
     Beyond-reference (training-data pipeline); reference's nearest
     analog is the two-class cohort selection in
     mmeds/mmeds/util.py (load_metadata splits)."""
+    return (
+        _dsir_scores(spark, sf)
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def _dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("a")
     )
@@ -484,18 +502,20 @@ def sample_dsir_importance(spark: SparkSession, sf: str, *, k: int = _DSIR_K) ->
             f"ROUND(lw - LN(-LN(CAST({h8} + 1 AS DOUBLE) / CAST(4294967297 AS DOUBLE))), 6)"
         ).alias("sel_key"),
     )
-    return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(k)
+    return keyed
 
 
 sample_dsir_importance.__doc__ = sample_dsir_importance.__doc__.format(
     b=_DSIR_B, target=_DSIR_TARGET
 )
 
-_DSIR_SQL = f"""
-WITH d AS (
+# the WITH-body producing `dsirkeyed` (doc_id, n_buckets, log_w, sel_key)
+# — shared by the sample_dsir_importance oracle and the selection-funnel
+# composition in pipeline.py
+_DSIR_CTES = f"""dsd AS (
   SELECT doc_id, source, string_split(text, ' ') AS a FROM documents
 ), uni AS (
-  SELECT doc_id, source, generate_subscripts(a, 1) AS i, unnest(a) AS f FROM d
+  SELECT doc_id, source, generate_subscripts(a, 1) AS i, unnest(a) AS f FROM dsd
 ), big AS (
   SELECT t1.doc_id, t1.source, t1.f || ' ' || t2.f AS f
   FROM uni t1 JOIN uni t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
@@ -523,12 +543,18 @@ WITH d AS (
   FROM cnt JOIN lm USING (b)
   WHERE source <> '{_DSIR_TARGET}'
   GROUP BY doc_id
-)
-SELECT doc_id, n_buckets, ROUND(lw, 6) AS log_w,
-       ROUND(lw - LN(-LN(
-         CAST({_h8_expr("duck", "'gumbel:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
-         / CAST(4294967297 AS DOUBLE))), 6) AS sel_key
-FROM scored
+), dsirkeyed AS (
+  SELECT doc_id, n_buckets, ROUND(lw, 6) AS log_w,
+         ROUND(lw - LN(-LN(
+           CAST({_h8_expr("duck", "'gumbel:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+           / CAST(4294967297 AS DOUBLE))), 6) AS sel_key
+  FROM scored
+)"""
+
+_DSIR_SQL = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_buckets, log_w, sel_key
+FROM dsirkeyed
 ORDER BY sel_key DESC, doc_id
 LIMIT {_DSIR_K}
 """
