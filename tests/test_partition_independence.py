@@ -67,6 +67,9 @@ OPS = [
     "dedup_semdedup",  # centroid-rank windows over kmeans buckets
     "text_bm25_topk",  # per-doc pinned term folds + TakeOrdered
     "a22_mad_outliers",  # two-level CDF medians, integer decision rule
+    "d12_feature_table_summarize",  # dual-axis CDF quantiles
+    "sample_kcenter_coreset",  # greedy driver loop over exact-decimal argmax
+    "pipeline_selection_funnel",  # composed flags + broadcast-threshold cut
 ]
 
 
