@@ -269,6 +269,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # windowed-slice explode shape stays gated via dedup_span_exact.  Its
     # slot funds pipeline_selection_funnel (the composed selection side).
     "chunk_documents",
+    # n-gram eval-leak decontamination (driver-green r05): decon_bloom_filter
+    # keeps the gated decontamination family; text_tfidf_topk keeps the
+    # broadcast-token-stat shape.  Its slot funds
+    # a23_source_mixture_profile (mixture concentration diagnostics).
+    "decon_ngram_overlap",
 )
 
 

@@ -682,7 +682,87 @@ def _kcenter_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# source-mixture concentration profile — data-mixture diagnostics
+# ---------------------------------------------------------------------------
+
+
+def a23_source_mixture_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixture diagnostics: how concentrated is the corpus across
+    sources?  One row: source count, Gini coefficient and Shannon
+    entropy of the document distribution, and the top-1 / top-5 source
+    shares — the report a mixture-weighting step (sample_mixture_weighted)
+    reads before choosing its temperature.
+
+    Exactness: with per-source counts x₁ ≤ … ≤ x_k (count asc, source
+    tie-break), Gini = Σ(2i − k − 1)xᵢ / (k·Σx) — an exact INTEGER
+    numerator and denominator, one final division; entropy folds
+    −Σ pᵢ ln pᵢ in pinned source order with each pᵢ an exact integer
+    ratio; shares are integer ratios.  Scale shape: one partial-agg
+    shuffle to k source rows; every window/fold runs over those k rows
+    only."""
+    src = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("x"))
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("source").asc())
+    full = Window.partitionBy()
+    ranked = (
+        src.withColumn("i", F.row_number().over(w))
+        .withColumn("k", F.count("*").over(full))
+        .withColumn("tot", F.sum("x").over(full))
+        .withColumn("p", F.expr("CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)"))
+    )
+    return ranked.agg(
+        F.expr("CAST(MAX(k) AS BIGINT)").alias("n_sources"),
+        F.expr(
+            "ROUND(CAST(SUM((2 * i - k - 1) * x) AS DOUBLE)"
+            " / (CAST(MAX(k) AS DOUBLE) * MAX(tot)), 6)"
+        ).alias("gini"),
+        F.expr(
+            "ROUND(-aggregate(array_sort(collect_list(named_struct("
+            "'s', source, 'plp', p * LN(p)))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.plp), 6)"
+        ).alias("entropy"),
+        F.expr("ROUND(CAST(MAX(x) AS DOUBLE) / MAX(tot), 6)").alias("top1_share"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN i > k - 5 THEN x ELSE 0 END)"
+            " AS DOUBLE) / MAX(tot), 6)"
+        ).alias("top5_share"),
+    )
+
+
+_MIXPROF_SQL = """
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS x FROM documents GROUP BY source
+), ranked AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (ORDER BY x ASC, source ASC) AS i,
+         COUNT(*) OVER () AS k, SUM(x) OVER () AS tot
+  FROM src
+)
+SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
+       ROUND(CAST(SUM((2 * i - k - 1) * x) AS DOUBLE)
+             / (CAST(MAX(k) AS DOUBLE) * MAX(tot)), 6) AS gini,
+       ROUND(-list_reduce(
+         list(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)
+              * LN(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) ORDER BY source),
+         (acc, v) -> acc + v), 6) AS entropy,
+       ROUND(CAST(MAX(x) AS DOUBLE) / MAX(tot), 6) AS top1_share,
+       ROUND(CAST(SUM(CASE WHEN i > k - 5 THEN x ELSE 0 END) AS DOUBLE)
+             / MAX(tot), 6) AS top5_share
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a23_source_mixture_profile": QuerySpec(
+        a23_source_mixture_profile,
+        _MIXPROF_SQL,
+        "beyond-reference: source-mixture concentration profile (exact-integer "
+        "Gini, pinned-fold entropy, top-k shares)",
+    ),
     "sample_kcenter_coreset": QuerySpec(
         sample_kcenter_coreset,
         _kcenter_sql(),
