@@ -274,6 +274,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # broadcast-token-stat shape.  Its slot funds
     # a23_source_mixture_profile (mixture concentration diagnostics).
     "decon_ngram_overlap",
+    # LSH-candidates-then-exact-verify (driver-green r05): the gated
+    # simjoin_prefix_jaccard keeps the exact-verify join and
+    # dedup_minhash_lsh (benched) the banding.  Its slot funds
+    # d13_procrustes (ordination comparison, closed-form 2x2 SVD).
+    "dedup_lsh_verified",
 )
 
 

@@ -616,6 +616,23 @@ def d2_pcoa_power(
         .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
         .localCheckpoint(eager=False)
     )
+    core = _pcoa_core(p, n_iter)
+    return core.select(
+        F.col("i").alias("sample"),
+        F.expr("ROUND(SQRT(GREATEST(lam, 0.0)) * u1, 6)").alias("pc1"),
+        F.expr("ROUND(SQRT(GREATEST(lam2, 0.0)) * u2, 6)").alias("pc2"),
+        F.expr("ROUND(lam, 6)").alias("eig1"),
+        F.expr("ROUND(lam2, 6)").alias("eig2"),
+    )
+
+
+def _pcoa_core(p: DataFrame, n_iter: int) -> DataFrame:
+    """The generic in-plan PCoA engine over a squared-distance pair
+    relation ``p`` (ua, ub, dd): Gower centering + two power-iteration
+    axes with deflation.  Returns one row per sample —
+    (i, u1, u2, lam, lam2): unit sign-fixed eigenvectors and Rayleigh
+    eigenvalues — consumed by d2_pcoa_power (formatted ordination) and
+    d13_procrustes (ordination comparison)."""
     samples = (
         p.select(F.col("ua").alias("s")).union(p.select("ub")).distinct()
     )
@@ -719,27 +736,25 @@ def d2_pcoa_power(
         .join(v2.withColumnRenamed("x", "u2"), "i")
         .crossJoin(F.broadcast(l1))
         .crossJoin(F.broadcast(l2.withColumnRenamed("lam", "lam2")))
-        .select(
-            F.col("i").alias("sample"),
-            F.expr("ROUND(SQRT(GREATEST(lam, 0.0)) * u1, 6)").alias("pc1"),
-            F.expr("ROUND(SQRT(GREATEST(lam2, 0.0)) * u2, 6)").alias("pc2"),
-            F.expr("ROUND(lam, 6)").alias("eig1"),
-            F.expr("ROUND(lam2, 6)").alias("eig2"),
-        )
+        .select("i", "u1", "u2", "lam", "lam2")
     )
 
 
-def _pcoa_power_sql(n_iter: int = _PCOA_ITERS) -> str:
-    """The SAME power iteration UNROLLED: one CTE pair (matvec, normalize)
-    per step, pinned list_reduce folds, identical expressions."""
+def _fold_sql(col: str, by: str) -> str:
+    return f"list_reduce(list({col} ORDER BY {by}), (acc, x) -> acc + x)"
 
-    def fold(col: str, by: str) -> str:
-        return f"list_reduce(list({col} ORDER BY {by}), (acc, x) -> acc + x)"
 
-    def chain(mat: str, vec0: str, prefix: str) -> str:
-        # mirrors the Spark loop: matvec every step, normalize only every
-        # _PCOA_NORM_EVERY-th step + the last — the identical schedule,
-        # so both engines produce the identical double sequence
+def _pcoa_ctes(n_iter: int, pre: str) -> str:
+    """The in-plan PCoA engine as a reusable CTE block: expects a CTE
+    named ``{pre}dist`` with (ua, ub, dist) and emits the Gower
+    centering + two unrolled power-iteration axes, every name prefixed
+    with ``pre``.  Consumers read ``{pre}v1``/``{pre}v2`` (unit
+    sign-fixed eigenvectors) and ``{pre}l1``/``{pre}l2`` (lam / lam2).
+    Matvec every step, normalize every _PCOA_NORM_EVERY-th + the last —
+    the identical schedule the Spark loop runs."""
+    fold = _fold_sql
+
+    def chain(mat: str, vec0: str, prefix: str) -> tuple[str, str]:
         ctes = []
         prev = vec0
         for t in range(n_iter):
@@ -758,69 +773,78 @@ def _pcoa_power_sql(n_iter: int = _PCOA_ITERS) -> str:
                 prev = v
         return ",\n".join(ctes), prev
 
-    c1, last1 = chain("bmat", "v1seed", "a")
-    c2, last2 = chain("bdef", "v2seed", "b")
-    return f"""
-WITH bc AS MATERIALIZED ({_D2_SQL}),
-p AS MATERIALIZED (
-  SELECT ua, ub, bray_curtis * bray_curtis AS dd FROM bc
-), samples AS MATERIALIZED (
-  SELECT ua AS s FROM p UNION SELECT ub FROM p
-), m AS MATERIALIZED (
-  SELECT ua AS i, ub AS j, dd FROM p
-  UNION ALL SELECT ub, ua, dd FROM p
-  UNION ALL SELECT s, s, 0.0 FROM samples
-), nrel AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samples
-), rm AS (
-  SELECT i, {fold('dd', 'j')} / (SELECT n FROM nrel) AS rm FROM m GROUP BY i
-), gm AS (
-  SELECT {fold('rm', 'i')} / (SELECT n FROM nrel) AS g FROM rm
-), bmat AS MATERIALIZED (
-  SELECT m.i, m.j, -0.5 * (m.dd - ri.rm - rj.rm + (SELECT g FROM gm)) AS b
-  FROM m JOIN rm ri ON m.i = ri.i JOIN rm rj ON m.j = rj.i
-), v1seed0 AS (
-  SELECT s AS i, CAST(1 + s % 7 AS DOUBLE) AS x FROM samples
-), v1seed AS (
-  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM v1seed0) AS x
-  FROM v1seed0
+    c1, last1 = chain(f"{pre}bmat", f"{pre}v1seed", f"{pre}a")
+    c2, last2 = chain(f"{pre}bdef", f"{pre}v2seed", f"{pre}b")
+    return f"""{pre}p AS MATERIALIZED (
+  SELECT ua, ub, dist * dist AS dd FROM {pre}dist
+), {pre}samples AS MATERIALIZED (
+  SELECT ua AS s FROM {pre}p UNION SELECT ub FROM {pre}p
+), {pre}m AS MATERIALIZED (
+  SELECT ua AS i, ub AS j, dd FROM {pre}p
+  UNION ALL SELECT ub, ua, dd FROM {pre}p
+  UNION ALL SELECT s, s, 0.0 FROM {pre}samples
+), {pre}nrel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {pre}samples
+), {pre}rm AS (
+  SELECT i, {fold('dd', 'j')} / (SELECT n FROM {pre}nrel) AS rm FROM {pre}m GROUP BY i
+), {pre}gm AS (
+  SELECT {fold('rm', 'i')} / (SELECT n FROM {pre}nrel) AS g FROM {pre}rm
+), {pre}bmat AS MATERIALIZED (
+  SELECT m.i, m.j, -0.5 * (m.dd - ri.rm - rj.rm + (SELECT g FROM {pre}gm)) AS b
+  FROM {pre}m m JOIN {pre}rm ri ON m.i = ri.i JOIN {pre}rm rj ON m.j = rj.i
+), {pre}v1seed0 AS (
+  SELECT s AS i, CAST(1 + s % 7 AS DOUBLE) AS x FROM {pre}samples
+), {pre}v1seed AS (
+  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM {pre}v1seed0) AS x
+  FROM {pre}v1seed0
 ),
 {c1},
-sg1 AS (
+{pre}sg1 AS (
   SELECT CASE WHEN (SELECT x FROM {last1}
                     WHERE i = (SELECT MIN(i) FROM {last1})) < 0
               THEN -1.0 ELSE 1.0 END AS sg
-), v1 AS MATERIALIZED (
-  SELECT i, x * (SELECT sg FROM sg1) AS x FROM {last1}
-), w1r AS (
+), {pre}v1 AS MATERIALIZED (
+  SELECT i, x * (SELECT sg FROM {pre}sg1) AS x FROM {last1}
+), {pre}w1r AS (
   SELECT m.i, {fold('m.b * v.x', 'm.j')} AS wx
-  FROM bmat m JOIN v1 v ON m.j = v.i GROUP BY m.i
-), l1 AS (
+  FROM {pre}bmat m JOIN {pre}v1 v ON m.j = v.i GROUP BY m.i
+), {pre}l1 AS (
   SELECT {fold('v1.x * w1r.wx', 'v1.i')} AS lam
-  FROM v1 JOIN w1r ON v1.i = w1r.i
-), bdef AS MATERIALIZED (
-  SELECT b.i, b.j, b.b - (SELECT lam FROM l1) * vi.x * vj.x AS b
-  FROM bmat b JOIN v1 vi ON b.i = vi.i JOIN v1 vj ON b.j = vj.i
-), v2seed0 AS (
-  SELECT s AS i, CAST(1 + s % 5 AS DOUBLE) AS x FROM samples
-), v2seed AS (
-  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM v2seed0) AS x
-  FROM v2seed0
+  FROM {pre}v1 v1 JOIN {pre}w1r w1r ON v1.i = w1r.i
+), {pre}bdef AS MATERIALIZED (
+  SELECT b.i, b.j, b.b - (SELECT lam FROM {pre}l1) * vi.x * vj.x AS b
+  FROM {pre}bmat b JOIN {pre}v1 vi ON b.i = vi.i JOIN {pre}v1 vj ON b.j = vj.i
+), {pre}v2seed0 AS (
+  SELECT s AS i, CAST(1 + s % 5 AS DOUBLE) AS x FROM {pre}samples
+), {pre}v2seed AS (
+  SELECT i, x / (SELECT SQRT({fold('x * x', 'i')}) FROM {pre}v2seed0) AS x
+  FROM {pre}v2seed0
 ),
 {c2},
-sg2 AS (
+{pre}sg2 AS (
   SELECT CASE WHEN (SELECT x FROM {last2}
                     WHERE i = (SELECT MIN(i) FROM {last2})) < 0
               THEN -1.0 ELSE 1.0 END AS sg
-), v2 AS MATERIALIZED (
-  SELECT i, x * (SELECT sg FROM sg2) AS x FROM {last2}
-), w2r AS (
+), {pre}v2 AS MATERIALIZED (
+  SELECT i, x * (SELECT sg FROM {pre}sg2) AS x FROM {last2}
+), {pre}w2r AS (
   SELECT m.i, {fold('m.b * v.x', 'm.j')} AS wx
-  FROM bdef m JOIN v2 v ON m.j = v.i GROUP BY m.i
-), l2 AS (
+  FROM {pre}bdef m JOIN {pre}v2 v ON m.j = v.i GROUP BY m.i
+), {pre}l2 AS (
   SELECT {fold('v2.x * w2r.wx', 'v2.i')} AS lam2
-  FROM v2 JOIN w2r ON v2.i = w2r.i
-)
+  FROM {pre}v2 v2 JOIN {pre}w2r w2r ON v2.i = w2r.i
+)"""
+
+
+def _pcoa_power_sql(n_iter: int = _PCOA_ITERS) -> str:
+    """The SAME power iteration UNROLLED: one CTE per matvec step (with
+    the sparse normalize schedule), pinned list_reduce folds, identical
+    expressions."""
+    return f"""
+WITH dist AS MATERIALIZED (
+  SELECT ua, ub, bray_curtis AS dist FROM ({_D2_SQL})
+),
+{_pcoa_ctes(n_iter, "")}
 SELECT v1.i AS sample,
        ROUND(SQRT(GREATEST((SELECT lam FROM l1), 0.0)) * v1.x, 6) AS pc1,
        ROUND(SQRT(GREATEST((SELECT lam2 FROM l2), 0.0)) * v2.x, 6) AS pc2,

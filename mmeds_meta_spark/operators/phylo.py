@@ -1484,7 +1484,188 @@ FROM obs_r CROSS JOIN hits
 """
 
 
+# ---------------------------------------------------------------------------
+# D13 — Procrustes comparison of two ordinations
+# ---------------------------------------------------------------------------
+
+
+def d13_procrustes(spark: SparkSession, sf: str, *, n_iter: int | None = None) -> DataFrame:
+    """Procrustes analysis between the Bray-Curtis and weighted-UniFrac
+    PCoA ordinations — "do the two distance metrics place the samples
+    the same way?" (``qiime diversity procrustes-analysis`` /
+    vegan::procrustes, the companion qiime surface to the gated Mantel
+    test, over the SAME two metrics d9 correlates).
+
+    Both 2-D ordinations come from the in-plan power-iteration engine
+    (diversity._pcoa_core) fed by ONE shared cached counts relation (the
+    d9 pattern).  Each configuration is centered and scaled to unit
+    Frobenius norm; the optimal-rotation residual uses the CLOSED-FORM
+    2×2 SVD trace norm: with A = X̂ᵀŶ = [[a,b],[c,d]],
+    Q = ‖((a+d)/2, (c−b)/2)‖, R = ‖((a−d)/2, (c+b)/2)‖,
+    σ₁+σ₂ = (Q+R) + |Q−R|, and M² = 1 − (σ₁+σ₂)² (reflections allowed,
+    scikit-bio convention).  Every reduction is a pinned-order fold and
+    every closing expression is one identical double tree — bit-equal
+    across engines.
+
+    Scale shape: two bounded-block PCoA runs (matvec joins over the pair
+    relation, n-row vector broadcasts) + five n-row moment folds; the
+    2×2 SVD is arithmetic, never a linalg call."""
+    from .diversity import _BC_BLOCK, _pcoa_core, _pinned, d2_bray_curtis
+
+    iters = n_iter if n_iter is not None else _pcoa_iters()
+    counts = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < _BC_BLOCK)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    bc = (
+        d2_bray_curtis(spark, sf, counts=counts)
+        .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
+        .localCheckpoint(eager=False)
+    )
+    uf = (
+        d2_unifrac_weighted(spark, sf, counts=counts)
+        .select("ua", "ub", F.expr("unifrac_w * unifrac_w").alias("dd"))
+        .localCheckpoint(eager=False)
+    )
+
+    def coords(core: DataFrame) -> DataFrame:
+        return core.select(
+            "i",
+            F.expr("SQRT(GREATEST(lam, 0.0)) * u1").alias("c1"),
+            F.expr("SQRT(GREATEST(lam2, 0.0)) * u2").alias("c2"),
+        )
+
+    def unitize(cfg: DataFrame):
+        mx = cfg.agg(
+            F.expr(_pinned("c1", "i")).alias("s1"),
+            F.expr(_pinned("c2", "i")).alias("s2"),
+            F.count("*").cast("long").alias("n"),
+        )
+        cen = cfg.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr("c1 - s1 / n").alias("x1"),
+            F.expr("c2 - s2 / n").alias("x2"),
+        )
+        ss = cen.select(
+            "i", "x1", "x2", F.expr("x1 * x1 + x2 * x2").alias("q")
+        ).agg(F.expr(_pinned("q", "i")).alias("ss"))
+        hat = cen.crossJoin(F.broadcast(ss)).select(
+            "i",
+            F.expr("x1 / SQRT(ss)").alias("x1"),
+            F.expr("x2 / SQRT(ss)").alias("x2"),
+        )
+        return hat, mx.select("n")
+
+    xh, nrel = unitize(coords(_pcoa_core(bc, iters)))
+    yh, _ = unitize(coords(_pcoa_core(uf, iters)))
+    yh = yh.select("i", F.col("x1").alias("y1"), F.col("x2").alias("y2"))
+    mom = (
+        xh.join(yh, "i")
+        .select(
+            "i",
+            F.expr("x1 * y1").alias("paa"),
+            F.expr("x1 * y2").alias("pab"),
+            F.expr("x2 * y1").alias("pba"),
+            F.expr("x2 * y2").alias("pbb"),
+        )
+        .agg(
+            F.expr(_pinned("paa", "i")).alias("a"),
+            F.expr(_pinned("pab", "i")).alias("b"),
+            F.expr(_pinned("pba", "i")).alias("c"),
+            F.expr(_pinned("pbb", "i")).alias("d"),
+        )
+    )
+    qr = mom.select(
+        F.expr(
+            "SQRT(((a + d) / 2) * ((a + d) / 2) + ((c - b) / 2) * ((c - b) / 2))"
+        ).alias("qq"),
+        F.expr(
+            "SQRT(((a - d) / 2) * ((a - d) / 2) + ((c + b) / 2) * ((c + b) / 2))"
+        ).alias("rr"),
+    ).select(F.expr("(qq + rr) + ABS(qq - rr)").alias("t"))
+    return qr.crossJoin(F.broadcast(nrel)).select(
+        F.col("n").alias("n_samples"),
+        F.expr("ROUND(t, 6)").alias("trace_sigma"),
+        F.expr("ROUND(1 - t * t, 6)").alias("m2"),
+    )
+
+
+def _pcoa_iters() -> int:
+    from .diversity import _PCOA_ITERS
+
+    return _PCOA_ITERS
+
+
+def _procrustes_sql() -> str:
+    from .diversity import _D2_SQL, _fold_sql, _pcoa_ctes, _PCOA_ITERS
+
+    fold = _fold_sql
+
+    def unit(pre: str, out1: str, out2: str) -> str:
+        return f"""{pre}c0 AS (
+  SELECT v1.i,
+         SQRT(GREATEST((SELECT lam FROM {pre}l1), 0.0)) * v1.x AS c1,
+         SQRT(GREATEST((SELECT lam2 FROM {pre}l2), 0.0)) * v2.x AS c2
+  FROM {pre}v1 v1 JOIN {pre}v2 v2 ON v1.i = v2.i
+), {pre}mx AS (
+  SELECT {fold('c1', 'i')} AS s1, {fold('c2', 'i')} AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {pre}c0
+), {pre}cen AS (
+  SELECT i, c1 - (SELECT s1 FROM {pre}mx) / (SELECT n FROM {pre}mx) AS x1,
+         c2 - (SELECT s2 FROM {pre}mx) / (SELECT n FROM {pre}mx) AS x2
+  FROM {pre}c0
+), {pre}ssq AS (
+  SELECT {fold('q', 'i')} AS ss
+  FROM (SELECT i, x1 * x1 + x2 * x2 AS q FROM {pre}cen)
+), {pre}hat AS (
+  SELECT i, x1 / SQRT((SELECT ss FROM {pre}ssq)) AS {out1},
+         x2 / SQRT((SELECT ss FROM {pre}ssq)) AS {out2}
+  FROM {pre}cen
+)"""
+
+    return f"""
+WITH xdist AS MATERIALIZED (
+  SELECT ua, ub, bray_curtis AS dist FROM ({_D2_SQL})
+),
+{_pcoa_ctes(_PCOA_ITERS, "x")},
+ydist AS MATERIALIZED (
+  SELECT ua, ub, unifrac_w AS dist FROM ({_UF_W_SQL})
+),
+{_pcoa_ctes(_PCOA_ITERS, "y")},
+{unit("x", "x1", "x2")},
+{unit("y", "y1", "y2")},
+pj AS (
+  SELECT xhat.i, x1 * y1 AS paa, x1 * y2 AS pab, x2 * y1 AS pba, x2 * y2 AS pbb
+  FROM xhat JOIN yhat ON xhat.i = yhat.i
+), mm AS (
+  SELECT {fold('paa', 'i')} AS a, {fold('pab', 'i')} AS b,
+         {fold('pba', 'i')} AS c, {fold('pbb', 'i')} AS d
+  FROM pj
+), qr AS (
+  SELECT SQRT(((a + d) / 2) * ((a + d) / 2) + ((c - b) / 2) * ((c - b) / 2)) AS qq,
+         SQRT(((a - d) / 2) * ((a - d) / 2) + ((c + b) / 2) * ((c + b) / 2)) AS rr
+  FROM mm
+), tt AS (
+  SELECT (qq + rr) + ABS(qq - rr) AS t FROM qr
+)
+SELECT (SELECT n FROM xmx) AS n_samples,
+       ROUND(t, 6) AS trace_sigma,
+       ROUND(1 - t * t, 6) AS m2
+FROM tt
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d13_procrustes": QuerySpec(
+        d13_procrustes,
+        _procrustes_sql(),
+        "beyond-reference qiime surface (diversity procrustes-analysis): "
+        "Bray-Curtis vs weighted-UniFrac ordinations, closed-form 2x2 SVD trace norm",
+    ),
     "d4_permanova": QuerySpec(
         d4_permanova,
         _permanova_sql(),
