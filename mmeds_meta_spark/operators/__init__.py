@@ -279,6 +279,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # dedup_minhash_lsh (benched) the banding.  Its slot funds
     # d13_procrustes (ordination comparison, closed-form 2x2 SVD).
     "dedup_lsh_verified",
+    # PII detect-and-redact (driver-green r05): a pure narrow regex map —
+    # text_quality_score (benched) keeps the narrow text-map family and
+    # text_bm25/nb/tfidf/lm keep text gated.  Its slot funds
+    # d14_alpha_correlation (the alpha-correlation qiime surface).
+    "text_pii_scrub",
 )
 
 

@@ -1485,6 +1485,200 @@ FROM obs_r CROSS JOIN hits
 
 
 # ---------------------------------------------------------------------------
+# D14 — alpha-correlation (Spearman + permutation p)
+# ---------------------------------------------------------------------------
+
+
+def _midrank2(vals: DataFrame) -> DataFrame:
+    """(sample, v) → (sample, mr2): doubled mid-ranks (exact BIGINT) via
+    the d10/d11 two-phase distributed scan — per-bucket parallel running
+    sums over width_bucket value buckets + a ≤1025-row broadcast offset
+    relation; no global single-partition window."""
+    vt = vals.groupBy("v").agg(F.count("*").cast("long").alias("t"))
+    bounds = vt.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    vb = vt.crossJoin(F.broadcast(bounds)).withColumn(
+        "b",
+        F.when(F.col("vlo") == F.col("vhi"), F.lit(1)).otherwise(
+            F.least(F.lit(1024), F.expr("width_bucket(v, vlo, vhi, 1024)"))
+        ),
+    )
+    in_b = vb.withColumn(
+        "cum_in",
+        F.expr(
+            "sum(t) OVER (PARTITION BY b ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t"
+        ),
+    )
+    off = (
+        vb.groupBy("b")
+        .agg(F.sum("t").alias("bc"))
+        .withColumn(
+            "off",
+            F.expr(
+                "sum(bc) OVER (ORDER BY b"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bc"
+            ),
+        )
+        .select("b", "off")
+    )
+    ranked = in_b.join(F.broadcast(off), "b").select(
+        "v", F.expr("2 * (off + cum_in) + t + 1").alias("mr2")
+    )
+    return vals.join(ranked, "v").select("sample", "mr2")
+
+
+def d14_alpha_correlation(
+    spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """D14 — ``qiime diversity alpha-correlation``: Spearman rank
+    correlation between the per-sample Shannon alpha vector and a
+    numeric covariate (here sampling depth = events per sample — the
+    depth column every alpha-correlation run includes), WITH the
+    two-sided permutation p-value the qiime visualization reports.
+    Completes the alpha-significance surface beside
+    :func:`d11_alpha_group_significance` (categorical) —
+    rules/diversity_analysis.smk:77-88's correlation sibling.
+
+    Exactness: both variables convert to doubled mid-ranks (exact
+    BIGINT, the d10/d11 two-phase scan); every Spearman moment is an
+    exact DECIMAL(38,0) sum of rank integers, so ρ is ONE identical
+    double expression on exact inputs (all magnitudes ≪ 2⁵³ here — the
+    w11 split-double idiom stands by for larger n).  Ranks and the
+    x-side moments are permutation-invariant; each of the K+1
+    relabelings recomputes only Σ rx(s)·ry(π(s)) — one broadcast image
+    join — and p = (#{|ρ_k| ≥ |ρ|} + 1)/(K + 1).
+
+    Scale: everything runs on the n-sample alpha vector (never
+    corpus-scale); the K+1 branches share one shuffled rank relation."""
+    from .diversity import d1_shannon_diversity
+
+    alpha = d1_shannon_diversity(spark, sf).select(
+        F.col("user_id").alias("sample"), F.col("shannon").alias("v")
+    )
+    depth = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("sample"))
+        .agg(F.expr("CAST(COUNT(*) AS DOUBLE)").alias("v"))
+    )
+    ax = _midrank2(alpha).select("sample", F.col("mr2").alias("rx"))
+    ay = _midrank2(depth).select("sample", F.col("mr2").alias("ry"))
+    av = ax.join(ay, "sample").localCheckpoint(eager=False)
+    mom = av.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("SUM(CAST(rx AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(CAST(ry AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("SUM(CAST(rx AS DECIMAL(38,0)) * rx)").alias("sxx"),
+        F.expr("SUM(CAST(ry AS DECIMAL(38,0)) * ry)").alias("syy"),
+    )
+    samples = av.select("sample")
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    ryi = av.select(F.col("sample").alias("image"), F.col("ry").alias("ryi"))
+    sxyk = (
+        av.select("sample", "rx")
+        .join(F.broadcast(perm), "sample")
+        .join(F.broadcast(ryi), "image")
+        .groupBy("k")
+        .agg(F.expr("SUM(CAST(rx AS DECIMAL(38,0)) * ryi)").alias("sxy"))
+    )
+    rho = sxyk.crossJoin(F.broadcast(mom)).select(
+        "k",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))"
+        ).alias("r"),
+    )
+    obs = rho.filter(F.col("k") == 0).select(F.col("r").alias("rho"))
+    hits = rho.crossJoin(F.broadcast(obs)).agg(
+        F.expr("SUM(CASE WHEN k > 0 AND ABS(r) >= ABS(rho) THEN 1 ELSE 0 END)").alias("hh")
+    )
+    return (
+        mom.select("n")
+        .crossJoin(obs)
+        .crossJoin(hits)
+        .select(
+            F.col("n").alias("n_samples"),
+            F.expr("ROUND(rho, 6)").alias("spearman_rho"),
+            F.expr(f"CAST(hh + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _alpha_corr_sql(n_perm: int = _N_PERM) -> str:
+    from .diversity import _D1_SQL
+
+    def ranked(src: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT sample, mr2 FROM {src} JOIN (
+    SELECT v, 2 * (SUM(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS mr2
+    FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM {src} GROUP BY v)
+  ) USING (v)
+)"""
+
+    return f"""
+WITH d1 AS ({_D1_SQL}),
+alpha AS (
+  SELECT user_id AS sample, shannon AS v FROM d1
+), depth AS (
+  SELECT user_id AS sample, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), {ranked("alpha", "axr")},
+{ranked("depth", "ayr")},
+av AS (
+  SELECT a.sample, a.mr2 AS rx, b.mr2 AS ry
+  FROM axr a JOIN ayr b USING (sample)
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM av
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN (SELECT sample FROM av) samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), permk AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), perm AS (
+  SELECT CAST(0 AS BIGINT) AS k, sample, sample AS image FROM av
+  UNION ALL SELECT k, sample, image FROM permk
+), sxyk AS (
+  SELECT k, SUM(CAST(a.rx AS HUGEINT) * i.ry) AS sxy
+  FROM av a JOIN perm p ON a.sample = p.sample
+  JOIN av i ON p.image = i.sample
+  GROUP BY k
+), rho AS (
+  SELECT k,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+  FROM sxyk CROSS JOIN mom
+), obs AS (
+  SELECT r AS rho FROM rho WHERE k = 0
+), hits AS (
+  SELECT SUM(CASE WHEN k > 0 AND ABS(r) >= ABS(rho) THEN 1 ELSE 0 END) AS hh
+  FROM rho CROSS JOIN obs
+)
+SELECT n AS n_samples, ROUND(rho, 6) AS spearman_rho,
+       CAST(hh + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM mom CROSS JOIN obs CROSS JOIN hits
+"""
+
+
+# ---------------------------------------------------------------------------
 # D13 — Procrustes comparison of two ordinations
 # ---------------------------------------------------------------------------
 
@@ -1660,6 +1854,13 @@ FROM tt
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "d14_alpha_correlation": QuerySpec(
+        d14_alpha_correlation,
+        _alpha_corr_sql(),
+        "D-family rules/diversity_analysis.smk:77-88 sibling (qiime diversity "
+        "alpha-correlation): Spearman on exact doubled mid-ranks + two-sided "
+        "permutation p",
+    ),
     "d13_procrustes": QuerySpec(
         d13_procrustes,
         _procrustes_sql(),

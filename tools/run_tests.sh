@@ -26,7 +26,7 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_feature_table_summarize.py tests/test_bm25.py
          tests/test_mad_outliers.py tests/test_kcenter.py
          tests/test_selection_funnel.py tests/test_mixture_profile.py
-         tests/test_procrustes.py)
+         tests/test_procrustes.py tests/test_alpha_correlation.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
