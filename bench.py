@@ -68,6 +68,9 @@ HEAVY = [
     # broadcast-model claims carry measured times
     "sample_dsir_importance",
     "text_nb_classifier",
+    # round-6 session-3: the double-ordination composition (2 × 24 matvec
+    # steps over two metrics + the closed-form SVD)
+    "d13_procrustes",
 ]
 
 

@@ -576,6 +576,9 @@ FROM mom a JOIN mom b
 
 _PCOA_ITERS = 24  # fixed iteration count: both engines run the IDENTICAL
 # arithmetic sequence, so results are bit-equal regardless of convergence
+import itertools as _itertools
+
+_PCOA_SEQ = _itertools.count()  # unique temp-view namespace per _pcoa_core call
 _PCOA_NORM_EVERY = 6  # normalize every 6th step (+ the last): direction is
 # scale-invariant, λ^6 segment growth stays far inside double range, and
 # the per-step norm aggregation job drops 6×
@@ -684,24 +687,54 @@ def _pcoa_core(p: DataFrame, n_iter: int) -> DataFrame:
             .agg(F.expr(_pinned("bv", "j")).alias("x"))
         )
 
-    def power(mat: DataFrame, start_mod: int) -> DataFrame:
+    spark = p.sparkSession
+    tag = next(_PCOA_SEQ)
+
+    def power(mat: DataFrame, start_mod: int, chain: str) -> DataFrame:
+        # The iteration runs in SEGMENTS of _PCOA_NORM_EVERY matvec steps,
+        # each segment emitted as ONE spark.sql() over temp views: for an
+        # iterative in-plan operator, per-step DataFrame construction
+        # (py4j + Catalyst analysis, ~100 round-trips for 2×24 steps) is
+        # real wall-time — batching it into 4 SQL calls per chain cuts
+        # driver-side build cost ~5×.  Arithmetic is IDENTICAL: each CTE
+        # is the same broadcast matvec + pinned fold, and normalization
+        # happens at every segment boundary (= every _PCOA_NORM_EVERY-th
+        # step + the last, the schedule the oracle mirrors); direction is
+        # invariant to positive scaling and λ^6 segment growth stays far
+        # inside double range.
+        mat_view = f"pcoa{tag}_{chain}_mat"
+        mat.createOrReplaceTempView(mat_view)
         v = normalize(
             samples.select(
                 F.col("s").alias("i"),
                 F.expr(f"CAST(1 + s % {start_mod} AS DOUBLE)").alias("x"),
             )
         )
-        for it in range(n_iter):
-            # checkpoint the matvec OUTPUT (normalize consumes its input
-            # twice, so materialize first), and normalize only every
-            # _PCOA_NORM_EVERY-th step + the last: the direction is
-            # invariant to positive scaling, λ^6 segment growth stays far
-            # inside double range, and both engines normalize at the
-            # IDENTICAL steps with identical expressions — the norm agg
-            # (a driver job per occurrence) drops 6×
-            v = matvec(mat, v).localCheckpoint(eager=False)
-            if (it + 1) % _PCOA_NORM_EVERY == 0 or it == n_iter - 1:
-                v = normalize(v)
+        done = 0
+        while done < n_iter:
+            seg = min(_PCOA_NORM_EVERY, n_iter - done)
+            v_view = f"pcoa{tag}_{chain}_v{done}"
+            v.createOrReplaceTempView(v_view)
+            prev, ctes = v_view, []
+            for s in range(seg):
+                cur = f"w{s}"
+                ctes.append(
+                    f"{cur} AS (SELECT /*+ BROADCAST(v) */ m.i,"
+                    " aggregate(array_sort(collect_list(named_struct('j', m.j, 'bv', m.b * v.x))),"
+                    " CAST(0 AS DOUBLE), (acc, q) -> acc + q.bv) AS x"
+                    f" FROM {mat_view} m JOIN {prev} v ON m.j = v.i GROUP BY m.i)"
+                )
+                prev = cur
+            q = "WITH " + ",\n".join(ctes) + f" SELECT i, x FROM {prev}"
+            # EAGER checkpoint at the boundary: normalize consumes its
+            # input twice, and — decisively — a lazy checkpoint does NOT
+            # truncate the plan Catalyst re-analyzes, so segment N+1's
+            # analysis would still walk segment N's full lineage (measured:
+            # ~11 s of pure analysis per warm call at 2x24 steps).  The
+            # eager materialization is a bounded n-row vector job; it
+            # flattens every later analysis to a LogicalRDD scan
+            v = normalize(spark.sql(q).localCheckpoint())
+            done += seg
         return v
 
     def rayleigh(mat: DataFrame, v: DataFrame) -> DataFrame:
@@ -720,7 +753,7 @@ def _pcoa_core(p: DataFrame, n_iter: int) -> DataFrame:
         )
         return v.crossJoin(F.broadcast(sgn)).select("i", F.expr("x * sg").alias("x"))
 
-    v1 = signfix(power(b, 7))
+    v1 = signfix(power(b, 7, "a"))
     l1 = rayleigh(b, v1)
     b2 = (
         b.join(F.broadcast(v1.select(F.col("i").alias("di"), F.col("x").alias("v1i"))), F.col("i") == F.col("di"))
@@ -729,7 +762,7 @@ def _pcoa_core(p: DataFrame, n_iter: int) -> DataFrame:
         .select("i", "j", F.expr("b - lam * v1i * v1j").alias("b"))
         .localCheckpoint(eager=False)
     )
-    v2 = signfix(power(b2, 5))
+    v2 = signfix(power(b2, 5, "b"))
     l2 = rayleigh(b2, v2)
     return (
         v1.withColumnRenamed("x", "u1")

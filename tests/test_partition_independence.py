@@ -70,6 +70,9 @@ OPS = [
     "d12_feature_table_summarize",  # dual-axis CDF quantiles
     "sample_kcenter_coreset",  # greedy driver loop over exact-decimal argmax
     "pipeline_selection_funnel",  # composed flags + broadcast-threshold cut
+    "d13_procrustes",  # two power-iteration ordinations + closed-form SVD
+    "d14_alpha_correlation",  # two mid-rank builds + permutation image joins
+    "a23_source_mixture_profile",  # k-row Gini/entropy folds
 ]
 
 
