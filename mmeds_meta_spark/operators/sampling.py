@@ -706,6 +706,14 @@ def a23_source_mixture_profile(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("x"))
     )
+    return mixture_profile(src)
+
+
+def mixture_profile(src: DataFrame) -> DataFrame:
+    """The concentration profile over any (source, x BIGINT) count
+    relation — shared by :func:`a23_source_mixture_profile` and the
+    streaming mixture monitor (streaming/mixture.py), so streaming
+    profiles are bit-identical to batch ones over the same documents."""
     w = Window.orderBy(F.col("x").asc(), F.col("source").asc())
     full = Window.partitionBy()
     ranked = (

@@ -159,3 +159,48 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     sq2.awaitTermination(120)
     again = sorted(map(tuple, cms_store_counters(spark, store).collect()))
     assert again == want
+
+
+def test_streaming_mixture_matches_batch(spark, tmp_path):
+    """The batch-keyed mixture store fed the same documents in two
+    micro-batches must reproduce the batch concentration profile
+    bit-for-bit (counts are linear; the profile expressions are shared),
+    and restarting the finished stream must not double-count."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.operators.sampling import mixture_profile
+    from mmeds_meta_spark.streaming.mixture import (
+        mixture_store_profile,
+        start_streaming_mixture,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "w0"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for i, wave in enumerate(sorted(tmp_path.glob("w[01]/*.parquet"))):
+        shutil.move(str(wave), str(feed / f"w{i}.parquet"))
+
+    store, ck = str(tmp_path / "mstore"), str(tmp_path / "mck")
+    sq = start_streaming_mixture(spark, str(feed), store_dir=store, checkpoint_dir=ck)
+    sq.awaitTermination(120)
+
+    want = sorted(
+        map(
+            tuple,
+            mixture_profile(
+                docs.groupBy("source").agg(
+                    F.expr("CAST(COUNT(*) AS BIGINT)").alias("x")
+                )
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, mixture_store_profile(spark, store).collect()))
+    assert got == want
+    assert len(want) == 1 and want[0][0] > 0  # n_sources
+
+    sq2 = start_streaming_mixture(spark, str(feed), store_dir=store, checkpoint_dir=ck)
+    sq2.awaitTermination(120)
+    again = sorted(map(tuple, mixture_store_profile(spark, store).collect()))
+    assert again == want
