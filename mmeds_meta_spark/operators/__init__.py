@@ -284,6 +284,13 @@ _GATE_TAIL: tuple[str, ...] = (
     # text_bm25/nb/tfidf/lm keep text gated.  Its slot funds
     # d14_alpha_correlation (the alpha-correlation qiime surface).
     "text_pii_scrub",
+    # ---- added AFTER the round-6 gate head was frozen (local-sweep
+    # verified this round; rotate into the gate in round 7 so the
+    # curated head-50 — which ends at pipeline_curation_funnel, one of
+    # the six never-before-gated entries this round exists to evidence —
+    # is not displaced mid-round):
+    "text_gopher_quality",
+    "sketch_hist_quantile",
 )
 
 

@@ -23,7 +23,7 @@ the beyond-reference 100 TB toolkit, next to dedup and sampling.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..testdata import table as _t
 from . import QuerySpec
@@ -474,7 +474,173 @@ FROM regs GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# histogram quantile sketch — fixed-bin mergeable quantile estimates
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 64
+_HQ_PCTS = (50, 90, 99)
+
+
+def sketch_hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile estimates from a fixed-width histogram: per
+    event type, p50/p90/p99 of ``value`` estimated by linear
+    interpolation inside the covering bin, with the sketch's
+    deterministic worst-case error bound (one bin width) as a column.
+
+    This is the quantile member of the sketch quartet (KMV cardinality,
+    HLL registers, CMS counters, histogram quantiles): where
+    ``a18_quantile_profile`` computes EXACT interpolated quantiles via a
+    cumulative window over the per-group DISTINCT VALUES — state bounded
+    by value cardinality, which for continuous doubles approaches row
+    count — the histogram's state is ``groups × 64`` counters at ANY
+    corpus size, and two partial SUMs merge sketches built on disjoint
+    shards (the streaming twin in ``streaming/quantile.py`` replays the
+    same bins from a batch-keyed count store).
+
+    Physical shape at 100 TB: one groupBy(grp) min/max/count (tiny,
+    broadcast back), one groupBy(grp, bin) partial-agg count (the ONLY
+    data-scale shuffle), then windows and joins over ≤64 rows per group.
+    Determinism: values quantize to exact micro-units; bin index is pure
+    integer arithmetic ((v−lo)·B div W, W = hi−lo+1, always in [0,B));
+    the interpolated estimate applies ONE identical pinned-order double
+    expression to exact integers on both engines.  Spark's own
+    ``approx_percentile`` (KLL-style) is deliberately not used: its
+    merge order is nondeterministic and no external oracle can
+    reproduce it — this sketch is oracle-exact."""
+    ev = hist_values(_t(spark, sf, "events"))
+    # both intermediates are tiny (groups, groups×64 rows) but feed the
+    # plan 2-3 times each — localCheckpoint truncates the lineage so the
+    # events scan and the bin-count shuffle run ONCE, not per consumer
+    bounds = (
+        ev.groupBy("grp")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .localCheckpoint()
+    )
+    binned = hist_bin_counts(ev, bounds).localCheckpoint()
+    return hist_quantiles_from_counts(binned, bounds)
+
+
+def hist_values(events: DataFrame) -> DataFrame:
+    """(grp, v): event values quantized to exact micro-unit BIGINTs."""
+    return events.select(
+        F.col("event_type").alias("grp"),
+        F.expr("CAST(CAST(ROUND(value * 1000000) AS DECIMAL(18,0)) AS BIGINT)").alias("v"),
+    )
+
+
+def hist_bin_counts(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """(grp, bin, c) against the given per-group (lo, hi) micro-unit
+    domain.  In-domain values land in [0, B) by pure integer arithmetic;
+    out-of-domain values (possible when the domain is PINNED, as the
+    streaming store requires) clamp into the edge bins, trading the
+    one-bin error bound for boundedness — the batch operator derives the
+    domain from the data, so nothing clamps there."""
+    return (
+        ev.join(F.broadcast(bounds.select("grp", "lo", "hi")), "grp")
+        .select(
+            "grp",
+            F.expr(
+                f"GREATEST(0L, LEAST({_HQ_BINS - 1}L, (v - lo) * {_HQ_BINS} div (hi - lo + 1)))"
+            ).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def hist_quantiles_from_counts(binned: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Quantile estimates from a (grp, bin, c) counter table — the merge
+    target shared by the batch operator and the streaming store (counts
+    are linear, so shard/batch sums reproduce the global table exactly).
+    n is derived from the counters, never trusted from the caller."""
+    w = Window.partitionBy("grp").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    n = binned.groupBy("grp").agg(F.sum("c").alias("n"))
+    targets = (
+        bounds.join(n, "grp")
+        .select(
+            "grp",
+            "lo",
+            "hi",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("p"),
+        )
+        .withColumn("r", F.expr("(p * n + 99) div 100"))
+    )
+    cand = (
+        cdf.join(F.broadcast(targets), "grp")
+        .where(F.col("cum") >= F.col("r"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp", "p").orderBy("bin"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    # pinned-order interpolation on exact integers; /1e6 restores units
+    est = (
+        "CAST(lo AS DOUBLE) / 1000000.0"
+        " + (CAST(bin AS DOUBLE) + CAST(r - cum_prev AS DOUBLE) / CAST(c AS DOUBLE))"
+        f" * (CAST(hi - lo + 1 AS DOUBLE) / 1000000.0) / {float(_HQ_BINS)!r}"
+    )
+    err = f"(CAST(hi - lo + 1 AS DOUBLE) / 1000000.0) / {float(_HQ_BINS)!r}"
+    return (
+        cand.select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("p").cast("long").alias("p"),
+            F.expr(est).alias("est"),
+            F.expr(err).alias("err_bound"),
+        )
+        .orderBy("grp", "p")
+    )
+
+
+_HQ_SQL = f"""
+WITH ev AS (
+  SELECT event_type AS grp,
+         CAST(CAST(ROUND(value * 1000000) AS DECIMAL(18,0)) AS BIGINT) AS v
+  FROM events
+), bounds AS (
+  SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM ev GROUP BY grp
+), binned AS (
+  SELECT ev.grp, (v - lo) * {_HQ_BINS} // (hi - lo + 1) AS bin, COUNT(*) AS c
+  FROM ev JOIN bounds ON ev.grp = bounds.grp
+  GROUP BY 1, 2
+), cdf AS (
+  SELECT grp, bin, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM binned
+), targets AS (
+  SELECT grp, lo, hi, n, p, (p * n + 99) // 100 AS r
+  FROM bounds, (SELECT unnest({list(_HQ_PCTS)!r}) AS p)
+), cand AS (
+  SELECT cdf.grp, t.n, t.p, cdf.bin, cdf.c, cdf.cum - cdf.c AS cum_prev, t.r, t.lo, t.hi,
+         ROW_NUMBER() OVER (PARTITION BY cdf.grp, t.p ORDER BY cdf.bin) AS rn
+  FROM cdf JOIN targets t ON cdf.grp = t.grp
+  WHERE cdf.cum >= t.r
+)
+SELECT grp, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
+       CAST(lo AS DOUBLE) / 1000000.0
+         + (CAST(bin AS DOUBLE) + CAST(r - cum_prev AS DOUBLE) / CAST(c AS DOUBLE))
+           * (CAST(hi - lo + 1 AS DOUBLE) / 1000000.0) / {float(_HQ_BINS)!r} AS est,
+       (CAST(hi - lo + 1 AS DOUBLE) / 1000000.0) / {float(_HQ_BINS)!r} AS err_bound
+FROM cand WHERE rn = 1
+ORDER BY grp, p
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_hist_quantile": QuerySpec(
+        sketch_hist_quantile,
+        _HQ_SQL,
+        "beyond-reference: fixed-bin histogram quantile sketch — groups×64 "
+        "counter state at any corpus size, pinned-order interpolation, "
+        "deterministic one-bin error bound (the mergeable counterpart of "
+        "a18's exact CDF quantiles)",
+    ),
     "sketch_hll_by_group": QuerySpec(
         sketch_hll_by_group,
         _HLL_GROUP_SQL,

@@ -551,6 +551,101 @@ GROUP BY s.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules — the document-level half of Rae et al. 2021 Table A1
+# ---------------------------------------------------------------------------
+
+# text_repetition_signals carries the REPETITION half of the Gopher filter
+# (top-2-gram / dup-3-gram fractions); this operator is the QUALITY half:
+# document-shape rules over word counts, word lengths, symbol density,
+# alphabetic-word fraction, and required-stopword presence.  Published
+# bounds are kept where the synthetic corpus exercises them (mean word
+# length 3–10, symbol ratio ≤ 0.1, alpha-word fraction ≥ 0.8); the word
+# count band and stopword minimum are tightened to this corpus's range so
+# both keep and drop outcomes occur at every test SF.
+_GOPHER_WORDS_MIN = 25
+_GOPHER_WORDS_MAX = 80
+_GOPHER_MWL_MIN = 3.0
+_GOPHER_MWL_MAX = 10.0
+_GOPHER_SYMBOL_MAX = 0.1
+_GOPHER_ALPHA_MIN = 0.8
+_GOPHER_STOP_MIN = 2
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+    non-repetition half): per document, word count, mean word length,
+    symbol-to-word ratio ('#' and '...'), fraction of words containing an
+    alphabetic character, and how many required stopwords appear; ``keep``
+    is the conjunction of the five published-style rules.
+
+    Physical shape at 100 TB: a PURE NARROW MAP — every signal is a
+    higher-order array function or regexp_count over the in-row token
+    array (whole-stage codegen, no explode, no shuffle, no UDF).  This is
+    deliberately cheaper than the exploded groupBy the repetition half
+    needs: quality rules see one row at a time, so they run as the first,
+    cheapest stage of a curation funnel and prune the corpus before any
+    shuffle-bearing stage.  Ratios are integer/integer → bit-identical
+    doubles on both engines; mean word length reuses the exact
+    length(text)−n_words+1 identity (single-space tokenization).
+    """
+    d = _t(spark, sf, "documents")
+    toks = "split(text, ' ')"
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(length(text) - size({toks}) + 1 AS DOUBLE) / size({toks})"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"CAST(regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.') AS DOUBLE)"
+            f" / size({toks})"
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"CAST(size(filter({toks}, t -> t rlike '[a-zA-Z]')) AS DOUBLE) / size({toks})"
+        ).alias("alpha_word_ratio"),
+        F.expr(
+            f"CAST(size(array_intersect({toks}, array{_GOPHER_STOPWORDS!r})) AS BIGINT)"
+        ).alias("n_stopwords"),
+    ).withColumn(
+        "keep",
+        (F.col("n_words") >= _GOPHER_WORDS_MIN)
+        & (F.col("n_words") <= _GOPHER_WORDS_MAX)
+        & (F.col("mean_word_len") >= _GOPHER_MWL_MIN)
+        & (F.col("mean_word_len") <= _GOPHER_MWL_MAX)
+        & (F.col("symbol_ratio") <= _GOPHER_SYMBOL_MAX)
+        & (F.col("alpha_word_ratio") >= _GOPHER_ALPHA_MIN)
+        & (F.col("n_stopwords") >= _GOPHER_STOP_MIN),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS symbol_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_word_ratio,
+         CAST(len(list_intersect(string_split(text, ' '),
+                                 {list(_GOPHER_STOPWORDS)!r})) AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+       n_words >= {_GOPHER_WORDS_MIN} AND n_words <= {_GOPHER_WORDS_MAX}
+       AND mean_word_len >= {_GOPHER_MWL_MIN} AND mean_word_len <= {_GOPHER_MWL_MAX}
+       AND symbol_ratio <= {_GOPHER_SYMBOL_MAX}
+       AND alpha_word_ratio >= {_GOPHER_ALPHA_MIN}
+       AND n_stopwords >= {_GOPHER_STOP_MIN} AS keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrub — detect-and-redact counts per document
 # ---------------------------------------------------------------------------
 
@@ -943,6 +1038,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint)"),
     "text_repetition_signals": QuerySpec(
         text_repetition_signals, _REPETITION_SQL, "LLM-pipeline text (Gopher repetition filter)"
+    ),
+    "text_gopher_quality": QuerySpec(
+        text_gopher_quality,
+        _GOPHER_SQL,
+        "LLM-pipeline text (Gopher document-quality rules, Rae et al. 2021 "
+        "Table A1 — pure narrow map, zero shuffles)",
     ),
     "text_vocab_topk": QuerySpec(
         text_vocab_topk, _VOCAB_SQL, "LLM-pipeline text (vocabulary TF/DF for tokenizer training)"
