@@ -291,6 +291,7 @@ _GATE_TAIL: tuple[str, ...] = (
     # is not displaced mid-round):
     "text_gopher_quality",
     "sketch_hist_quantile",
+    "a24_skew_profile",
 )
 
 

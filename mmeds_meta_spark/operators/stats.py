@@ -593,7 +593,122 @@ WHERE m > 0 AND 1349 * ABS(x2) > 70 * m
 """
 
 
+# ---------------------------------------------------------------------------
+# join-key skew profile — the pre-flight check for every big shuffle
+# ---------------------------------------------------------------------------
+
+_SKEW_HOT_X = 10  # a key is "hot" when its count exceeds 10× the mean
+
+
+def a24_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for ``events.user_id`` — the
+    pre-flight a 100-TB pipeline runs BEFORE committing to a groupBy /
+    join / self-join on a key: per-key count distribution (p50/p99/max
+    via the count-of-counts CDF), mean load, max/mean skew ratio, the
+    number of hot keys (count > 10× mean, decided in exact integer
+    arithmetic: cnt·n_keys > 10·n_rows), the top key's share, and the
+    exact self-join output size Σ cnt² — the explosion estimate for a
+    pair-generating self-join (sessionization, dedup blocking) on this
+    key.  These numbers directly size AQE skew thresholds and salting
+    factors.
+
+    Physical shape at 100 TB: ONE data-scale shuffle (groupBy key); the
+    count-of-counts table that everything else derives from is bounded
+    by the number of DISTINCT LOAD LEVELS (≪ keys), so the CDF window
+    and final aggregate are driver-trivial.  Σcnt² is exact DECIMAL —
+    no overflow at any skew.  Doubles are single-division ratios of
+    exact integers → bit-identical cross-engine."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # EVERYTHING below derives from count-of-counts (bounded by distinct
+    # load levels, ≪ keys) — including the hot-key census, so the
+    # data-scale key shuffle runs exactly once; the checkpoint stops the
+    # three consumers from re-running it
+    coc = counts.groupBy("cnt").agg(F.count("*").alias("keys")).localCheckpoint()
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = coc.withColumn("cum", F.sum("keys").over(w))
+    stats = cdf.agg(
+        F.expr("CAST(SUM(cnt * keys) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(SUM(keys) AS BIGINT)").alias("n_keys"),
+        F.expr("CAST(MAX(cnt) AS BIGINT)").alias("max_cnt"),
+        F.expr("CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * keys) AS DECIMAL(38,0))").alias(
+            "selfjoin_rows_dec"
+        ),
+    )
+    pcts = cdf.join(F.broadcast(stats.select("n_keys")), how="cross").agg(
+        F.expr("CAST(MIN(CASE WHEN cum * 100 >= 50 * n_keys THEN cnt END) AS BIGINT)").alias(
+            "p50_cnt"
+        ),
+        F.expr("CAST(MIN(CASE WHEN cum * 100 >= 99 * n_keys THEN cnt END) AS BIGINT)").alias(
+            "p99_cnt"
+        ),
+    )
+    hot = coc.join(F.broadcast(stats.select("n_rows", "n_keys")), how="cross").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN cnt * n_keys > {_SKEW_HOT_X} * n_rows THEN keys ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("hot_keys")
+    )
+    return (
+        stats.crossJoin(pcts)
+        .crossJoin(hot)
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr("CAST(n_rows AS DOUBLE) / n_keys").alias("mean_cnt"),
+            F.expr("CAST(max_cnt * n_keys AS DOUBLE) / n_rows").alias("skew_ratio"),
+            "hot_keys",
+            F.expr("CAST(max_cnt AS DOUBLE) / n_rows").alias("top_key_share"),
+            F.expr("CAST(selfjoin_rows_dec AS BIGINT)").alias("selfjoin_rows"),
+        )
+    )
+
+
+_A24_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+), coc AS (
+  SELECT cnt, COUNT(*) AS keys FROM counts GROUP BY 1
+), cdf AS (
+  SELECT cnt, keys,
+         SUM(keys) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM coc
+), stats AS (
+  SELECT CAST(SUM(cnt * keys) AS BIGINT) AS n_rows,
+         CAST(SUM(keys) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         SUM(CAST(cnt AS HUGEINT) * cnt * keys) AS selfjoin_rows_dec
+  FROM cdf
+), pcts AS (
+  SELECT CAST(MIN(CASE WHEN cum * 100 >= 50 * n_keys THEN cnt END) AS BIGINT) AS p50_cnt,
+         CAST(MIN(CASE WHEN cum * 100 >= 99 * n_keys THEN cnt END) AS BIGINT) AS p99_cnt
+  FROM cdf, stats
+), hot AS (
+  SELECT CAST(SUM(CASE WHEN cnt * n_keys > {_SKEW_HOT_X} * n_rows THEN keys ELSE 0 END) AS BIGINT)
+           AS hot_keys
+  FROM coc, stats
+)
+SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+       CAST(n_rows AS DOUBLE) / n_keys AS mean_cnt,
+       CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew_ratio,
+       hot_keys,
+       CAST(max_cnt AS DOUBLE) / n_rows AS top_key_share,
+       CAST(selfjoin_rows_dec AS BIGINT) AS selfjoin_rows
+FROM stats, pcts, hot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a24_skew_profile": QuerySpec(
+        a24_skew_profile,
+        _A24_SQL,
+        "beyond-reference: shuffle-key skew pre-flight — count-of-counts CDF "
+        "percentiles, hot-key census in exact integer arithmetic, exact "
+        "Σcnt² self-join explosion size",
+    ),
     "a22_mad_outliers": QuerySpec(
         a22_mad_outliers,
         _a22_sql(),
