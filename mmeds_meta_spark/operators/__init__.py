@@ -292,6 +292,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_gopher_quality",
     "sketch_hist_quantile",
     "a24_skew_profile",
+    "sketch_kmv_overlap_matrix",
 )
 
 

@@ -475,6 +475,130 @@ FROM regs GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# KMV overlap matrix — all-pairs source overlap from ONE bottom-k sample
+# ---------------------------------------------------------------------------
+
+
+def sketch_kmv_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise shingle-overlap estimates for EVERY source pair — "which
+    crawls duplicate each other, and by how much?" — from a single
+    global bottom-k sample (theta-sketch subset estimation: within the
+    k smallest hashes of the all-source union, θ = the k-th hash; any
+    subset S of the universe is estimated |S| ≈ |S ∩ sample| / θ).
+    Extends ``sketch_kmv_setops`` (one fixed A/B split) to the G×G
+    matrix: each sampled shingle carries its sorted source-membership
+    set, so ALL pairs read off the same k rows — no per-pair rescan, no
+    corpus-scale distinct join, and adding a source never changes the
+    sample, only the membership arrays.
+
+    Physical shape at 100 TB: one shuffle on uniform shingle keys (the
+    groupBy collapsing per-source presence into a sorted array), one
+    TakeOrderedAndProject bottom-k (per-partition partials, no global
+    sort), then a G²-row broadcast pair join against k rows.  Under
+    saturation (fewer than k distinct shingles) the sample IS the
+    universe and the estimates pin to exact set arithmetic — the same
+    branch discipline as the KMV set-ops and CC savings operators."""
+    d = _t(spark, sf, "documents").select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    sh = d.filter(F.size("toks") >= 3).select(
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 2),"
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
+        ).alias("shingle"),
+    )
+    members = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    frac = members.select("srcs", F.expr(_frac48_expr("spark", "shingle")).alias("f"))
+    bottom = frac.orderBy("f").limit(_K).localCheckpoint()
+    # θ and saturation flag: 1 row, broadcast into the pair probe
+    theta = bottom.agg(
+        F.count("*").alias("n_kept"), F.max("f").alias("theta")
+    )
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")), F.col("src_a") < F.col("src_b"))
+    )
+    probe = pairs.join(F.broadcast(bottom), how="cross").select(
+        "src_a",
+        "src_b",
+        F.expr("CAST(array_contains(srcs, src_a) OR array_contains(srcs, src_b) AS INT)").alias("u"),
+        F.expr("CAST(array_contains(srcs, src_a) AND array_contains(srcs, src_b) AS INT)").alias("i"),
+    )
+    agg = probe.groupBy("src_a", "src_b").agg(
+        F.sum("u").cast("long").alias("n_pair_sample"),
+        F.sum("i").cast("long").alias("n_both"),
+    )
+    return (
+        agg.join(F.broadcast(theta), how="cross")
+        .select(
+            "src_a",
+            "src_b",
+            "n_pair_sample",
+            "n_both",
+            F.expr(
+                "ROUND(CASE WHEN n_pair_sample = 0 THEN 0.0"
+                " ELSE CAST(n_both AS DOUBLE) / n_pair_sample END, 6)"
+            ).alias("est_jaccard"),
+            F.expr(
+                f"ROUND(CASE WHEN n_kept < {_K} THEN CAST(n_pair_sample AS DOUBLE)"
+                " ELSE n_pair_sample / theta END, 4)"
+            ).alias("est_union"),
+            F.expr(
+                f"ROUND(CASE WHEN n_kept < {_K} THEN CAST(n_both AS DOUBLE)"
+                " ELSE n_both / theta END, 4)"
+            ).alias("est_intersection"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_KMV_MATRIX_SQL = f"""
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT source, toks, UNNEST(range(1, len(toks) - 1)) AS i FROM d
+        WHERE len(toks) >= 3)
+), members AS (
+  SELECT shingle, list_sort(list(DISTINCT source)) AS srcs FROM sh GROUP BY shingle
+), frac AS (
+  SELECT srcs, {_frac48_expr('duck', 'shingle')} AS f FROM members
+), bottom AS (
+  SELECT srcs, f FROM frac ORDER BY f LIMIT {_K}
+), theta AS (
+  SELECT COUNT(*) AS n_kept, MAX(f) AS theta FROM bottom
+), srcs_t AS (
+  SELECT DISTINCT source FROM d
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs_t a JOIN srcs_t b ON a.source < b.source
+), probe AS (
+  SELECT src_a, src_b,
+         CAST(list_contains(srcs, src_a) OR list_contains(srcs, src_b) AS INT) AS u,
+         CAST(list_contains(srcs, src_a) AND list_contains(srcs, src_b) AS INT) AS i
+  FROM pairs, bottom
+), agg AS (
+  SELECT src_a, src_b, CAST(SUM(u) AS BIGINT) AS n_pair_sample,
+         CAST(SUM(i) AS BIGINT) AS n_both
+  FROM probe GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_pair_sample, n_both,
+       ROUND(CASE WHEN n_pair_sample = 0 THEN 0.0
+             ELSE CAST(n_both AS DOUBLE) / n_pair_sample END, 6) AS est_jaccard,
+       ROUND(CASE WHEN n_kept < {_K} THEN CAST(n_pair_sample AS DOUBLE)
+             ELSE n_pair_sample / theta END, 4) AS est_union,
+       ROUND(CASE WHEN n_kept < {_K} THEN CAST(n_both AS DOUBLE)
+             ELSE n_both / theta END, 4) AS est_intersection
+FROM agg, theta
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # histogram quantile sketch — fixed-bin mergeable quantile estimates
 # ---------------------------------------------------------------------------
 
@@ -633,6 +757,13 @@ ORDER BY grp, p
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_kmv_overlap_matrix": QuerySpec(
+        sketch_kmv_overlap_matrix,
+        _KMV_MATRIX_SQL,
+        "beyond-reference: all-pairs source overlap matrix from ONE global "
+        "bottom-k sample (theta-sketch subset estimation; exact-arithmetic "
+        "branch under saturation)",
+    ),
     "sketch_hist_quantile": QuerySpec(
         sketch_hist_quantile,
         _HQ_SQL,
