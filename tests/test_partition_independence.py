@@ -73,6 +73,11 @@ OPS = [
     "d13_procrustes",  # two power-iteration ordinations + closed-form SVD
     "d14_alpha_correlation",  # two mid-rank builds + permutation image joins
     "a23_source_mixture_profile",  # k-row Gini/entropy folds
+    # round-6 session-4 additions
+    "text_gopher_quality",  # higher-order array folds per row
+    "sketch_hist_quantile",  # bin CDF + pinned-order interpolation
+    "a24_skew_profile",  # count-of-counts CDF + exact Σcnt²
+    "sketch_kmv_overlap_matrix",  # global bottom-k + membership arrays
 ]
 
 
