@@ -293,6 +293,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "sketch_hist_quantile",
     "a24_skew_profile",
     "sketch_kmv_overlap_matrix",
+    "sample_epoch_shuffle",
 )
 
 

@@ -764,7 +764,81 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# epoch shuffle — the training-export last mile: deterministic global order
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+_EPOCH_SHARDS = 8
+
+
+def sample_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-deterministic global shuffle + shard assignment — the last
+    mile of a training-data pipeline: every epoch needs the corpus in a
+    DIFFERENT but REPRODUCIBLE random order, written as N independent
+    shard files.  Key = md5(epoch:doc_id); shard = key's first byte mod
+    N; position = rank of the key within (epoch, shard).  Each epoch is
+    a permutation of the corpus (asserted in tests); changing the epoch
+    changes every key, so epochs are independent shuffles; re-running
+    any epoch reproduces it bit-for-bit — no RNG state to persist.
+
+    Physical shape at 100 TB: one narrow map to (epoch, shard, key),
+    then ONE shuffle on (epoch, shard) with an IN-PARTITION sort — the
+    rank window never crosses shards, so this is exactly
+    ``repartition(epoch, shard) + sortWithinPartitions(key)`` feeding N
+    sorted shard files per epoch; no global sort ever exists.  Size N so
+    a shard fits an executor's write stream; E epochs are E map streams
+    off the same scan.  md5 keys make the order uniform AND portable —
+    the oracle reproduces every (shard, pos) exactly."""
+    d = _t(spark, sf, "documents")
+    hexpos = lambda i: f"(instr('{_HEX}', substr(k, {i}, 1)) - 1)"  # noqa: E731
+    keyed = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_EPOCHS)])).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        F.expr("md5(concat(CAST(epoch AS STRING), ':', CAST(doc_id AS STRING)))").alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard", F.expr(f"({hexpos(1)} * 16 + {hexpos(2)}) % {_EPOCH_SHARDS}")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k")
+    return sharded.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "doc_id",
+    )
+
+
+def _epoch_sql() -> str:
+    hexpos = lambda i: f"(strpos('{_HEX}', substr(k, {i}, 1)) - 1)"  # noqa: E731
+    return f"""
+WITH keyed AS (
+  SELECT epoch, doc_id,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents, (SELECT unnest(range(0, {_EPOCHS})) AS epoch)
+), sharded AS (
+  SELECT epoch, doc_id, k,
+         ({hexpos(1)} * 16 + {hexpos(2)}) % {_EPOCH_SHARDS} AS shard
+  FROM keyed
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, CAST(shard AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY k) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM sharded
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_epoch_shuffle": QuerySpec(
+        sample_epoch_shuffle,
+        _epoch_sql(),
+        "beyond-reference: epoch-deterministic global shuffle + shard "
+        "assignment (md5 order, one (epoch,shard) shuffle with in-partition "
+        "sort — the shuffled-shard training export)",
+    ),
     "a23_source_mixture_profile": QuerySpec(
         a23_source_mixture_profile,
         _MIXPROF_SQL,

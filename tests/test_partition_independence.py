@@ -78,6 +78,7 @@ OPS = [
     "sketch_hist_quantile",  # bin CDF + pinned-order interpolation
     "a24_skew_profile",  # count-of-counts CDF + exact Σcnt²
     "sketch_kmv_overlap_matrix",  # global bottom-k + membership arrays
+    "sample_epoch_shuffle",  # md5-ranked (epoch, shard) positions
 ]
 
 
