@@ -294,6 +294,10 @@ _GATE_TAIL: tuple[str, ...] = (
     "a24_skew_profile",
     "sketch_kmv_overlap_matrix",
     "sample_epoch_shuffle",
+    "ann_srp_lsh_topk",
+    "embed_random_projection",
+    "dedup_span_topk",
+    "text_ccnet_buckets",
 )
 
 

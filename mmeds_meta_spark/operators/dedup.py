@@ -1399,6 +1399,88 @@ FROM agg
 """
 
 
+_SPAN_TOPK = 20  # report rows
+
+
+def dedup_span_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Most-duplicated-passages report: the top-{k} corpus-wide duplicated
+    {w}-token spans by occurrence count — the diagnostic a curation team
+    reads BEFORE running span removal (Lee et al. 2022 §4 reports exactly
+    this table: the most-repeated training passages are boilerplate,
+    licenses, navigation chrome).  Output per span: occurrences, distinct
+    documents containing it, the smallest containing doc_id as a lookup
+    example, and the span length.
+
+    Physical shape at 100 TB: identical to dedup_span_exact's count side
+    — narrow span explode, ONE partial-agg shuffle on md5(span) (uniform
+    keys); the distinct-doc count rides the same shuffle via a two-level
+    (h, doc_id) pre-aggregation rather than a COUNT(DISTINCT) expand;
+    top-k is TakeOrderedAndProject (per-partition partial top-k), never a
+    global sort.  Only hashes and counts shuffle — span text stays in the
+    map stage (span_chars is computed before the exchange)."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {_SPAN_K}),"
+                f" s -> array_join(slice(toks, s + 1, {_SPAN_K}), ' '))"
+            )
+        ).alias("span_text"),
+    ).select(
+        "doc_id", F.md5("span_text").alias("h"), F.length("span_text").alias("chars")
+    )
+    per_doc = spans.groupBy("h", "doc_id").agg(
+        F.count("*").alias("n_in_doc"), F.min("chars").alias("chars")
+    )
+    counts = per_doc.groupBy("h").agg(
+        F.sum("n_in_doc").cast("long").alias("n_occ"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("example_doc_id"),
+        F.min("chars").cast("long").alias("span_chars"),
+    )
+    topk = (
+        counts.filter(F.col("n_occ") > 1)
+        .orderBy(F.col("n_occ").desc(), F.col("h"))
+        .limit(_SPAN_TOPK)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n_occ").desc(), F.col("h"))).cast("long"),
+    ).select("rank", F.col("h").alias("span_h"), "n_occ", "n_docs", "example_doc_id", "span_chars")
+
+
+dedup_span_topk.__doc__ = dedup_span_topk.__doc__.format(k=_SPAN_TOPK, w=_SPAN_K)
+
+_SPAN_TOPK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks), {_SPAN_K})) AS s FROM d
+), sp AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[s + 1 : s + {_SPAN_K}], ' ')) AS h,
+         length(array_to_string(toks[s + 1 : s + {_SPAN_K}], ' ')) AS chars
+  FROM starts
+), per_doc AS (
+  SELECT h, doc_id, COUNT(*) AS n_in_doc, MIN(chars) AS chars
+  FROM sp GROUP BY h, doc_id
+), counts AS (
+  SELECT h, CAST(SUM(n_in_doc) AS BIGINT) AS n_occ,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS example_doc_id,
+         CAST(MIN(chars) AS BIGINT) AS span_chars
+  FROM per_doc GROUP BY h
+), ranked AS (
+  SELECT h, n_occ, n_docs, example_doc_id, span_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, h) AS BIGINT) AS rank
+  FROM counts WHERE n_occ > 1
+)
+SELECT rank, h AS span_h, n_occ, n_docs, example_doc_id, span_chars
+FROM ranked WHERE rank <= {_SPAN_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtered exact similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------
@@ -1723,6 +1805,12 @@ QUERIES: dict[str, QuerySpec] = {
         _SPAN_SQL,
         "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
         "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
+    "dedup_span_topk": QuerySpec(
+        dedup_span_topk,
+        _SPAN_TOPK_SQL,
+        "LLM-pipeline dedup diagnostics (most-duplicated-passages report, "
+        "Lee et al. 2022 §4; counts-only shuffle + TakeOrdered top-k)",
     ),
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components,

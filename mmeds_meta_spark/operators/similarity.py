@@ -542,6 +542,213 @@ SELECT rank, vec_id, label, bucket, approx_d2 FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# SRP-LSH — signed-random-projection (Charikar 2002) cosine LSH top-k
+# ---------------------------------------------------------------------------
+
+_SRP_BITS = 16  # signature length
+_SRP_BAND_W = 4  # bits per band → 4 bands; ≥1 shared band = candidate
+_SRP_DIM = 64  # embedding dimensionality (testdata contract)
+
+
+def _rademacher(salt: str, rows: int, dims: int) -> list[list[float]]:
+    """rows×dims matrix of ±1.0 derived from md5 — the same deterministic,
+    engine-independent derivation both the Spark plan and the DuckDB
+    oracle embed as literals, so signatures agree bit-for-bit.  A
+    Rademacher matrix is a valid SRP/JL projection (Achlioptas 2003:
+    database-friendly random projections)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dims)
+        ]
+        for j in range(rows)
+    ]
+
+
+def _lit_vec_spark(vals: list[float]) -> str:
+    return "array(" + ",".join(f"{v:.1f}D" for v in vals) + ")"
+
+
+def _lit_vec_duck(vals: list[float]) -> str:
+    return "[" + ",".join(f"{v:.1f}" for v in vals) + "]"
+
+
+def _srp_sig_expr(dialect: str, vec: str) -> str:
+    """16-char '0'/'1' signature string for vector column ``vec``.
+
+    Each bit is the sign of a Rademacher dot product.  Both engines fold
+    the product left-to-right over the same doubles (Spark ``aggregate``
+    over ``zip_with``; DuckDB ``list_dot_product``), and the dot is
+    rounded to 4dp before the sign test so a summation-order epsilon can
+    never flip a bit near zero."""
+    signs = _rademacher("srp", _SRP_BITS, _SRP_DIM)
+    bits = []
+    for j in range(_SRP_BITS):
+        if dialect == "spark":
+            dot = _DOT.format(a=vec, b=_lit_vec_spark(signs[j]))
+        else:
+            dot = f"list_dot_product({vec}, {_lit_vec_duck(signs[j])})"
+        bits.append(f"(CASE WHEN ROUND({dot}, 4) >= 0 THEN '1' ELSE '0' END)")
+    return "CONCAT(" + ", ".join(bits) + ")"
+
+
+def ann_srp_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH approximate cosine top-k (Charikar 2002 simhash-for-vectors
+    — the hyperplane-LSH ANN family, complementing the IVF and PQ
+    families): every vector gets a {bits}-bit signature (sign of
+    {bits} Rademacher projections), split into {bands} bands of
+    {w} bits; any vector sharing ≥1 band with the query is a candidate;
+    candidates are re-ranked by EXACT cosine.
+
+    Physical shape at 100 TB: the signature is a narrow map (pure
+    column arithmetic, whole-stage codegen — no Python); the band
+    explode emits {bands} rows/vector; the probe side is the query's
+    {bands} band keys — a BROADCAST hash join, so the corpus never
+    shuffles; the candidate set is bucket-local and the exact re-rank
+    is TakeOrderedAndProject over candidates only.  Recall tunes with
+    bands×bits like every LSH: more bands → more candidates."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    sig = e.withColumn("sig", F.expr(_srp_sig_expr("spark", "v")))
+    bands = sig.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(f"substr(sig, {b * _SRP_BAND_W + 1}, {_SRP_BAND_W})").alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(_SRP_BITS // _SRP_BAND_W)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "label", "v", "bk.band_idx", "bk.band_key")
+    qbands = bands.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        "band_idx", F.col("band_key").alias("q_key"), F.col("v").alias("qv")
+    )
+    cand = (
+        bands.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(
+            F.broadcast(qbands),
+            (F.col("band_key") == F.col("q_key")) & (bands.band_idx == qbands.band_idx),
+        )
+        .select("vec_id", "label", "v", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    cos_q = F.expr(
+        f"ROUND({_DOT.format(a='v', b='qv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='qv', b='qv')})), 4)"
+    )
+    topk = (
+        cand.withColumn("cos_sim", cos_q)
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    ).select("rank", "vec_id", "label", "cos_sim")
+
+
+ann_srp_lsh_topk.__doc__ = ann_srp_lsh_topk.__doc__.format(
+    bits=_SRP_BITS, bands=_SRP_BITS // _SRP_BAND_W, w=_SRP_BAND_W
+)
+
+
+def _srp_sql() -> str:
+    n_bands = _SRP_BITS // _SRP_BAND_W
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, label, v, {_srp_sig_expr('duck', 'v')} AS sig FROM e
+), bands AS (
+  SELECT vec_id, label, v, b.band_idx,
+         substr(sig, b.band_idx * {_SRP_BAND_W} + 1, {_SRP_BAND_W}) AS band_key
+  FROM sig, (SELECT UNNEST(range(0, {n_bands})) AS band_idx) b
+), qb AS (
+  SELECT band_idx, band_key AS q_key, v AS qv FROM bands WHERE vec_id = {_QUERY_VEC_ID}
+), cand AS (
+  SELECT DISTINCT ON (bd.vec_id) bd.vec_id, bd.label, bd.v, qb.qv
+  FROM bands bd JOIN qb ON bd.band_idx = qb.band_idx AND bd.band_key = qb.q_key
+  WHERE bd.vec_id != {_QUERY_VEC_ID}
+  ORDER BY bd.vec_id
+), scored AS (
+  SELECT vec_id, label,
+         ROUND(list_dot_product(v, qv)
+               / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cos_sim
+  FROM cand
+), ranked AS (
+  SELECT vec_id, label, cos_sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# JL random projection — 64-dim → 8-dim sketch vectors
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 8  # target dimensionality
+
+
+def embed_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project every
+    64-dim embedding to {k} dims with a fixed Rademacher matrix scaled by
+    1/sqrt({k}) (Achlioptas 2003's database-friendly JL construction).
+    The standard pre-step before clustering/dedup over billions of
+    embeddings — an 8× narrower vector cuts every downstream shuffle and
+    pair computation by the same factor while preserving pairwise
+    distances to (1±ε).
+
+    Physical shape: a pure narrow map — {k} fused dot products per row
+    inside whole-stage codegen; no shuffle, no Python, no state.  Output
+    is one DOUBLE column per target dim (rounded 6dp on both engines on
+    top of bit-identical fold order)."""
+    signs = _rademacher("jl", _JL_OUT, _SRP_DIM)
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    scale = f"SQRT(CAST({_JL_OUT} AS DOUBLE))"
+    cols = [
+        F.expr(f"ROUND({_DOT.format(a='v', b=_lit_vec_spark(signs[j]))} / {scale}, 6)").alias(
+            f"y{j}"
+        )
+        for j in range(_JL_OUT)
+    ]
+    return e.select("vec_id", "label", *cols)
+
+
+embed_random_projection.__doc__ = embed_random_projection.__doc__.format(k=_JL_OUT)
+
+
+def _jl_sql() -> str:
+    signs = _rademacher("jl", _JL_OUT, _SRP_DIM)
+    scale = f"SQRT(CAST({_JL_OUT} AS DOUBLE))"
+    cols = ",\n       ".join(
+        f"ROUND(list_dot_product(v, {_lit_vec_duck(signs[j])}) / {scale}, 6) AS y{j}"
+        for j in range(_JL_OUT)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, label,
+       {cols}
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
     "embed_quantize_int8": QuerySpec(
@@ -560,5 +767,15 @@ QUERIES: dict[str, QuerySpec] = {
         ann_ivf_pq_topk,
         _IVF_PQ_SQL,
         "beyond-reference: IVF-PQ (coarse bucket restriction × PQ code scan)",
+    ),
+    "ann_srp_lsh_topk": QuerySpec(
+        ann_srp_lsh_topk,
+        _srp_sql(),
+        "beyond-reference: signed-random-projection cosine LSH (Charikar 2002)",
+    ),
+    "embed_random_projection": QuerySpec(
+        embed_random_projection,
+        _jl_sql(),
+        "beyond-reference: JL Rademacher random projection 64→8 dims (Achlioptas 2003)",
     ),
 }

@@ -419,6 +419,78 @@ FROM per_doc
 """
 
 
+def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): split each
+    language's documents into head / middle / tail by LM perplexity —
+    head = the lowest-perplexity (most Wikipedia-like) third, tail = the
+    highest.  CCNet trains on head+middle and discards or down-weights
+    tail; this emits the assignment so the downstream sampler can weight
+    buckets.
+
+    Cutoffs are by perplexity VALUE, not per-document rank: every doc
+    sharing a ppl value lands in the same bucket (CCNet thresholds the
+    perplexity distribution, not the ordinal).  The bucket rule is pure
+    integer arithmetic — value v is 'head' while 3·cum_le(v) ≤ n_lang —
+    so both engines agree exactly with no double comparisons.
+
+    Physical shape at 100 TB: the per-doc score is text_lm_score's plan
+    (broadcast vocab — no token-key shuffle); the cutoff computation
+    windows over the DISTINCT (lang, ppl) value histogram, which is
+    orders of magnitude smaller than the corpus (and per-lang serial only
+    over that histogram — the production variant snaps cutoffs from a
+    sampled histogram, same join shape); the bucket assignment joins the
+    value→bucket map back on (lang, ppl) — broadcastable whenever the
+    histogram is."""
+    scores = text_lm_score(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    j = scores.join(d, "doc_id").select("doc_id", "lang", "ppl_proxy")
+    vals = j.groupBy("lang", "ppl_proxy").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ppl_proxy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("lang")
+    buckets = (
+        vals.withColumn("cum_le", F.sum("cnt").over(w))
+        .withColumn("n_lang", F.sum("cnt").over(wn))
+        .select(
+            "lang",
+            "ppl_proxy",
+            F.when(F.col("cum_le") * 3 <= F.col("n_lang"), F.lit("head"))
+            .when(F.col("cum_le") * 3 <= F.col("n_lang") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ccnet_bucket"),
+        )
+    )
+    return j.join(buckets, ["lang", "ppl_proxy"]).select(
+        "doc_id", "lang", "ppl_proxy", "ccnet_bucket"
+    )
+
+
+_CCNET_SQL = f"""
+WITH lm AS ({_LM_SCORE_SQL}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.ppl_proxy
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+), vals AS (
+  SELECT lang, ppl_proxy, COUNT(*) AS cnt FROM j GROUP BY lang, ppl_proxy
+), buckets AS (
+  SELECT lang, ppl_proxy,
+         CASE WHEN SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_proxy
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+                   <= SUM(cnt) OVER (PARTITION BY lang) THEN 'head'
+              WHEN SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_proxy
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+                   <= SUM(cnt) OVER (PARTITION BY lang) * 2 THEN 'middle'
+              ELSE 'tail' END AS ccnet_bucket
+  FROM vals
+)
+SELECT j.doc_id, j.lang, j.ppl_proxy, b.ccnet_bucket
+FROM j JOIN buckets b ON b.lang = j.lang AND b.ppl_proxy = j.ppl_proxy
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
@@ -1019,6 +1091,12 @@ QUERIES: dict[str, QuerySpec] = {
         _LM_SCORE_SQL,
         "LLM-pipeline text (CCNet-style unigram-LM perplexity proxy: "
         "capped-vocab train + broadcast apply in one plan)",
+    ),
+    "text_ccnet_buckets": QuerySpec(
+        text_ccnet_buckets,
+        _CCNET_SQL,
+        "LLM-pipeline text (CCNet head/middle/tail per-language perplexity "
+        "terciles, Wenzek et al. 2020; value-histogram cutoffs)",
     ),
     "text_pii_scrub": QuerySpec(
         text_pii_scrub,

@@ -1,0 +1,77 @@
+"""dedup_span_topk report invariants + CCNet bucket partition laws."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.dedup import _SPAN_TOPK, dedup_span_topk
+from mmeds_meta_spark.operators.text import text_ccnet_buckets
+
+
+def test_span_topk_report_invariants(spark):
+    rows = dedup_span_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _SPAN_TOPK
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r.n_occ for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        assert r.n_occ > 1  # only duplicated spans make the report
+        assert 1 <= r.n_docs <= r.n_occ  # a doc can repeat a span internally
+        assert r.span_chars >= 0
+        assert len(r.span_h) == 32  # md5 hex
+
+
+def test_span_topk_example_doc_contains_span(spark):
+    """The example doc must actually contain a span hashing to span_h."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.operators.dedup import _SPAN_K
+    from mmeds_meta_spark.testdata import table as _t
+
+    top = dedup_span_topk(spark, SF_SMOKE).limit(3).collect()
+    d = _t(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {_SPAN_K}),"
+                f" s -> md5(array_join(slice(toks, s + 1, {_SPAN_K}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    have = {
+        (r.doc_id, r.h)
+        for r in spans.filter(
+            F.col("h").isin([t.span_h for t in top])
+        ).collect()
+    }
+    for t in top:
+        assert (t.example_doc_id, t.span_h) in have
+
+
+def test_ccnet_buckets_partition_laws(spark):
+    rows = text_ccnet_buckets(spark, SF_SMOKE).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.ccnet_bucket in ("head", "middle", "tail")
+        by_lang.setdefault(r.lang, []).append(r)
+    # every document is assigned exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for lang, rs in by_lang.items():
+        # bucket order respects perplexity: max(head) <= min(middle) <= ...
+        ppl = {b: [r.ppl_proxy for r in rs if r.ccnet_bucket == b] for b in ("head", "middle", "tail")}
+        if ppl["head"] and ppl["middle"]:
+            assert max(ppl["head"]) <= min(ppl["middle"])
+        if ppl["middle"] and ppl["tail"]:
+            assert max(ppl["middle"]) <= min(ppl["tail"])
+        # value-level assignment: same ppl value → same bucket
+        seen: dict[float, str] = {}
+        for r in rs:
+            assert seen.setdefault(r.ppl_proxy, r.ccnet_bucket) == r.ccnet_bucket
+        # head never exceeds a third of the language (cum_le*3 <= n rule);
+        # ties can only SHRINK head, never grow it
+        n = len(rs)
+        assert len(ppl["head"]) * 3 <= n
