@@ -71,6 +71,9 @@ HEAVY = [
     # round-6 session-3: the double-ordination composition (2 × 24 matvec
     # steps over two metrics + the closed-form SVD)
     "d13_procrustes",
+    # round-6 session-5: the iterative BPE merge trainer (8 × pair-count
+    # shuffle + argmax + narrow fold over the word-frequency table)
+    "text_bpe_train",
 ]
 
 

@@ -298,12 +298,14 @@ _GATE_TAIL: tuple[str, ...] = (
     "embed_random_projection",
     "dedup_span_topk",
     "text_ccnet_buckets",
+    "text_bpe_train",
 )
 
 
 def registry() -> dict[str, QuerySpec]:
     """Assemble the full operator registry (import-light until called)."""
     from . import (
+        bpe,
         dedup,
         diversity,
         filters_misc,
@@ -319,7 +321,7 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}

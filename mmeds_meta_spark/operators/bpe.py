@@ -1,0 +1,222 @@
+"""BPE merge-table training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — the tokenizer-training
+step of an LLM data pipeline, as a Spark iterative operator.
+
+The classic trainer never touches the corpus after one pass: it runs on
+the WORD-FREQUENCY table (vocab ≪ corpus — the 100 TB corpus collapses
+to at most a few hundred million distinct words, and Zipf makes the
+weighted pair counts identical to corpus-level counts).  Each merge
+step is:
+
+1. pair counts: one partial-agg shuffle over the vocab's adjacent
+   symbol pairs, weighted by word frequency;
+2. argmax pair: ``orderBy(count DESC, lhs, rhs).limit(1)`` —
+   TakeOrderedAndProject, ONE row collected to the driver per merge
+   (the same bounded-collect contract as kmeans' k seed rows);
+3. merge application: a narrow higher-order fold over each word's
+   symbol array — greedy left-to-right non-overlapping replacement,
+   the exact BPE semantics (after [a,a,a] merges (a,a) the result is
+   [aa,a], never [a,aa]).
+
+Lineage is truncated with an eager ``localCheckpoint`` every two merges
+(the repo's iterative-operator convention, cf. d2_pcoa_power): the
+vocab table is small, and without the checkpoint each step nests
+another fold expression into the plan until codegen falls back to
+interpreted mode.
+
+The DuckDB oracle replays the identical algorithm as ONE chained-CTE
+query: per step, pair counts → scalar best-pair CTE → greedy merge via
+the run/offset window identity (greedy left-to-right non-overlap ==
+keeping the even offsets within each maximal run of consecutive
+candidate positions) → rebuild.  Cross-engine determinism: weighted
+counts are exact integers; ties break on (count DESC, lhs ASC, rhs ASC)
+under binary string collation on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
+from . import QuerySpec
+
+_N_MERGES = 8
+_EOW = "</w>"  # end-of-word marker (Sennrich's word-boundary symbol)
+
+
+def _word_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """(word, freq, syms): corpus → word-frequency table → per-word
+    character-symbol arrays with the end-of-word marker appended."""
+    d = _t(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    return vocab.select(
+        "w",
+        "freq",
+        F.expr(f"concat(regexp_extract_all(w, '.', 0), array('{_EOW}'))").alias("syms"),
+    )
+
+
+def _pair_counts(syms_df: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency — one shuffle."""
+    pairs = syms_df.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "zip_with(slice(syms, 1, size(syms) - 1),"
+                " slice(syms, 2, size(syms) - 1),"
+                " (a, b) -> struct(a AS lhs, b AS rhs))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("freq").cast("long").alias("cnt"))
+
+
+def _merge_fold(lhs: str, rhs: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (lhs, rhs) in the
+    ``syms`` array, as a single narrow fold (no UDF, no shuffle).
+    ``try_element_at`` keeps the lookahead ANSI-safe at the last index."""
+    syms = F.col("syms")
+
+    def step(st, i):
+        pair_here = (
+            F.when(i < F.size(syms), F.try_element_at(syms, i + F.lit(1))).otherwise(
+                F.lit(None)
+            )
+            == F.lit(rhs)
+        ) & (F.element_at(syms, i) == F.lit(lhs))
+        return (
+            F.when(st["skip"], F.struct(st["out"].alias("out"), F.lit(False).alias("skip")))
+            .when(
+                pair_here,
+                F.struct(
+                    F.concat(st["out"], F.array(F.lit(lhs + rhs))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["out"], F.array(F.element_at(syms, i))).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"), F.lit(False).alias("skip")
+    )
+    # guard: sequence(1, 0) DESCENDS in Spark, so an empty syms array would
+    # index element_at(syms, 1) and throw under ANSI — pass it through as-is
+    return F.when(F.size(syms) < 1, syms).otherwise(
+        F.aggregate(F.sequence(F.lit(1), F.size(syms)), init, step, lambda st: st["out"])
+    )
+
+
+def bpe_train(spark: SparkSession, sf: str, *, n_merges: int = _N_MERGES) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over the documents corpus;
+    returns the merge table (step, lhs, rhs, pair_count)."""
+    syms_df = _word_symbols(spark, sf).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        best = (
+            _pair_counts(syms_df)
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — nothing left to pair
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].cnt
+        merges.append((step_no, lhs, rhs, cnt))
+        syms_df = syms_df.withColumn("syms", _merge_fold(lhs, rhs))
+        if step_no % 2 == 0:  # truncate the fold-expression lineage
+            syms_df = syms_df.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    return bpe_train(spark, sf)
+
+
+def bpe_encode(syms_df: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply a trained merge table to a (w, freq, syms) table in rank
+    order — the encode half of BPE, for tests and downstream token
+    counting.  Pure narrow folds; no shuffle.  Same every-2-merges eager
+    checkpoint as the trainer — 8 nested folds in ONE plan push codegen
+    past the JIT limit and analysis time explodes."""
+    for i, (_, lhs, rhs, _) in enumerate(sorted(merges), start=1):
+        syms_df = syms_df.withColumn("syms", _merge_fold(lhs, rhs))
+        if i % 2 == 0:
+            syms_df = syms_df.localCheckpoint(eager=True)
+    return syms_df
+
+
+def _bpe_sql(n_merges: int = _N_MERGES) -> str:
+    """The chained-CTE oracle: one CTE block per merge step."""
+    parts = [
+        f"""
+WITH s0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         list_append(regexp_extract_all(w, '.'), '{_EOW}') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""
+, pc{k} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM s{p}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+), best{k} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM pc{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+), pos{k} AS MATERIALIZED (
+  SELECT w, freq, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym FROM s{p}
+), cand{k} AS (
+  SELECT a.w, a.i
+  FROM pos{k} a JOIN pos{k} b ON b.w = a.w AND b.i = a.i + 1
+  CROSS JOIN best{k} m
+  WHERE a.sym = m.lhs AND b.sym = m.rhs
+), keep{k} AS MATERIALIZED (
+  -- greedy left-to-right non-overlap == even offsets within each
+  -- maximal run of consecutive candidate positions
+  SELECT w, i FROM (
+    SELECT w, i, i - MIN(i) OVER (PARTITION BY w, grp) AS off FROM (
+      SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM cand{k}
+    )
+  ) WHERE off % 2 = 0
+), s{k} AS MATERIALIZED (
+  SELECT p.w, p.freq,
+         list(CASE WHEN kk.i IS NOT NULL THEN m.lhs || m.rhs ELSE p.sym END
+              ORDER BY p.i) AS syms
+  FROM pos{k} p
+  CROSS JOIN best{k} m
+  LEFT JOIN keep{k} kk ON kk.w = p.w AND kk.i = p.i
+  LEFT JOIN keep{k} kp ON kp.w = p.w AND kp.i = p.i - 1
+  WHERE kp.i IS NULL
+  GROUP BY p.w, p.freq
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT step, lhs, rhs, pair_count FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_bpe_train": QuerySpec(
+        text_bpe_train,
+        _bpe_sql(),
+        "beyond-reference: BPE merge-table training (Sennrich et al. 2016) — "
+        "iterative argmax-merge over the word-frequency table; oracle is the "
+        "same algorithm as one chained-CTE query",
+    ),
+}

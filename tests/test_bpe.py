@@ -1,0 +1,83 @@
+"""BPE trainer: hand-computed fixture, greedy-overlap law, encode idempotence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.bpe import (
+    _EOW,
+    _merge_fold,
+    _pair_counts,
+    bpe_encode,
+    bpe_train,
+    text_bpe_train,
+)
+
+
+def _syms_df(spark, rows):
+    """rows: list of (word, freq) → (w, freq, syms) with char symbols + EOW."""
+    df = spark.createDataFrame(rows, "w STRING, freq BIGINT")
+    return df.withColumn(
+        "syms", F.expr(f"concat(regexp_extract_all(w, '.', 0), array('{_EOW}'))")
+    )
+
+
+def test_merge_fold_is_greedy_left_to_right(spark):
+    """[a,a,a] under merge (a,a) → [aa,a]; [a,b,a,b] under (a,b) → [ab,ab]."""
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],), ([],)],
+        "syms ARRAY<STRING>",
+    )
+    got_aa = [r.m for r in df.select(_merge_fold("a", "a").alias("m")).collect()]
+    assert got_aa[0] == ["aa", "a"]
+    got_ab = [r.m for r in df.select(_merge_fold("a", "b").alias("m")).collect()]
+    assert got_ab[1] == ["ab", "ab"]
+    assert got_ab[2] == ["x"]  # single symbol untouched
+    assert got_ab[3] == []  # empty array untouched
+
+
+def test_bpe_train_hand_fixture(spark, tmp_path, monkeypatch):
+    """Tiny corpus where the merge sequence is known by hand:
+    'low' ×5, 'lower' ×2 — classic Sennrich example shape."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2), "en", "s", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = tmp_path / "fixture"
+    docs.write.parquet(str(d / "documents.parquet"))
+    merges = bpe_train(spark, str(d), n_merges=3).collect()
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,r)=2,
+    # (r,</w>)=2 → ties (l,o)/(o,w) at 7 break lexicographically → (l,o)
+    assert (merges[0].lhs, merges[0].rhs, merges[0].pair_count) == ("l", "o", 7)
+    # round 2: (lo,w)=7 wins
+    assert (merges[1].lhs, merges[1].rhs, merges[1].pair_count) == ("lo", "w", 7)
+    # round 3: (low,</w>)=5 wins over (low,e)=2
+    assert (merges[2].lhs, merges[2].rhs, merges[2].pair_count) == ("low", _EOW, 5)
+
+
+def test_bpe_encode_consumes_trained_pairs(spark):
+    """After applying the trained merges, none of the merged pairs may
+    remain adjacent in any word (each pair is fully consumed greedily)."""
+    merges = [tuple(r) for r in text_bpe_train(spark, SF_SMOKE).collect()]
+    assert len(merges) == 8
+    assert len({(l, r) for _, l, r, _ in merges}) == 8  # no pair repeats
+    from mmeds_meta_spark.operators.bpe import _word_symbols
+
+    encoded = bpe_encode(_word_symbols(spark, SF_SMOKE), merges)
+    remaining = {(r.lhs, r.rhs) for r in _pair_counts(encoded).collect()}
+    for _, l, r, _ in merges:
+        assert (l, r) not in remaining
+    # every emitted symbol reassembles its word exactly
+    bad = encoded.filter(
+        F.expr(f"array_join(syms, '') != concat(w, '{_EOW}')")
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_counts_are_freq_weighted(spark):
+    df = _syms_df(spark, [("ab", 10), ("ab", 0), ("ba", 1)])
+    counts = {(r.lhs, r.rhs): r.cnt for r in _pair_counts(df).collect()}
+    assert counts[("a", "b")] == 10  # weighted by freq, not row count
+    assert counts[("b", "a")] == 1
