@@ -79,6 +79,12 @@ OPS = [
     "a24_skew_profile",  # count-of-counts CDF + exact Σcnt²
     "sketch_kmv_overlap_matrix",  # global bottom-k + membership arrays
     "sample_epoch_shuffle",  # md5-ranked (epoch, shard) positions
+    # round-6 session-5 additions
+    "ann_srp_lsh_topk",  # sign-bit signatures + banded candidate join
+    "embed_random_projection",  # fixed-order Rademacher dot folds
+    "dedup_span_topk",  # two-level (h, doc) pre-agg + TakeOrdered
+    "text_ccnet_buckets",  # value-histogram cum counts per lang
+    "text_bpe_train",  # iterative argmax over weighted pair counts
 ]
 
 
