@@ -299,6 +299,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "dedup_span_topk",
     "text_ccnet_buckets",
     "text_bpe_train",
+    "text_bpe_token_count",
 )
 
 

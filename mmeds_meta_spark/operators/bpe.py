@@ -113,9 +113,12 @@ def _merge_fold(lhs: str, rhs: str) -> F.Column:
     )
 
 
-def bpe_train(spark: SparkSession, sf: str, *, n_merges: int = _N_MERGES) -> DataFrame:
-    """Train the first ``n_merges`` BPE merges over the documents corpus;
-    returns the merge table (step, lhs, rhs, pair_count)."""
+def _train(
+    spark: SparkSession, sf: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge loop; returns (merge table, final encoded vocab) —
+    the trainer's last state IS the corpus vocabulary with every merge
+    applied, so the encode side comes for free."""
     syms_df = _word_symbols(spark, sf).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step_no in range(1, n_merges + 1):
@@ -132,6 +135,13 @@ def bpe_train(spark: SparkSession, sf: str, *, n_merges: int = _N_MERGES) -> Dat
         syms_df = syms_df.withColumn("syms", _merge_fold(lhs, rhs))
         if step_no % 2 == 0:  # truncate the fold-expression lineage
             syms_df = syms_df.localCheckpoint(eager=True)
+    return merges, syms_df
+
+
+def bpe_train(spark: SparkSession, sf: str, *, n_merges: int = _N_MERGES) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over the documents corpus;
+    returns the merge table (step, lhs, rhs, pair_count)."""
+    merges, _ = _train(spark, sf, n_merges)
     return spark.createDataFrame(
         merges, "step BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
     )
@@ -139,6 +149,29 @@ def bpe_train(spark: SparkSession, sf: str, *, n_merges: int = _N_MERGES) -> Dat
 
 def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(spark, sf)
+
+
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The apply half at corpus scale: per-document BPE token counts
+    under the freshly trained merge table — the number every packing /
+    budget / mixture step actually needs (token counts under the REAL
+    tokenizer, not the whitespace proxy).
+
+    Physical shape at 100 TB: the encoded vocabulary (trainer's final
+    state — word → merged symbol count) is vocab-sized, so the apply is
+    ONE equi-join of exploded words against it (AQE broadcasts it while
+    it fits, shuffles on the word key otherwise — never a per-doc
+    re-tokenization) followed by one per-doc partial agg."""
+    _, syms_df = _train(spark, sf, _N_MERGES)
+    enc = syms_df.select("w", F.size("syms").alias("n_sym"))
+    d = _t(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return words.join(enc, "w").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
 
 
 def bpe_encode(syms_df: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
@@ -154,8 +187,8 @@ def bpe_encode(syms_df: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
     return syms_df
 
 
-def _bpe_sql(n_merges: int = _N_MERGES) -> str:
-    """The chained-CTE oracle: one CTE block per merge step."""
+def _bpe_chain(n_merges: int = _N_MERGES) -> str:
+    """The shared chained-CTE prefix: s0 + one merge-step block per step."""
     parts = [
         f"""
 WITH s0 AS MATERIALIZED (
@@ -203,12 +236,35 @@ WITH s0 AS MATERIALIZED (
   GROUP BY p.w, p.freq
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = _N_MERGES) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
     )
-    parts.append(f"\nSELECT step, lhs, rhs, pair_count FROM ({union}) ORDER BY step")
-    return "".join(parts)
+    return (
+        _bpe_chain(n_merges)
+        + f"\nSELECT step, lhs, rhs, pair_count FROM ({union}) ORDER BY step"
+    )
+
+
+def _bpe_count_sql(n_merges: int = _N_MERGES) -> str:
+    return (
+        _bpe_chain(n_merges)
+        + f"""
+, enc AS (SELECT w, len(syms) AS n_sym FROM s{n_merges})
+, tokw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tokw JOIN enc USING (w)
+WHERE w != ''
+GROUP BY doc_id
+"""
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -218,5 +274,11 @@ QUERIES: dict[str, QuerySpec] = {
         "beyond-reference: BPE merge-table training (Sennrich et al. 2016) — "
         "iterative argmax-merge over the word-frequency table; oracle is the "
         "same algorithm as one chained-CTE query",
+    ),
+    "text_bpe_token_count": QuerySpec(
+        text_bpe_token_count,
+        _bpe_count_sql(),
+        "beyond-reference: per-document token counts under the trained BPE "
+        "merges (the apply half — one vocab equi-join, no per-doc re-tokenize)",
     ),
 }

@@ -81,3 +81,21 @@ def test_bpe_counts_are_freq_weighted(spark):
     counts = {(r.lhs, r.rhs): r.cnt for r in _pair_counts(df).collect()}
     assert counts[("a", "b")] == 10  # weighted by freq, not row count
     assert counts[("b", "a")] == 1
+
+
+def test_bpe_token_count_laws(spark):
+    """BPE tokens ≤ char count + 1 per word, ≥ 1 per word; merging only
+    ever shrinks counts, so n_bpe_tokens ≤ chars+words and ≥ n_words."""
+    from mmeds_meta_spark.operators.bpe import text_bpe_token_count
+    from mmeds_meta_spark.testdata import table as _t
+
+    got = {r.doc_id: r for r in text_bpe_token_count(spark, SF_SMOKE).collect()}
+    docs = _t(spark, SF_SMOKE, "documents").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        r = got[d.doc_id]
+        assert r.n_words == len(words)
+        assert len(words) <= r.n_bpe_tokens  # each word ≥ 1 token
+        # upper bound: chars + EOW marker per word, merges only shrink
+        assert r.n_bpe_tokens <= sum(len(w) + 1 for w in words)
