@@ -300,6 +300,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_ccnet_buckets",
     "text_bpe_train",
     "text_bpe_token_count",
+    "text_bpe_vocab",
 )
 
 

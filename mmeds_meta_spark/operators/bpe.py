@@ -187,6 +187,38 @@ def bpe_encode(syms_df: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
     return syms_df
 
 
+_VOCAB_TOPK = 30
+
+
+def text_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """The vocabulary file a trained tokenizer ships: the top-{k}
+    subword units by corpus occurrence after the trained merges are
+    applied (character symbols that survived + merged units), weighted
+    by word frequency.
+
+    Physical shape: the trainer's final vocab state exploded once —
+    subword counting is a partial-agg shuffle over vocab-sized input,
+    and the report is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    _, syms_df = _train(spark, sf, _N_MERGES)
+    counts = (
+        syms_df.select("freq", F.explode("syms").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("long").alias("n_occ"))
+    )
+    topk = counts.orderBy(F.col("n_occ").desc(), "subword").limit(_VOCAB_TOPK)
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occ").desc(), F.col("subword")))
+        .cast("long"),
+    ).select("rank", "subword", "n_occ")
+
+
+text_bpe_vocab.__doc__ = text_bpe_vocab.__doc__.format(k=_VOCAB_TOPK)
+
+
 def _bpe_chain(n_merges: int = _N_MERGES) -> str:
     """The shared chained-CTE prefix: s0 + one merge-step block per step."""
     parts = [
@@ -267,6 +299,24 @@ GROUP BY doc_id
     )
 
 
+def _bpe_vocab_sql(n_merges: int = _N_MERGES) -> str:
+    return (
+        _bpe_chain(n_merges)
+        + f"""
+, sub AS (
+  SELECT unnest(syms) AS subword, freq FROM s{n_merges}
+), counts AS (
+  SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occ FROM sub GROUP BY subword
+), ranked AS (
+  SELECT subword, n_occ,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, subword) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT rank, subword, n_occ FROM ranked WHERE rank <= {_VOCAB_TOPK}
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bpe_train": QuerySpec(
         text_bpe_train,
@@ -280,5 +330,11 @@ QUERIES: dict[str, QuerySpec] = {
         _bpe_count_sql(),
         "beyond-reference: per-document token counts under the trained BPE "
         "merges (the apply half — one vocab equi-join, no per-doc re-tokenize)",
+    ),
+    "text_bpe_vocab": QuerySpec(
+        text_bpe_vocab,
+        _bpe_vocab_sql(),
+        "beyond-reference: the trained tokenizer's subword vocabulary with "
+        "corpus occurrence counts (vocab-sized explode + TakeOrdered)",
     ),
 }

@@ -99,3 +99,79 @@ def test_bpe_token_count_laws(spark):
         assert len(words) <= r.n_bpe_tokens  # each word ≥ 1 token
         # upper bound: chars + EOW marker per word, merges only shrink
         assert r.n_bpe_tokens <= sum(len(w) + 1 for w in words)
+
+
+def _py_greedy_merge(syms, lhs, rhs):
+    """Pure-Python reference for the greedy left-to-right merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_merge_fold_matches_python_reference_property(spark):
+    """The Spark fold equals the canonical two-pointer implementation on
+    randomized symbol arrays (hypothesis), including pathological runs."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    arrays = st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "</w>"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=arrays, pair=st.tuples(st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "</w>"])))
+    def _prop(rows, pair):
+        lhs, rhs = pair
+        df = spark.createDataFrame([(r,) for r in rows], "syms ARRAY<STRING>")
+        got = [r.m for r in df.select(_merge_fold(lhs, rhs).alias("m")).collect()]
+        # createDataFrame preserves row order for a local list
+        assert got == [_py_greedy_merge(r, lhs, rhs) for r in rows]
+
+    _prop()
+
+
+def test_bpe_vocab_conservation(spark):
+    """Subword occurrences (freq-weighted) conserve total symbol mass:
+    Σ n_occ over ALL subwords == Σ freq·len(syms) over the vocab; and
+    every merged unit in the vocab report must reassemble from the
+    merge table's pairs."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.operators.bpe import (
+        _N_MERGES,
+        _train,
+        text_bpe_vocab,
+    )
+
+    merges, syms_df = _train(spark, SF_SMOKE, _N_MERGES)
+    merged_units = {l + r for _, l, r, _ in merges}
+    rows = text_bpe_vocab(spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r.n_occ for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        # every multi-char unit is either the EOW marker or a trained merge
+        if len(r.subword) > 1 and r.subword != "</w>":
+            assert r.subword in merged_units
+    # conservation across the FULL counts relation (not just top-k)
+    total_syms = syms_df.select(
+        F.sum(F.col("freq") * F.size("syms")).alias("t")
+    ).collect()[0].t
+    full_counts = (
+        syms_df.select("freq", F.explode("syms").alias("s"))
+        .agg(F.sum("freq").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert total_syms == full_counts
