@@ -301,6 +301,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_bpe_train",
     "text_bpe_token_count",
     "text_bpe_vocab",
+    "dedup_substring_islands",
 )
 
 

@@ -1481,6 +1481,131 @@ FROM ranked WHERE rank <= {_SPAN_TOPK}
 """
 
 
+_ISL_W = 8  # overlapping-shingle width (tokens); min detectable dup length
+
+
+def dedup_substring_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-boundary duplicated-substring detection — the exact
+    Lee et al. 2022 semantics that dedup_span_exact approximates with
+    non-overlapping spans: a token position is duplicated iff SOME
+    {w}-token window covering corpus-repeated text contains it, so
+    maximal runs of consecutive duplicated window positions are maximal
+    duplicated substrings (of any length ≥ {w}, at any offset).
+
+    Per document this reports the duplicated-substring ISLANDS: maximal
+    runs of duplicated positions → token intervals [a, b+{w}-1] →
+    interval union (runs separated by a small clean gap can still
+    overlap in tokens), plus the dup-token ratio the span operator
+    cannot see across span boundaries.
+
+    Physical shape at 100 TB: the overlapping explode emits n_tokens
+    rows (stride 1 — {w}× the span op's volume, the price of exactness);
+    occurrence counting is ONE partial-agg shuffle on md5 (uniform
+    keys); runs and islands are per-doc windows — bounded by document
+    length, never corpus size — and the counts join is an equi-join on
+    the same uniform key."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    elig = d.filter(F.size("toks") >= _ISL_W)
+    sh = elig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_ISL_W}),"
+                f" s -> md5(array_join(slice(toks, s + 1, {_ISL_W}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    counts = sh.groupBy("h").agg(F.count("*").alias("n_occ"))
+    dup = sh.join(counts, "h").filter(F.col("n_occ") > 1).select("doc_id", "pos")
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("a"), (F.max("pos") + F.lit(_ISL_W - 1)).alias("e"))
+    )
+    w_a = Window.partitionBy("doc_id").orderBy("a")
+    prev_max = F.max("e").over(w_a.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        runs.withColumn(
+            "new_isl", F.when(prev_max.isNull() | (F.col("a") > prev_max), 1).otherwise(0)
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_a.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("a").alias("s"), F.max("e").alias("e"))
+    )
+    stats = islands.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_token_count"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_dup_tokens"),
+    )
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_islands", F.lit(0)).cast("long").alias("n_dup_islands"),
+            F.coalesce("dup_token_count", F.lit(0)).cast("long").alias("dup_token_count"),
+            F.coalesce("longest_dup_tokens", F.lit(0)).cast("long").alias("longest_dup_tokens"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("dup_token_count").cast("double") / F.col("n_tokens")
+        )
+    )
+
+
+dedup_substring_islands.__doc__ = dedup_substring_islands.__doc__.format(w=_ISL_W)
+
+_ISL_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(toks[s + 1 : s + {_ISL_W}], ' ')) AS h
+  FROM d, UNNEST(range(0, len(toks) - {_ISL_W} + 1)) AS t(s)
+  WHERE len(toks) >= {_ISL_W}
+), counts AS (
+  SELECT h, COUNT(*) AS n_occ FROM sh GROUP BY h
+), dup AS (
+  SELECT doc_id, pos FROM sh JOIN counts USING (h) WHERE n_occ > 1
+), runs AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_ISL_W - 1} AS e
+  FROM (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+  ) GROUP BY doc_id, grp
+), marked AS (
+  SELECT doc_id, a, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR a > MAX(e) OVER (PARTITION BY doc_id ORDER BY a
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM runs
+), islands AS (
+  SELECT doc_id, isl, MIN(a) AS s, MAX(e) AS e FROM (
+    SELECT doc_id, a, e,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY a
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM marked
+  ) GROUP BY doc_id, isl
+), stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_islands,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_token_count,
+         CAST(MAX(e - s + 1) AS BIGINT) AS longest_dup_tokens
+  FROM islands GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       COALESCE(st.n_dup_islands, 0) AS n_dup_islands,
+       COALESCE(st.dup_token_count, 0) AS dup_token_count,
+       COALESCE(st.longest_dup_tokens, 0) AS longest_dup_tokens,
+       CAST(COALESCE(st.dup_token_count, 0) AS DOUBLE) / len(d.toks) AS dup_ratio
+FROM d LEFT JOIN stats st USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtered exact similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------
@@ -1805,6 +1930,13 @@ QUERIES: dict[str, QuerySpec] = {
         _SPAN_SQL,
         "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
         "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
+    "dedup_substring_islands": QuerySpec(
+        dedup_substring_islands,
+        _ISL_SQL,
+        "LLM-pipeline dedup (arbitrary-boundary duplicated-substring islands, "
+        "Lee et al. 2022 exact semantics — overlapping shingles, run/island "
+        "interval union; one uniform-key shuffle + doc-bounded windows)",
     ),
     "dedup_span_topk": QuerySpec(
         dedup_span_topk,
