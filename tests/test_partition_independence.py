@@ -85,6 +85,9 @@ OPS = [
     "dedup_span_topk",  # two-level (h, doc) pre-agg + TakeOrdered
     "text_ccnet_buckets",  # value-histogram cum counts per lang
     "text_bpe_train",  # iterative argmax over weighted pair counts
+    "text_bpe_token_count",  # vocab equi-join + per-doc partial agg
+    "text_bpe_vocab",  # freq-weighted subword counts + TakeOrdered
+    "dedup_substring_islands",  # run-grouping + interval-union windows
 ]
 
 
