@@ -302,6 +302,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_bpe_token_count",
     "text_bpe_vocab",
     "dedup_substring_islands",
+    "w15_seasonal_anomaly",
 )
 
 

@@ -1294,6 +1294,64 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+def w15_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal anomaly detection on the events feed: flag events whose
+    value deviates more than 3σ from their (event_type, hour-of-day)
+    baseline — the ops-monitoring twin of a6's global z-score, with the
+    seasonality dimension every production metric needs (a checkout
+    spike at 3am is an anomaly; the same value at noon is Tuesday).
+
+    The decision rule is pure integer arithmetic on micro-unit moments
+    (the a6 discipline): |x−μ| > 3σ ⇔ (n·hx − s)² > 9·(n·q − s²) with
+    s, q, n exact DECIMAL(38,0)/HUGEINT group moments — no doubles, no
+    cross-engine epsilon.  At extreme group sizes (≳10¹⁰ rows/group)
+    rescale the micro-units; the comparison is homogeneous so any
+    common scale works.
+
+    Physical shape at 100 TB: ONE partial-agg shuffle for the baseline
+    (groups bounded by |event_type|·24 — broadcast back), then a narrow
+    filter over the feed.  No window, no per-event shuffle."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "event_id",
+        "event_type",
+        "value",
+        ((event_time_us(raw.schema) / F.lit(3_600_000_000)).cast("long") % 24)
+        .cast("int")
+        .alias("hour_of_day"),
+        F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))").alias("hx"),
+    )
+    stats = ev.groupBy("event_type", "hour_of_day").agg(
+        F.expr("SUM(hx)").alias("s"),
+        F.expr("SUM(hx * hx)").alias("q"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(stats), ["event_type", "hour_of_day"])
+        .filter(F.expr("(n * hx - s) * (n * hx - s) > 9 * (n * q - s * s)"))
+        .select("event_id", "event_type", "hour_of_day", "value")
+    )
+
+
+_W15_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour_of_day,
+         CAST(ROUND(value * 1e6) AS HUGEINT) AS hx
+  FROM events
+), st AS (
+  SELECT event_type, hour_of_day,
+         SUM(hx) AS s, SUM(hx * hx) AS q, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM ev GROUP BY event_type, hour_of_day
+)
+SELECT ev.event_id, ev.event_type, ev.hour_of_day, ev.value
+FROM ev JOIN st USING (event_type, hour_of_day)
+WHERE (n * hx - s) * (n * hx - s) > 9 * (n * q - s * s)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
     "w9_rolling_window_range": QuerySpec(
@@ -1371,6 +1429,12 @@ QUERIES: dict[str, QuerySpec] = {
     "a15_pairwise_splits": QuerySpec(a15_pairwise_splits, _A15_SQL, "A15 rules/common.smk:13-77"),
     "a16_ordered_distinct": QuerySpec(a16_ordered_distinct, _A16_SQL, "A16 util.py:1114-1123"),
     "a9_distinct_runs": QuerySpec(a9_distinct_runs, _A9_SQL, "A9 util.py:409-411"),
+    "w15_seasonal_anomaly": QuerySpec(
+        w15_seasonal_anomaly,
+        _W15_SQL,
+        "beyond-reference: seasonal (event_type × hour) 3σ anomaly flags with "
+        "integer-exact moment arithmetic; baseline broadcast, narrow filter",
+    ),
     "a17_stats_counters": QuerySpec(a17_stats_counters, _A17_SQL, "A17 config.py:174-177, spawn.py:239-259"),
     "f6_type_inference": QuerySpec(f6_type_inference, _F6_SQL, "F5/F6 util.py:505-550, 613-624"),
     "f10_alphabet_check": QuerySpec(f10_alphabet_check, _F10_SQL, "F10 validate.py:187-197"),

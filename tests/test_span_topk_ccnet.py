@@ -75,3 +75,33 @@ def test_ccnet_buckets_partition_laws(spark):
         # ties can only SHRINK head, never grow it
         n = len(rs)
         assert len(ppl["head"]) * 3 <= n
+
+
+def test_seasonal_anomaly_agrees_with_python(spark):
+    """Flags match a NumPy-free Python recomputation of the 3σ rule on
+    exact micro-unit moments per (event_type, hour)."""
+    from collections import defaultdict
+
+    from mmeds_meta_spark.functions.event_time import event_time_us
+    from mmeds_meta_spark.operators.filters_misc import w15_seasonal_anomaly
+    from mmeds_meta_spark.testdata import table as _t
+
+    raw = _t(spark, SF_SMOKE, "events")
+    ev = raw.select(
+        "event_id", "event_type", "value", event_time_us(raw.schema).alias("ts_us")
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        hx = round(r.value * 1e6)
+        groups[(r.event_type, (r.ts_us // 3_600_000_000) % 24)].append((r.event_id, hx))
+    expect = set()
+    for (_, _), rows in groups.items():
+        n = len(rows)
+        s = sum(h for _, h in rows)
+        q = sum(h * h for _, h in rows)
+        for eid, h in rows:
+            if (n * h - s) ** 2 > 9 * (n * q - s * s):
+                expect.add(eid)
+    got = {r.event_id for r in w15_seasonal_anomaly(spark, SF_SMOKE).collect()}
+    assert got == expect
+    assert got  # fixture corpus has at least one seasonal outlier
