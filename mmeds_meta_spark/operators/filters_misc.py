@@ -1294,6 +1294,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+# |x−μ| > 3σ as pure integer arithmetic on exact micro-unit moments —
+# shared verbatim by the streaming monitor (streaming/anomaly.py)
+SEASONAL_RULE = "(n * hx - s) * (n * hx - s) > 9 * (n * q - s * s)"
+
+
+def seasonal_prep(raw: DataFrame) -> DataFrame:
+    """events → (event_id, event_type, value, hour_of_day, hx): the
+    micro-unit value and hour bucket both the batch operator and the
+    streaming monitor score against."""
+    from ..functions.event_time import event_time_us
+
+    return raw.select(
+        "event_id",
+        "event_type",
+        "value",
+        ((event_time_us(raw.schema) / F.lit(3_600_000_000)).cast("long") % 24)
+        .cast("int")
+        .alias("hour_of_day"),
+        F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))").alias("hx"),
+    )
+
+
+def seasonal_moments(ev: DataFrame) -> DataFrame:
+    """Exact per-(event_type, hour) moment table (s, q, n) — linear, so
+    per-batch moments SUM to the full-feed moments bit-exactly."""
+    return ev.groupBy("event_type", "hour_of_day").agg(
+        F.expr("SUM(hx)").alias("s"),
+        F.expr("SUM(hx * hx)").alias("q"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+    )
+
+
 def w15_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal anomaly detection on the events feed: flag events whose
     value deviates more than 3σ from their (event_type, hour-of-day)
@@ -1311,26 +1343,11 @@ def w15_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     Physical shape at 100 TB: ONE partial-agg shuffle for the baseline
     (groups bounded by |event_type|·24 — broadcast back), then a narrow
     filter over the feed.  No window, no per-event shuffle."""
-    from ..functions.event_time import event_time_us
-
-    raw = _t(spark, sf, "events")
-    ev = raw.select(
-        "event_id",
-        "event_type",
-        "value",
-        ((event_time_us(raw.schema) / F.lit(3_600_000_000)).cast("long") % 24)
-        .cast("int")
-        .alias("hour_of_day"),
-        F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))").alias("hx"),
-    )
-    stats = ev.groupBy("event_type", "hour_of_day").agg(
-        F.expr("SUM(hx)").alias("s"),
-        F.expr("SUM(hx * hx)").alias("q"),
-        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
-    )
+    ev = seasonal_prep(_t(spark, sf, "events"))
+    stats = seasonal_moments(ev)
     return (
         ev.join(F.broadcast(stats), ["event_type", "hour_of_day"])
-        .filter(F.expr("(n * hx - s) * (n * hx - s) > 9 * (n * q - s * s)"))
+        .filter(F.expr(SEASONAL_RULE))
         .select("event_id", "event_type", "hour_of_day", "value")
     )
 
