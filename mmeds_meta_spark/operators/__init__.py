@@ -303,6 +303,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "text_bpe_vocab",
     "dedup_substring_islands",
     "w15_seasonal_anomaly",
+    "dedup_lsh_tuning_curve",
 )
 
 

@@ -365,6 +365,124 @@ def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LSH_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]  # (bands, rows) with b·r = 32
+
+
+def _pow_chain(x: str, n: int) -> str:
+    """x^n as a repeated-squaring multiplication chain — n a power of 2.
+    The SAME text runs on both engines, so the doubles agree bit-for-bit
+    (no libm pow())."""
+    if n == 1:
+        return x
+    half = _pow_chain(x, n // 2)
+    return f"({half} * {half})"
+
+
+def dedup_lsh_tuning_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH parameter advisor: for each (bands, rows) banding of a
+    32-hash MinHash budget, the expected candidate recall over THIS
+    corpus's measured similarity distribution — Σ cnt(s)·(1−(1−sʳ)ᵇ) /
+    Σ cnt(s) over the exact-Jaccard histogram of the current candidate
+    pairs.  This is the standard S-curve analysis (Leskovec et al.,
+    Mining of Massive Datasets §3.4) evaluated against real data
+    instead of a guessed similarity mix — the table an engineer reads
+    before re-banding a 100 TB dedup job.
+
+    Determinism: jaccard is an integer ratio rounded to 4dp; the
+    histogram is grouped on that value; sʳ and (1−sʳ)ᵇ are repeated-
+    squaring multiplication chains (identical expression text on both
+    engines — no pow()); the weighted sum folds in s order.
+
+    Physical shape: the pair histogram is bounded by 4dp value
+    cardinality (≤ 10⁴ rows) and localCheckpoint'd once; each config is
+    one fold over it."""
+    cand = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    sh = _doc_shingles(spark, sf).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    hist = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(F.expr("ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4)").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # ≤ 10⁴ rows, folded once per config
+    )
+    parts = []
+    for b, r in _LSH_CONFIGS:
+        sr = _pow_chain("s", r)
+        p = f"(1.0 - {_pow_chain(f'(1.0 - {sr})', b)})"
+        parts.append(
+            hist.agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(s,"
+                    f" CAST(cnt AS DOUBLE) * {p} AS v))),"
+                    " CAST(0 AS DOUBLE), (acc, q) -> acc + q.v)"
+                ).alias("num"),
+                F.sum("cnt").cast("long").alias("n_pairs"),
+            ).select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_pairs",
+                F.expr("ROUND(num / n_pairs, 6)").alias("expected_recall"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _lsh_tuning_sql() -> str:
+    selects = []
+    for b, r in _LSH_CONFIGS:
+        sr = _pow_chain("s", r)
+        p = f"(1.0 - {_pow_chain(f'(1.0 - {sr})', b)})"
+        selects.append(
+            f"""
+SELECT CAST({b} AS INTEGER) AS bands, CAST({r} AS INTEGER) AS rows_per_band,
+       CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+       ROUND(list_reduce(list(CAST(cnt AS DOUBLE) * {p} ORDER BY s),
+                         (acc, x) -> acc + x) / SUM(cnt), 6) AS expected_recall
+FROM hist"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a
+  JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+), hist AS MATERIALIZED (
+  SELECT ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS s,
+         COUNT(*) AS cnt
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  GROUP BY 1
+)
+{union}
+"""
+
+
 def _lsh_verified_sql() -> str:
     return f"""
 WITH {_minhash_ctes()},
@@ -1930,6 +2048,13 @@ QUERIES: dict[str, QuerySpec] = {
         _SPAN_SQL,
         "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
         "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
+    "dedup_lsh_tuning_curve": QuerySpec(
+        dedup_lsh_tuning_curve,
+        _lsh_tuning_sql(),
+        "beyond-reference: LSH banding advisor — expected S-curve recall per "
+        "(bands, rows) over the measured exact-Jaccard histogram (MMDS §3.4); "
+        "pow-free repeated-squaring chains, value-bounded histogram",
     ),
     "dedup_substring_islands": QuerySpec(
         dedup_substring_islands,

@@ -105,3 +105,29 @@ def test_seasonal_anomaly_agrees_with_python(spark):
     got = {r.event_id for r in w15_seasonal_anomaly(spark, SF_SMOKE).collect()}
     assert got == expect
     assert got  # fixture corpus has at least one seasonal outlier
+
+
+def test_lsh_tuning_curve_laws(spark):
+    """More bands with fewer rows → laxer sieve → recall monotone in b
+    for fixed b·r (the S-curve law); recall within [0, 1]; the
+    multiplication-chain p agrees with Python's pow on a sample."""
+    from mmeds_meta_spark.operators.dedup import (
+        _LSH_CONFIGS,
+        _pow_chain,
+        dedup_lsh_tuning_curve,
+    )
+
+    rows = {(r.bands, r.rows_per_band): r for r in dedup_lsh_tuning_curve(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_LSH_CONFIGS)
+    n_pairs = {r.n_pairs for r in rows.values()}
+    assert len(n_pairs) == 1 and n_pairs.pop() > 0  # same histogram under every config
+    for r in rows.values():
+        assert 0.0 <= r.expected_recall <= 1.0
+    # for s in (0,1), 1-(1-s^r)^b is increasing in b when r decreases
+    # along the fixed-budget family (32,1) ≥ (16,2) ≥ (8,4) ≥ (4,8)
+    ordered = [rows[c].expected_recall for c in [(32, 1), (16, 2), (8, 4), (4, 8)]]
+    assert ordered == sorted(ordered, reverse=True)
+    # chain == pow semantics
+    expr = _pow_chain("s", 8)
+    s = 0.73
+    assert abs(eval(expr, {"s": s}) - s**8) < 1e-12
