@@ -88,6 +88,8 @@ OPS = [
     "text_bpe_token_count",  # vocab equi-join + per-doc partial agg
     "text_bpe_vocab",  # freq-weighted subword counts + TakeOrdered
     "dedup_substring_islands",  # run-grouping + interval-union windows
+    "w15_seasonal_anomaly",  # integer-moment baseline + broadcast probe
+    "dedup_lsh_tuning_curve",  # value-histogram S-curve folds
 ]
 
 
