@@ -304,6 +304,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "dedup_substring_islands",
     "w15_seasonal_anomaly",
     "dedup_lsh_tuning_curve",
+    "decon_fuzzy_minhash",
 )
 
 

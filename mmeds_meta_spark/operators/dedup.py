@@ -262,6 +262,39 @@ _BUCKET_CAP = 50  # hot-bucket cap: a (band, key) bucket wider than this is
 # bounds any bucket's pair fan-out at cap² regardless of corpus skew
 
 
+def _banded_long(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) banded MinHash signatures from a
+    shingle relation — the shared front half of dedup_minhash_lsh and
+    decon_fuzzy_minhash.  One md5 per shingle, K-M double-hashed mins,
+    md5 band keys; materialized (localCheckpoint) because downstream
+    consumers read it with different prunings, which defeats exchange
+    reuse — without this the k-hash min aggregation executes three
+    times (same pathology as the SimHash fingerprints)."""
+    hashed = sh.selectExpr(
+        "doc_id",
+        f"CAST(conv(substr(md5(shingle), 1, 14), 16, 10) AS BIGINT) % {_MH_P} AS a",
+        f"CAST(conv(substr(md5(shingle), 15, 14), 16, 10) AS BIGINT) % {_MH_P} AS b",
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.expr(f"MIN((a + {i} * b) % {_MH_P})").alias(f"m{i}") for i in range(_N_HASHES)]
+    )
+    bands = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+        ).alias(f"band{b}")
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    sig_b = sig.select("doc_id", *bands)
+    return sig_b.selectExpr(
+        "doc_id",
+        "stack("
+        + str(_N_HASHES // _BAND_ROWS)
+        + ", "
+        + ", ".join(f"{b}, band{b}" for b in range(_N_HASHES // _BAND_ROWS))
+        + ") AS (band_id, band_key)",
+    ).localCheckpoint()
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs: signature = per-seed MIN(h_i(shingle)) with
     h_i = (a + i·b) mod P double hashing over one md5 per shingle
@@ -288,33 +321,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # Jaccard.  Here that only shapes candidate RECALL: membership is
     # re-verified with exact integer-ratio Jaccard in
     # :func:`dedup_lsh_verified`, so precision is never affected.
-    hashed = sh.selectExpr(
-        "doc_id",
-        f"CAST(conv(substr(md5(shingle), 1, 14), 16, 10) AS BIGINT) % {_MH_P} AS a",
-        f"CAST(conv(substr(md5(shingle), 15, 14), 16, 10) AS BIGINT) % {_MH_P} AS b",
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.expr(f"MIN((a + {i} * b) % {_MH_P})").alias(f"m{i}") for i in range(_N_HASHES)]
-    )
-    bands = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
-        ).alias(f"band{b}")
-        for b in range(_N_HASHES // _BAND_ROWS)
-    ]
-    sig_b = sig.select("doc_id", *bands)
-    # Materialize the banded signatures: bucket-width agg, probe, and
-    # build read `long` with different prunings, which defeats exchange
-    # reuse — without this the k-hash min aggregation executes three
-    # times (same pathology as the SimHash fingerprints).
-    long = sig_b.selectExpr(
-        "doc_id",
-        "stack("
-        + str(_N_HASHES // _BAND_ROWS)
-        + ", "
-        + ", ".join(f"{b}, band{b}" for b in range(_N_HASHES // _BAND_ROWS))
-        + ") AS (band_id, band_key)",
-    ).localCheckpoint()
+    long = _banded_long(sh)
     ok_buckets = (
         long.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("__w"))
@@ -363,6 +370,89 @@ def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+_FUZZY_TAU = 0.5  # near-dup contamination threshold (vs _DECON_TAU's exact-overlap 0.2)
+_FUZZY_BENCH_MOD = 7  # denser stand-in than decon_ngram's mod-101: the synthetic
+# corpus's near-dup clusters must straddle the corpus/benchmark split for the
+# gate row to carry non-trivial evidence (mod 101 strands every cluster
+# entirely on the corpus side - verified at sf0.01, max cross Jaccard 0.06)
+
+
+def decon_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents that are
+    NEAR-duplicates of a held-out benchmark doc (exact Jaccard ≥ τ
+    after MinHash-LSH candidate generation) — the companion of
+    decon_ngram_overlap's exact n-gram test, catching lightly
+    paraphrased or truncated eval leaks that shingle-overlap fractions
+    under-score.  Benchmark membership is the same deterministic
+    doc_id ≡ 0 (mod {mod}) stand-in.
+
+    Physical shape at 100 TB: the corpus side computes banded
+    signatures in one pass (the shared _banded_long relation); the
+    BENCHMARK'S band keys — an eval suite is MBs — ship broadcast, so
+    candidate generation never shuffles the corpus; exact-Jaccard
+    verification touches candidate (doc, bench) pairs only."""
+    sh = _doc_shingles(spark, sf, repartition_input=True).localCheckpoint()
+    long = _banded_long(sh)
+    bench_bands = long.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    cand = (
+        long.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0)
+        .join(F.broadcast(bench_bands), ["band_id", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh, "doc_id")
+        .join(
+            sh.select(F.col("doc_id").alias("bench_id"), "shingle"),
+            ["bench_id", "shingle"],
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .join(
+            sizes.select(F.col("doc_id").alias("bench_id"), F.col("n_sh").alias("nb")),
+            "bench_id",
+        )
+        .withColumn("jaccard", F.expr("CAST(inter AS DOUBLE) / (n_sh + nb - inter)"))
+        .filter(F.col("jaccard") >= _FUZZY_TAU)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+def _fuzzy_decon_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+bench_bands AS (
+  SELECT doc_id AS bench_id, band_id, band_key FROM long WHERE doc_id % {_FUZZY_BENCH_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT l.doc_id, b.bench_id
+  FROM long l JOIN bench_bands b USING (band_id, band_key)
+  WHERE l.doc_id % {_FUZZY_BENCH_MOD} != 0
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_id, c.bench_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_id
+  JOIN shingles sb ON sb.doc_id = c.bench_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.bench_id,
+       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_id = sa.doc_id
+JOIN sizes sb ON i.bench_id = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {_FUZZY_TAU}
+"""
 
 
 _LSH_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]  # (bands, rows) with b·r = 32
@@ -2030,6 +2120,11 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+# deferred: _BENCH_MOD is defined next to decon_ngram_overlap, below the
+# fuzzy twin's source position
+decon_fuzzy_minhash.__doc__ = decon_fuzzy_minhash.__doc__.format(mod=_FUZZY_BENCH_MOD)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_stats": QuerySpec(
         dedup_cluster_stats,
@@ -2048,6 +2143,13 @@ QUERIES: dict[str, QuerySpec] = {
         _SPAN_SQL,
         "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
         "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
+    "decon_fuzzy_minhash": QuerySpec(
+        decon_fuzzy_minhash,
+        _fuzzy_decon_sql(),
+        "beyond-reference: FUZZY benchmark decontamination (MinHash-LSH "
+        "candidates vs a broadcast eval set, exact-Jaccard verified) — the "
+        "paraphrase-tolerant companion of decon_ngram_overlap",
     ),
     "dedup_lsh_tuning_curve": QuerySpec(
         dedup_lsh_tuning_curve,

@@ -131,3 +131,50 @@ def test_lsh_tuning_curve_laws(spark):
     expr = _pow_chain("s", 8)
     s = 0.73
     assert abs(eval(expr, {"s": s}) - s**8) < 1e-12
+
+
+def test_fuzzy_decon_catches_planted_paraphrase(spark, tmp_path):
+    """A truncated copy of a benchmark doc (first 60% of its tokens) is
+    flagged against that doc; an unrelated doc is not."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.operators.dedup import (
+        _FUZZY_BENCH_MOD,
+        _FUZZY_TAU,
+        decon_fuzzy_minhash,
+    )
+
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    leak = " ".join(f"tok{i}" for i in range(30))  # 75% prefix → J = 30/40
+    clean = " ".join(f"other{i}" for i in range(40))
+    rows = [
+        (_FUZZY_BENCH_MOD * 3, bench_text),  # benchmark member
+        (_FUZZY_BENCH_MOD * 3 + 1, leak),  # contaminated corpus doc
+        (_FUZZY_BENCH_MOD * 3 + 2, clean),  # clean corpus doc
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = tmp_path / "fixture"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = decon_fuzzy_minhash(spark, str(d)).collect()
+    flagged = {(r.doc_id, r.bench_id) for r in got}
+    assert (_FUZZY_BENCH_MOD * 3 + 1, _FUZZY_BENCH_MOD * 3) in flagged
+    assert all(r.jaccard >= _FUZZY_TAU for r in got)
+    assert all(r.doc_id != _FUZZY_BENCH_MOD * 3 + 2 for r in got)
+
+
+def test_fuzzy_decon_corpus_laws(spark):
+    from mmeds_meta_spark.operators.dedup import (
+        _FUZZY_BENCH_MOD,
+        _FUZZY_TAU,
+        decon_fuzzy_minhash,
+    )
+
+    rows = decon_fuzzy_minhash(spark, SF_SMOKE).collect()
+    assert rows  # the mod-7 split leaves cross-boundary near-dups
+    for r in rows:
+        assert r.bench_id % _FUZZY_BENCH_MOD == 0
+        assert r.doc_id % _FUZZY_BENCH_MOD != 0
+        assert _FUZZY_TAU <= r.jaccard <= 1.0
