@@ -90,6 +90,7 @@ OPS = [
     "dedup_substring_islands",  # run-grouping + interval-union windows
     "w15_seasonal_anomaly",  # integer-moment baseline + broadcast probe
     "dedup_lsh_tuning_curve",  # value-histogram S-curve folds
+    "decon_fuzzy_minhash",  # broadcast bench bands + exact-Jaccard verify
 ]
 
 
