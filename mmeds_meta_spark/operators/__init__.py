@@ -305,6 +305,8 @@ _GATE_TAIL: tuple[str, ...] = (
     "w15_seasonal_anomaly",
     "dedup_lsh_tuning_curve",
     "decon_fuzzy_minhash",
+    "dedup_exact_normalized",
+    "text_vocab_kl_drift",
 )
 
 

@@ -56,6 +56,50 @@ SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
 FROM documents GROUP BY md5(text)
 """
 
+def _norm_expr(dialect: str, col: str) -> str:
+    """Canonicalization before hashing (C4/RefinedWeb-style): lowercase,
+    strip everything but letters/digits/whitespace, squeeze whitespace
+    runs, trim.  The regexes are identical; only the string-literal
+    escaping differs (Spark SQL literals process backslashes, standard
+    SQL does not)."""
+    bs = "\\\\" if dialect == "spark" else "\\"
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}),"
+        f" '[^a-z0-9{bs}s]', ''), '{bs}s+', ' '))"
+    )
+
+
+def dedup_exact_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on CANONICALIZED text — lowercase, punctuation
+    stripped, whitespace squeezed — the C4/RefinedWeb normalization
+    that catches trivially-reformatted copies exact-hash misses
+    (casing, smart quotes, double spaces).  Same one-shuffle shape as
+    dedup_exact_hash, plus the diagnostic every normalization decision
+    needs: how many EXTRA duplicates normalization exposed
+    (n_docs − n_raw_variants is the over-match risk surface to review).
+    """
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("norm_fp", F.expr("md5(" + _norm_expr('spark', 'text') + ")"))
+        .withColumn("raw_fp", F.md5("text"))
+        .groupBy("norm_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_fp").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_EXACT_NORM_SQL = f"""
+SELECT md5({_norm_expr('duck', 'text')}) AS norm_fp,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # shared shingle builder (word 2-grams, distinct per doc)
@@ -2143,6 +2187,12 @@ QUERIES: dict[str, QuerySpec] = {
         _SPAN_SQL,
         "LLM-pipeline dedup (exact-substring/span removal, Lee et al. 2022; "
         "one uniform-key shuffle + doc-bounded rebuild)",
+    ),
+    "dedup_exact_normalized": QuerySpec(
+        dedup_exact_normalized,
+        _EXACT_NORM_SQL,
+        "beyond-reference: exact dedup on canonicalized text (C4/RefinedWeb "
+        "normalization) with the raw-variant over-match diagnostic",
     ),
     "decon_fuzzy_minhash": QuerySpec(
         decon_fuzzy_minhash,

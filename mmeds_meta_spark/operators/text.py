@@ -500,6 +500,121 @@ FROM j JOIN buckets b ON b.lang = j.lang AND b.ppl_proxy = j.ppl_proxy
 """
 
 
+_KL_VOCAB_K = 200  # drift classes = top-K corpus tokens + one OOV bucket
+
+
+def text_vocab_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary drift between sources: KL(a‖b) of add-one-smoothed
+    unigram distributions over the top-{k} corpus tokens + an OOV
+    bucket, for every ordered source pair — the mixture-QA diagnostic
+    that catches a crawl whose language/domain shifted before it skews
+    training (cf. CCNet's per-shard LM drift monitoring).
+
+    Class capping is what makes this scale: distributions live on K+1
+    classes regardless of corpus size (text_lm_score's capped-vocab
+    precedent), so the pair grid is |sources|²·(K+1) rows — independent
+    of tokens scanned.  Probabilities are exact integer ratios cast to
+    double; LN runs on identical doubles on both engines (the d1/LM
+    precedent) and the per-pair sum folds in class order, rounded 6dp.
+
+    Physical shape: one token-count shuffle (partial agg), a broadcast
+    vocab join, then all remaining work is on the tiny class grid."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_KL_VOCAB_K)
+        .select("tok")
+    )
+    cls = tok.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), "tok", "left"
+    ).select(
+        "source",
+        F.when(F.col("__v").isNotNull(), F.col("tok")).otherwise(F.lit("<OOV>")).alias("cls"),
+    )
+    counts = cls.groupBy("source", "cls").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    classes = vocab.select(F.col("tok").alias("cls")).union(
+        vocab.sparkSession.createDataFrame([("<OOV>",)], "cls STRING")
+    )
+    # smoothing must divide by the ACTUAL class count (|vocab| + 1, which
+    # is < K+1 on small corpora), or the p's don't sum to 1 and KL can
+    # go negative (Gibbs holds only for true distributions)
+    nv = classes.agg(F.count("*").alias("v"))
+    grid = (
+        totals.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(nv))
+        .join(counts, ["source", "cls"], "left")
+        .select(
+            "source",
+            "cls",
+            F.expr(
+                "CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(n_tok + v AS DOUBLE)"
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)  # |sources|·(K+1) rows, read twice
+    )
+    a = grid.select(F.col("source").alias("src_a"), "cls", F.col("p").alias("pa"))
+    b = grid.select(F.col("source").alias("src_b"), "cls", F.col("p").alias("pb"))
+    return (
+        a.join(b, "cls")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.expr(
+                "ROUND(aggregate(array_sort(collect_list(struct(cls,"
+                " pa * LN(pa / pb) AS t))),"
+                " CAST(0 AS DOUBLE), (acc, q) -> acc + q.t), 6)"
+            ).alias("kl"),
+            F.count("*").cast("long").alias("n_classes"),
+        )
+    )
+
+
+text_vocab_kl_drift.__doc__ = text_vocab_kl_drift.__doc__.format(k=_KL_VOCAB_K)
+
+_KL_DRIFT_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT source, t AS tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t != ''
+), vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_KL_VOCAB_K}
+  )
+), cls AS (
+  SELECT source,
+         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<OOV>' END AS cls
+  FROM tok t LEFT JOIN vocab v USING (tok)
+), counts AS MATERIALIZED (
+  SELECT source, cls, COUNT(*) AS c FROM cls GROUP BY source, cls
+), totals AS (
+  SELECT source, SUM(c) AS n_tok FROM counts GROUP BY source
+), classes AS MATERIALIZED (
+  SELECT tok AS cls FROM vocab UNION ALL SELECT '<OOV>'
+), nv AS (
+  SELECT COUNT(*) AS v FROM classes
+), grid AS MATERIALIZED (
+  SELECT t.source, cl.cls,
+         CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+         / CAST(t.n_tok + nv.v AS DOUBLE) AS p
+  FROM totals t CROSS JOIN classes cl CROSS JOIN nv
+  LEFT JOIN counts c ON c.source = t.source AND c.cls = cl.cls
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       ROUND(list_reduce(list(a.p * LN(a.p / b.p) ORDER BY a.cls),
+                         (acc, x) -> acc + x), 6) AS kl,
+       CAST(COUNT(*) AS BIGINT) AS n_classes
+FROM grid a JOIN grid b ON a.cls = b.cls AND a.source != b.source
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
@@ -1100,6 +1215,12 @@ QUERIES: dict[str, QuerySpec] = {
         _LM_SCORE_SQL,
         "LLM-pipeline text (CCNet-style unigram-LM perplexity proxy: "
         "capped-vocab train + broadcast apply in one plan)",
+    ),
+    "text_vocab_kl_drift": QuerySpec(
+        text_vocab_kl_drift,
+        _KL_DRIFT_SQL,
+        "beyond-reference: per-source-pair unigram KL drift over capped "
+        "classes + OOV (mixture QA; class grid independent of corpus size)",
     ),
     "text_ccnet_buckets": QuerySpec(
         text_ccnet_buckets,

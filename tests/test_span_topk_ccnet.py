@@ -178,3 +178,50 @@ def test_fuzzy_decon_corpus_laws(spark):
         assert r.bench_id % _FUZZY_BENCH_MOD == 0
         assert r.doc_id % _FUZZY_BENCH_MOD != 0
         assert _FUZZY_TAU <= r.jaccard <= 1.0
+
+
+def test_normalized_dedup_collapses_format_variants(spark, tmp_path):
+    """Casing, punctuation, and whitespace variants share one norm_fp
+    with n_raw_variants counting the distinct raw forms."""
+    from mmeds_meta_spark.operators.dedup import dedup_exact_normalized
+
+    variants = [
+        "Hello, World!  This is   fine.",
+        "hello world this is fine",
+        "HELLO WORLD — this is FINE?",
+        "a genuinely different document",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(variants)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = tmp_path / "norm"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    rows = sorted(
+        dedup_exact_normalized(spark, str(d)).collect(), key=lambda r: -r.n_docs
+    )
+    assert rows[0].n_docs == 3 and rows[0].n_raw_variants == 3
+    assert rows[0].keeper_doc_id == 0
+    assert len(rows) == 2 and rows[1].n_docs == 1
+
+
+def test_kl_drift_laws(spark, tmp_path):
+    """Gibbs: KL >= 0 with equality iff identical distributions; the
+    matrix is complete over ordered pairs and generally asymmetric."""
+    from mmeds_meta_spark.operators.text import _KL_VOCAB_K, text_vocab_kl_drift
+
+    rows = text_vocab_kl_drift(spark, SF_SMOKE).collect()
+    srcs = {r.src_a for r in rows} | {r.src_b for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1)
+    for r in rows:
+        assert r.kl >= 0.0
+        assert r.n_classes <= _KL_VOCAB_K + 1
+    # identical text in two sources → kl 0 both directions
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en", "sA", 10), (1, "alpha beta gamma", "en", "sB", 10)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = tmp_path / "kl"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    same = text_vocab_kl_drift(spark, str(d)).collect()
+    assert {r.kl for r in same} == {0.0}
