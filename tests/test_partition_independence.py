@@ -91,6 +91,8 @@ OPS = [
     "w15_seasonal_anomaly",  # integer-moment baseline + broadcast probe
     "dedup_lsh_tuning_curve",  # value-histogram S-curve folds
     "decon_fuzzy_minhash",  # broadcast bench bands + exact-Jaccard verify
+    "dedup_exact_normalized",  # canonicalize + hash groupBy
+    "text_vocab_kl_drift",  # capped-class grid + pinned LN folds
 ]
 
 
