@@ -26,7 +26,11 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_feature_table_summarize.py tests/test_bm25.py
          tests/test_mad_outliers.py tests/test_kcenter.py
          tests/test_selection_funnel.py tests/test_mixture_profile.py
-         tests/test_procrustes.py tests/test_alpha_correlation.py)
+         tests/test_procrustes.py tests/test_alpha_correlation.py
+         tests/test_hist_quantile.py tests/test_skew_profile.py
+         tests/test_kmv_overlap_matrix.py tests/test_text_gopher.py
+         tests/test_srp_jl.py tests/test_bpe.py
+         tests/test_span_topk_ccnet.py tests/test_substring_islands.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
@@ -35,7 +39,9 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_streaming_joins.py
          tests/test_documents_jsonl.py tests/test_maintenance.py
          tests/test_streaming_topk.py tests/test_fastq_datasource.py
-         tests/test_upsert_store.py)
+         tests/test_upsert_store.py tests/test_streaming_quantile.py
+         tests/test_epoch_shuffle.py tests/test_wet_source.py
+         tests/test_shard_export.py tests/test_streaming_anomaly.py)
 
 run_shard() {
     local n=$1; shift
