@@ -581,7 +581,12 @@ import itertools as _itertools
 _PCOA_SEQ = _itertools.count()  # unique temp-view namespace per _pcoa_core call
 _PCOA_NORM_EVERY = 6  # normalize every 6th step (+ the last): direction is
 # scale-invariant, λ^6 segment growth stays far inside double range, and
-# the per-step norm aggregation job drops 6×
+# the per-step norm aggregation job drops 6×.  Round-6 measurement: 12-step
+# segments were tried (halves the checkpoint boundaries; λ^12 still safe)
+# and were SLOWER (d2_pcoa_power 10.4 → 14.6 s, d13_procrustes 24.3 →
+# 29.9 s at sf0.1): one 12-matvec chained-aggregation plan costs more in
+# analysis + stage depth than the two eager n-row checkpoint jobs it saves.
+# 6 is the measured sweet spot, not a guess.
 
 
 def _pinned(col: str, by: str) -> str:
