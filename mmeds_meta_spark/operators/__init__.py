@@ -294,6 +294,23 @@ _GATE_TAIL: tuple[str, ...] = (
     "a24_skew_profile",
     "sketch_kmv_overlap_matrix",
     "sample_epoch_shuffle",
+    # ---- round-6 session-5 additions (each verified oracle-exact at
+    # sf0.01 AND sf0.1 this round via tools/verify_local.py, with
+    # partition-independence pytest coverage).  Round-7 rotation should
+    # prioritize the genuinely NEW physical shapes: text_bpe_train (the
+    # iterative argmax-merge loop), dedup_substring_islands (stride-1
+    # run/interval-union windows), dedup_lsh_tuning_curve (pow-free
+    # S-curve folds), text_vocab_kl_drift (capped-class KL grid),
+    # ann_srp_lsh_topk (literal-hyperplane sign banding), and
+    # decon_fuzzy_minhash (cross-corpus broadcast-probe LSH).  The
+    # remaining four are gated twins: embed_random_projection (narrow
+    # dot-fold map — ann_srp shares the Rademacher machinery),
+    # dedup_span_topk (span_exact's gated count shuffle + TakeOrdered),
+    # text_ccnet_buckets (value-histogram cutoffs — a18/sketch_hist keep
+    # the CDF family gated), w15_seasonal_anomaly (a6's integer z-score
+    # with an hour key), dedup_exact_normalized (dedup_exact's gated
+    # md5-groupBy behind a regex canonicalization), and the two BPE
+    # satellites (token_count/vocab run the trainer's gated machinery).
     "ann_srp_lsh_topk",
     "embed_random_projection",
     "dedup_span_topk",
