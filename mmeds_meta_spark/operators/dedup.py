@@ -79,25 +79,31 @@ def dedup_exact_normalized(spark: SparkSession, sf: str) -> DataFrame:
     (n_docs − n_raw_variants is the over-match risk surface to review).
     """
     d = _t(spark, sf, "documents")
-    return (
-        d.withColumn("norm_fp", F.expr("md5(" + _norm_expr('spark', 'text') + ")"))
+    # two-level pre-agg, not COUNT(DISTINCT): the expand rewrite doubles
+    # the shuffled volume (dedup_span_topk precedent) — 4 exchanges → 2
+    per_raw = (
+        d.withColumn("norm_fp", F.expr("md5(" + _norm_expr("spark", "text") + ")"))
         .withColumn("raw_fp", F.md5("text"))
-        .groupBy("norm_fp")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("raw_fp").cast("long").alias("n_raw_variants"),
-            F.min("doc_id").alias("keeper_doc_id"),
-        )
+        .groupBy("norm_fp", "raw_fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("kd"))
+    )
+    return per_raw.groupBy("norm_fp").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_raw_variants"),
+        F.min("kd").alias("keeper_doc_id"),
     )
 
 
 _EXACT_NORM_SQL = f"""
-SELECT md5({_norm_expr('duck', 'text')}) AS norm_fp,
-       COUNT(*) AS n_docs,
-       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants,
-       MIN(doc_id) AS keeper_doc_id
-FROM documents
-GROUP BY 1
+WITH per_raw AS (
+  SELECT md5({_norm_expr('duck', 'text')}) AS norm_fp, md5(text) AS raw_fp,
+         COUNT(*) AS n, MIN(doc_id) AS kd
+  FROM documents GROUP BY 1, 2
+)
+SELECT norm_fp, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_raw_variants,
+       MIN(kd) AS keeper_doc_id
+FROM per_raw GROUP BY norm_fp
 """
 
 
