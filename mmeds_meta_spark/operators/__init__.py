@@ -324,6 +324,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "decon_fuzzy_minhash",
     "dedup_exact_normalized",
     "text_vocab_kl_drift",
+    "a25_rollup_cube",
 )
 
 

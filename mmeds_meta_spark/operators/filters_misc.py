@@ -1369,6 +1369,51 @@ WHERE (n * hx - s) * (n * hx - s) > 9 * (n * q - s * s)
 """
 
 
+def a25_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(event_type, day): per-(type, day)
+    rows, per-type subtotals, and the grand total in ONE pass — the
+    grouping-sets surface every BI layer expects (and a distinct Catalyst
+    operator: Expand feeding a single partial agg, NOT one shuffle per
+    level the way a UNION of GROUP BYs would plan).
+
+    GROUPING() flags disambiguate real NULLs from subtotal markers; the
+    day key is an integer epoch-day index (no date-function parity
+    surface); value sums are exact micro-unit DECIMAL(38,0)/HUGEINT
+    closed to DOUBLE once (the repo's money discipline).  At 100 TB the
+    Expand emits 3 rows per input row into the same partial-agg shuffle
+    — map-side combine absorbs the level blow-up before the exchange."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "event_type",
+        (event_time_us(raw.schema) / F.lit(86_400_000_000)).cast("long").alias("day_idx"),
+        F.expr("CAST(ROUND(value * 1e6) AS DECIMAL(38,0))").alias("hx"),
+    )
+    return ev.rollup("event_type", "day_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("CAST(SUM(hx) AS DOUBLE) / 1e6").alias("total_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day_idx").cast("int").alias("g_day"),
+    )
+
+
+_A25_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(ROUND(value * 1e6) AS HUGEINT) AS hx
+  FROM events
+)
+SELECT event_type, day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(hx) AS DOUBLE) / 1e6 AS total_value,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(day_idx) AS INTEGER) AS g_day
+FROM ev GROUP BY ROLLUP (event_type, day_idx)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
     "w9_rolling_window_range": QuerySpec(
@@ -1446,6 +1491,12 @@ QUERIES: dict[str, QuerySpec] = {
     "a15_pairwise_splits": QuerySpec(a15_pairwise_splits, _A15_SQL, "A15 rules/common.smk:13-77"),
     "a16_ordered_distinct": QuerySpec(a16_ordered_distinct, _A16_SQL, "A16 util.py:1114-1123"),
     "a9_distinct_runs": QuerySpec(a9_distinct_runs, _A9_SQL, "A9 util.py:409-411"),
+    "a25_rollup_cube": QuerySpec(
+        a25_rollup_cube,
+        _A25_SQL,
+        "beyond-reference: ROLLUP grouping sets (one Expand + one partial-agg "
+        "shuffle for all subtotal levels) with exact micro-unit sums",
+    ),
     "w15_seasonal_anomaly": QuerySpec(
         w15_seasonal_anomaly,
         _W15_SQL,

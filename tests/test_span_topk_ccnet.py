@@ -225,3 +225,22 @@ def test_kl_drift_laws(spark, tmp_path):
     df.coalesce(1).write.parquet(str(d / "documents.parquet"))
     same = text_vocab_kl_drift(spark, str(d)).collect()
     assert {r.kl for r in same} == {0.0}
+
+
+def test_rollup_cube_subtotal_laws(spark):
+    """Grand total == sum of type subtotals == sum of leaf rows, for both
+    the count and the exact-decimal value sum; GROUPING flags partition
+    the output into the three levels."""
+    from mmeds_meta_spark.operators.filters_misc import a25_rollup_cube
+
+    rows = a25_rollup_cube(spark, SF_SMOKE).collect()
+    leaves = [r for r in rows if (r.g_type, r.g_day) == (0, 0)]
+    subtotals = [r for r in rows if (r.g_type, r.g_day) == (0, 1)]
+    grand = [r for r in rows if (r.g_type, r.g_day) == (1, 1)]
+    assert len(grand) == 1 and len(rows) == len(leaves) + len(subtotals) + 1
+    g = grand[0]
+    assert g.event_type is None and g.day_idx is None
+    assert g.n_events == sum(r.n_events for r in leaves) == sum(r.n_events for r in subtotals)
+    assert abs(g.total_value - sum(r.total_value for r in subtotals)) < 1e-6
+    # every leaf's type appears among the subtotal rows
+    assert {r.event_type for r in leaves} == {r.event_type for r in subtotals}
