@@ -93,6 +93,7 @@ OPS = [
     "decon_fuzzy_minhash",  # broadcast bench bands + exact-Jaccard verify
     "dedup_exact_normalized",  # canonicalize + hash groupBy
     "text_vocab_kl_drift",  # capped-class grid + pinned LN folds
+    "a25_rollup_cube",  # Expand + single partial agg, exact decimal sums
 ]
 
 
@@ -104,7 +105,11 @@ def test_same_rows_under_any_partitioning(name, spark):
     try:
         for parts in ("1", "7", default):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            results.append(sorted(map(tuple, spec.spark(spark, SF_SMOKE).collect())))
+            # key=repr (verify_local's convention): plain tuple ordering
+            # breaks on NULL grouping-set subtotal keys (None < int)
+            results.append(
+                sorted(map(tuple, spec.spark(spark, SF_SMOKE).collect()), key=repr)
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
     assert results[0] == results[1] == results[2]
