@@ -41,7 +41,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_streaming_topk.py tests/test_fastq_datasource.py
          tests/test_upsert_store.py tests/test_streaming_quantile.py
          tests/test_epoch_shuffle.py tests/test_wet_source.py
-         tests/test_shard_export.py tests/test_streaming_anomaly.py)
+         tests/test_shard_export.py tests/test_streaming_anomaly.py
+         tests/test_observe.py)
 
 run_shard() {
     local n=$1; shift
