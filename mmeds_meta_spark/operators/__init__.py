@@ -325,6 +325,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "dedup_exact_normalized",
     "text_vocab_kl_drift",
     "a25_rollup_cube",
+    "d15_chao1_coverage",
 )
 
 

@@ -64,6 +64,62 @@ FROM terms
 """
 
 
+def d15_chao1_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 richness + Good's coverage per sample — the two abundance-
+    based alpha metrics of the reference's qiime runs beside shannon /
+    faith_pd (`qiime diversity alpha`, rules/diversity_analysis.smk:5-40;
+    skbio's bias-corrected chao1 = S_obs + F1·(F1−1)/(2·(F2+1)), Good's
+    coverage = 1 − F1/N) — and, read through the LLM-pipeline lens, the
+    corpus-planning diagnostic: F1/N is the unseen-vocabulary mass and
+    chao1 the projected vocabulary size under more data.
+
+    Everything is singleton/doubleton INTEGER arithmetic closed by one
+    double division per metric — bit-exact cross-engine, no
+    transcendentals.  One partial-agg shuffle to (sample, feature)
+    counts, one to the per-sample F1/F2 profile."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    prof = counts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum("c").cast("long").alias("n_reads"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return prof.select(
+        "user_id",
+        "s_obs",
+        "n_reads",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST(s_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)"
+            " / CAST(2 * (f2 + 1) AS DOUBLE)"
+        ).alias("chao1"),
+        F.expr("1.0 - CAST(f1 AS DOUBLE) / CAST(n_reads AS DOUBLE)").alias(
+            "goods_coverage"
+        ),
+    )
+
+
+_D15_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type
+), prof AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(c) AS BIGINT) AS n_reads,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, s_obs, n_reads, f1, f2,
+       CAST(s_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+       / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+       1.0 - CAST(f1 AS DOUBLE) / CAST(n_reads AS DOUBLE) AS goods_coverage
+FROM prof
+"""
+
+
 # ---------------------------------------------------------------------------
 # D2 — Bray-Curtis dissimilarity, pairwise over a sample block
 # (rules/diversity_analysis.smk:5-40)
@@ -1025,6 +1081,13 @@ QUERIES: dict[str, QuerySpec] = {
         "oracle = the same iteration unrolled as a CTE chain",
     ),
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
+    "d15_chao1_coverage": QuerySpec(
+        d15_chao1_coverage,
+        _D15_SQL,
+        "D1 companion: chao1 + goods_coverage (qiime diversity alpha, "
+        "rules/diversity_analysis.smk:5-40) — singleton/doubleton integer "
+        "arithmetic, one double division per metric",
+    ),
     "d2_bray_curtis": QuerySpec(d2_bray_curtis, _D2_SQL, "D2 rules/diversity_analysis.smk:5-40"),
     "d5_ancombc": QuerySpec(
         d5_ancombc,

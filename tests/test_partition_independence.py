@@ -94,6 +94,7 @@ OPS = [
     "dedup_exact_normalized",  # canonicalize + hash groupBy
     "text_vocab_kl_drift",  # capped-class grid + pinned LN folds
     "a25_rollup_cube",  # Expand + single partial agg, exact decimal sums
+    "d15_chao1_coverage",  # singleton/doubleton integer profile
 ]
 
 

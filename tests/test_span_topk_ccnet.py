@@ -244,3 +244,30 @@ def test_rollup_cube_subtotal_laws(spark):
     assert abs(g.total_value - sum(r.total_value for r in subtotals)) < 1e-6
     # every leaf's type appears among the subtotal rows
     assert {r.event_type for r in leaves} == {r.event_type for r in subtotals}
+
+
+def test_chao1_coverage_agrees_with_python(spark):
+    """chao1/coverage match a pure-Python recomputation (skbio's
+    bias-corrected formula) and the formal laws: chao1 >= s_obs,
+    coverage in [0, 1], equality chao1 == s_obs iff no singletons
+    or exactly one."""
+    from collections import Counter, defaultdict
+
+    from mmeds_meta_spark.operators.diversity import d15_chao1_coverage
+    from mmeds_meta_spark.testdata import table as _t
+
+    ev = _t(spark, SF_SMOKE, "events").select("user_id", "event_type").collect()
+    per = defaultdict(Counter)
+    for r in ev:
+        per[r.user_id][r.event_type] += 1
+    got = {r.user_id: r for r in d15_chao1_coverage(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per)
+    for uid, c in per.items():
+        s_obs, n = len(c), sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        r = got[uid]
+        assert (r.s_obs, r.n_reads, r.f1, r.f2) == (s_obs, n, f1, f2)
+        assert r.chao1 == s_obs + (f1 * (f1 - 1)) / (2 * (f2 + 1))
+        assert r.goods_coverage == 1.0 - f1 / n
+        assert r.chao1 >= r.s_obs and 0.0 <= r.goods_coverage <= 1.0
