@@ -23,6 +23,17 @@ Two query sets:
 Each query is materialized with the no-op sink (full execution, no driver
 collect overhead).  A warm-up run of the first query absorbs JVM/codegen
 startup so the numbers reflect steady-state plan execution.
+
+Output contract (repaired per the round-6 verdict — BENCH_r06 came back
+``"parsed": null`` because the ever-growing one-line JSON plus Spark's
+console-progress '\\r' frames overflowed the driver's stdout tail window):
+
+* stdout carries exactly ONE compact JSON line — headline total +
+  per-query mins + heavy mins — printed LAST, with console progress
+  disabled for this process (``SPARK_GRAFT_NO_PROGRESS``) so nothing
+  interleaves with or precedes it in the tail.
+* full per-pass detail goes to the ``BENCH_DETAIL.json`` sidecar next to
+  this script (also ``$SPARK_GRAFT_BENCH_DETAIL`` to relocate).
 """
 
 from __future__ import annotations
@@ -74,6 +85,15 @@ HEAVY = [
     # round-6 session-5: the iterative BPE merge trainer (8 × pair-count
     # shuffle + argmax + narrow fold over the word-frequency table)
     "text_bpe_train",
+    # round-7: the round-6 ops that had plan audits + sf0.1 verification
+    # but no tracked wall-times (verdict item 5), plus the new composed
+    # training-export funnel
+    "dedup_substring_islands",
+    "text_ccnet_buckets",
+    "decon_fuzzy_minhash",
+    "sample_epoch_shuffle",
+    "sketch_kmv_overlap_matrix",
+    "pipeline_export_funnel",
 ]
 
 
@@ -81,6 +101,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    os.environ["SPARK_GRAFT_NO_PROGRESS"] = "1"  # keep stdout JSON-clean
     spark = get_spark("mmeds-meta-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
@@ -109,6 +130,30 @@ def main() -> None:
     heavy = {
         name: round(min(p[name] for p in heavy_passes), 3) for name in HEAVY
     }
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "passes": {
+                    f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
+                    for i, p in enumerate(passes)
+                },
+                "heavy_passes": {
+                    f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
+                    for i, p in enumerate(heavy_passes)
+                },
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    # the ONE machine-readable stdout line, printed LAST (per-pass detail
+    # lives in the sidecar; Spark console progress is disabled above)
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -118,17 +163,10 @@ def main() -> None:
                 "queries": times,
                 "heavy_queries": heavy,
                 "heavy_total": round(sum(heavy.values()), 3),
-                "passes": {
-                    f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
-                    for i, p in enumerate(passes)
-                },
-                "heavy_passes": {
-                    f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
-                    for i, p in enumerate(heavy_passes)
-                },
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

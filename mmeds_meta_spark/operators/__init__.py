@@ -284,48 +284,39 @@ _GATE_TAIL: tuple[str, ...] = (
     # text_bm25/nb/tfidf/lm keep text gated.  Its slot funds
     # d14_alpha_correlation (the alpha-correlation qiime surface).
     "text_pii_scrub",
-    # ---- added AFTER the round-6 gate head was frozen (local-sweep
-    # verified this round; rotate into the gate in round 7 so the
-    # curated head-50 — which ends at pipeline_curation_funnel, one of
-    # the six never-before-gated entries this round exists to evidence —
-    # is not displaced mid-round):
-    "text_gopher_quality",
-    "sketch_hist_quantile",
-    "a24_skew_profile",
-    "sketch_kmv_overlap_matrix",
-    "sample_epoch_shuffle",
-    # ---- round-6 session-5 additions (each verified oracle-exact at
-    # sf0.01 AND sf0.1 this round via tools/verify_local.py, with
-    # partition-independence pytest coverage).  Round-7 rotation should
-    # prioritize the genuinely NEW physical shapes: text_bpe_train (the
-    # iterative argmax-merge loop), dedup_substring_islands (stride-1
-    # run/interval-union windows), dedup_lsh_tuning_curve (pow-free
-    # S-curve folds), text_vocab_kl_drift (capped-class KL grid),
-    # ann_srp_lsh_topk (literal-hyperplane sign banding), and
-    # decon_fuzzy_minhash (cross-corpus broadcast-probe LSH).  The
-    # remaining four are gated twins: embed_random_projection (narrow
-    # dot-fold map — ann_srp shares the Rademacher machinery),
-    # dedup_span_topk (span_exact's gated count shuffle + TakeOrdered),
-    # text_ccnet_buckets (value-histogram cutoffs — a18/sketch_hist keep
-    # the CDF family gated), w15_seasonal_anomaly (a6's integer z-score
-    # with an hour key), dedup_exact_normalized (dedup_exact's gated
-    # md5-groupBy behind a regex canonicalization), and the two BPE
-    # satellites (token_count/vocab run the trainer's gated machinery).
-    "ann_srp_lsh_topk",
-    "embed_random_projection",
-    "dedup_span_topk",
-    "text_ccnet_buckets",
-    "text_bpe_train",
-    "text_bpe_token_count",
-    "text_bpe_vocab",
-    "dedup_substring_islands",
-    "w15_seasonal_anomaly",
-    "dedup_lsh_tuning_curve",
-    "decon_fuzzy_minhash",
-    "dedup_exact_normalized",
-    "text_vocab_kl_drift",
-    "a25_rollup_cube",
-    "d15_chao1_coverage",
+    # ---- round-7 rotation (per the round-6 verdict's #1 ask): the 20
+    # entries that landed after the round-6 gate freeze — all sweep- and
+    # pytest-verified but NEVER driver-gated — rotate INTO the head
+    # (text_gopher_quality, sketch_hist_quantile, a24_skew_profile,
+    # sketch_kmv_overlap_matrix, sample_epoch_shuffle, ann_srp_lsh_topk,
+    # embed_random_projection, dedup_span_topk, text_ccnet_buckets,
+    # text_bpe_train/token_count/vocab, dedup_substring_islands,
+    # w15_seasonal_anomaly, dedup_lsh_tuning_curve, decon_fuzzy_minhash,
+    # dedup_exact_normalized, text_vocab_kl_drift, a25_rollup_cube, and
+    # §2's d15_chao1_coverage), plus the new composed
+    # pipeline_export_funnel.  OUT: 21 entries driver-green in r06 (most
+    # also earlier rounds) whose physical shapes keep gated twins:
+    "a18_quantile_profile",  # exact-CDF cutoffs: sketch_hist_quantile gates the same CDF walk
+    "a19_rollup_daily",  # day rollup: a25_rollup_cube gates its ROLLUP superset
+    "a20_corr_profile",  # exact-moment correlation: d14_alpha_correlation stays gated
+    "f23_json_props_rollup",  # schema-on-read parse + rollup: a25 gates rollup; f1/golden keep parse in pytest
+    "w13_forward_fill",  # last-value window: w15_seasonal_anomaly gates the windowed-event family; w5/w6 stay
+    "w8_retention_cohorts",  # cohort windows: w6_funnel_conversion stays gated
+    "d5_ancombc_em",  # alternating estimator: d4_permanova keeps the exact-moment iterative family gated
+    "d6_lefse_lda",  # rank + LDA moments: d10_anosim's distributed mid-ranks stay gated
+    "d1_faith_pd_newick",  # Newick branch walk: d15_chao1_coverage gates D1 alpha; d2_unifrac_unweighted_newick keeps the parsed tree
+    "d2_unifrac_weighted_newick",  # branch-index pair shape: d2_unifrac_unweighted_newick stays gated
+    "d11_alpha_group_significance",  # alpha KW: d10_anosim keeps the rank-stat family gated
+    "dedup_span_exact",  # span md5 groupBy: dedup_span_topk + dedup_substring_islands gate its supersets
+    "decon_bloom_filter",  # broadcast-structure probe: decon_fuzzy_minhash gates the decontamination family
+    "ann_ivf_pq_topk",  # codebook bucket search: ann_srp_lsh_topk gates the ANN banding family
+    "text_lm_score",  # unigram LM train+apply: text_ccnet_buckets gates its strict superset
+    "text_vocab_topk",  # term/doc-frequency agg: text_bpe_vocab + text_vocab_kl_drift gate the vocab family
+    "text_tfidf_topk",  # broadcast token stats: text_bpe_token_count gates the vocab-join apply shape
+    "sample_stratified_exact",  # largest-remainder + md5-range: sample_epoch_shuffle gates the deterministic-selection family
+    "sketch_kmv_setops",  # bottom-k set algebra: sketch_kmv_overlap_matrix gates its strict superset
+    "sketch_hll_distinct",  # register estimator: sketch_hist_quantile + kmv_overlap keep sketches gated
+    "sketch_cms_heavy",  # hashed-counter sketch: same family as above; driver-green r05+r06
 )
 
 

@@ -61,11 +61,14 @@ def _norm_expr(dialect: str, col: str) -> str:
     strip everything but letters/digits/whitespace, squeeze whitespace
     runs, trim.  The regexes are identical; only the string-literal
     escaping differs (Spark SQL literals process backslashes, standard
-    SQL does not)."""
+    SQL does not) and DuckDB needs the explicit ``'g'`` flag — its
+    regexp_replace replaces only the FIRST match by default, while
+    Spark's always replaces all."""
     bs = "\\\\" if dialect == "spark" else "\\"
+    g = "" if dialect == "spark" else ", 'g'"
     return (
         f"trim(regexp_replace(regexp_replace(lower({col}),"
-        f" '[^a-z0-9{bs}s]', ''), '{bs}s+', ' '))"
+        f" '[^a-z0-9{bs}s]', ''{g}), '{bs}s+', ' '{g}))"
     )
 
 
@@ -589,8 +592,10 @@ def _lsh_tuning_sql() -> str:
             f"""
 SELECT CAST({b} AS INTEGER) AS bands, CAST({r} AS INTEGER) AS rows_per_band,
        CAST(SUM(cnt) AS BIGINT) AS n_pairs,
-       ROUND(list_reduce(list(CAST(cnt AS DOUBLE) * {p} ORDER BY s),
-                         (acc, x) -> acc + x) / SUM(cnt), 6) AS expected_recall
+       CASE WHEN SUM(cnt) IS NULL THEN NULL
+            ELSE ROUND(list_reduce(list(CAST(cnt AS DOUBLE) * {p} ORDER BY s),
+                                   (acc, x) -> acc + x) / SUM(cnt), 6)
+       END AS expected_recall
 FROM hist"""
         )
     union = "\nUNION ALL\n".join(selects)

@@ -315,7 +315,220 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# training-export funnel — tokenize → pack → shuffle/shard → manifest
+# ---------------------------------------------------------------------------
+
+_EXP_EPOCH = 0  # the gated report covers epoch 0; E epochs = E map streams
+_EXP_STAGES = ("tokenize", "pack", "shuffle_shard", "manifest")
+_FP_MOD = 1 << 60  # 60-bit order-independent content checksum (shard_export)
+
+
+def _hex60(dialect: str, col: str) -> str:
+    """First 15 hex digits of ``col`` as a BIGINT (< 2^60) — the identical
+    nibble-polynomial expression on both engines (no conv(): DuckDB lacks
+    it, and an explicit polynomial is portable bit-for-bit)."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    # nibble cast to BIGINT first: INT * 16^7 overflows INT32 under ANSI
+    terms = " + ".join(
+        f"CAST({pos}('0123456789abcdef', substr({col}, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def pipeline_export_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-EXPORT side of the pipeline composed as one plan —
+    the last mile after curation/selection, mirroring the analysis
+    dataflow composition the reference drives
+    (mmeds/snakemake/rules/process_sequencing_data.smk chains
+    filter → collapse → export exactly this way):
+
+    * stage 0 ``tokenize``      — per-doc token counts under the trained
+      BPE merge table (the REAL tokenizer, not the whitespace proxy)
+    * stage 1 ``pack``          — fixed-budget training batches packed on
+      those BPE counts (64 md5 streams × {budget}-token budget)
+    * stage 2 ``shuffle_shard`` — epoch-deterministic shuffle at BATCH
+      granularity: key = md5(epoch:bucket:batch), shard = first key
+      byte mod {shards} — packed batches stay intact (the training
+      units), so the shuffle moves batches, never splits them
+    * stage 3 ``manifest``      — the verifiable hand-off record
+
+    One row per stage: units at that stage (docs → batches → shards → 1
+    manifest) plus the INVARIANT columns — doc count, BPE token total,
+    and a 60-bit order-independent content checksum
+    (Σ md5-fingerprints mod 2^60, the shard_export design) — which must
+    be IDENTICAL on every row: packing, shuffling, and sharding must
+    never lose, duplicate, or alter a document.  That invariance is the
+    report an export run ships, and it is what the oracle checks.
+
+    Physical shape at 100 TB: tokenize = one explode + vocab equi-join
+    (AQE broadcasts the vocab) + per-doc partial agg; pack = one
+    64-stream bucket window (never a global running sum); shard = narrow
+    md5 arithmetic; every report agg is two levels (per-batch partial →
+    global), so no COUNT(DISTINCT) expand and no driver loop beyond the
+    trainer's bounded 1-row-per-merge collects."""
+    from .bpe import _N_MERGES, _train
+    from .sampling import _PACK_BUCKETS, _PACK_BUDGET, _bucket_expr
+    from .sampling import _EPOCH_SHARDS as _N_SHARDS
+
+    _, syms_df = _train(spark, sf, _N_MERGES)
+    enc = syms_df.select("w", F.size("syms").alias("n_sym"))
+    d = _t(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tc = words.join(enc, "w").groupBy("doc_id").agg(
+        F.sum("n_sym").cast("long").alias("n_tok")
+    )
+    dl = tc.join(d.select("doc_id", "text"), "doc_id").withColumn(
+        "bucket",
+        F.expr(
+            f"CAST({_bucket_expr('spark', 'CAST(doc_id AS STRING)')}"
+            f" % {_PACK_BUCKETS} AS INT)"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), F.col("doc_id")
+    )
+    packed = dl.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("batch", F.expr(f"CAST(cum_before div {_PACK_BUDGET} AS BIGINT)"))
+    keyed = packed.withColumn(
+        "bk",
+        F.expr(
+            f"md5(concat(CAST({_EXP_EPOCH} AS STRING), ':',"
+            " CAST(bucket AS STRING), ':', CAST(batch AS STRING)))"
+        ),
+    ).withColumn(
+        "shard",
+        F.expr(
+            "CAST(((instr('0123456789abcdef', substr(bk, 1, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substr(bk, 2, 1)) - 1))"
+            f" % {_N_SHARDS} AS INT)"
+        ),
+    ).withColumn(
+        "fp",
+        F.expr(
+            _hex60(
+                "spark",
+                "substr(md5(concat(CAST(doc_id AS STRING), ':', md5(text), ':',"
+                " CAST(n_tok AS STRING))), 1, 15)",
+            )
+        ),
+    )
+    per_batch = keyed.groupBy("bucket", "batch", "shard").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n_tok").cast("long").alias("nt"),
+        (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD)).alias("fs"),
+    )
+    total = per_batch.agg(
+        F.sum("nd").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_bpe_tokens"),
+        (F.sum("fs") % F.lit(_FP_MOD)).cast("long").alias("checksum"),
+        F.count("*").cast("long").alias("n_batches"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+    )
+    return total.selectExpr(
+        "stack(4, "
+        f"0L, '{_EXP_STAGES[0]}', n_docs, "
+        f"1L, '{_EXP_STAGES[1]}', n_batches, "
+        f"2L, '{_EXP_STAGES[2]}', n_shards, "
+        f"3L, '{_EXP_STAGES[3]}', 1L"
+        ") AS (stage, stage_name, n_units)",
+        "n_docs",
+        "n_bpe_tokens",
+        "checksum",
+    )
+
+
+def _fmt_export_doc() -> None:
+    from .sampling import _EPOCH_SHARDS, _PACK_BUDGET
+
+    pipeline_export_funnel.__doc__ = pipeline_export_funnel.__doc__.format(
+        budget=_PACK_BUDGET, shards=_EPOCH_SHARDS
+    )
+
+
+_fmt_export_doc()
+
+
+def _export_sql() -> str:
+    from .bpe import _N_MERGES, _bpe_chain
+    from .sampling import _PACK_BUCKETS, _PACK_BUDGET, _bucket_expr
+    from .sampling import _EPOCH_SHARDS as _N_SHARDS
+
+    s = f"s{_N_MERGES}"
+    return f"""
+{_bpe_chain(_N_MERGES)}
+, enc AS (SELECT w, len(syms) AS n_sym FROM {s})
+, tokw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tc AS (
+  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tok
+  FROM tokw JOIN enc USING (w) WHERE w != '' GROUP BY doc_id
+), dl AS (
+  SELECT t.doc_id, t.n_tok, d.text,
+         CAST({_bucket_expr('duck', 'CAST(t.doc_id AS VARCHAR)')}
+              % {_PACK_BUCKETS} AS INTEGER) AS bucket
+  FROM tc t JOIN documents d USING (doc_id)
+), packed AS (
+  SELECT doc_id, n_tok, text, bucket,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS batch
+  FROM dl
+), keyed AS (
+  SELECT doc_id, n_tok, text, bucket, batch,
+         md5(CAST({_EXP_EPOCH} AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)
+             || ':' || CAST(batch AS VARCHAR)) AS bk
+  FROM packed
+), fpd AS (
+  SELECT bucket, batch, n_tok,
+         CAST(((strpos('0123456789abcdef', substr(bk, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(bk, 2, 1)) - 1))
+              % {_N_SHARDS} AS INTEGER) AS shard,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':'
+                    || CAST(n_tok AS VARCHAR)), 1, 15) AS fph
+  FROM keyed
+), per_batch AS (
+  SELECT bucket, batch, shard, COUNT(*) AS nd, SUM(n_tok) AS nt,
+         SUM({_hex60('duck', 'fph')}) % {_FP_MOD} AS fs
+  FROM fpd GROUP BY 1, 2, 3
+), total AS (
+  SELECT CAST(SUM(nd) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(fs) % {_FP_MOD} AS BIGINT) AS checksum,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+  FROM per_batch
+)
+SELECT CAST(0 AS BIGINT) AS stage, '{_EXP_STAGES[0]}' AS stage_name,
+       n_docs AS n_units, n_docs, n_bpe_tokens, checksum FROM total
+UNION ALL
+SELECT 1, '{_EXP_STAGES[1]}', n_batches, n_docs, n_bpe_tokens, checksum FROM total
+UNION ALL
+SELECT 2, '{_EXP_STAGES[2]}', n_shards, n_docs, n_bpe_tokens, checksum FROM total
+UNION ALL
+SELECT 3, '{_EXP_STAGES[3]}', 1, n_docs, n_bpe_tokens, checksum FROM total
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_export_funnel": QuerySpec(
+        pipeline_export_funnel,
+        _export_sql(),
+        "beyond-reference: composed training-export funnel (BPE tokenize → "
+        "fixed-budget pack → epoch shuffle/shard at batch granularity → "
+        "verifiable manifest) as ONE plan with stage-invariant checksums",
+    ),
     "pipeline_selection_funnel": QuerySpec(
         pipeline_selection_funnel,
         _selection_sql(),

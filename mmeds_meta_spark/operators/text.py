@@ -902,7 +902,11 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 _NB_VOCAB_K = 512  # capped vocabulary → the model stays broadcastable
-_NB_TRAIN_PCT = 50  # md5(doc_id) % 100 < 50 → train; the rest is scored
+# md5(doc_id) first byte < 128 → train; the rest is scored.  The byte is
+# uniform on 0..255 so 128 is an UNBIASED half — (byte % 100) < 50 looks
+# like 50% but residues 0..55 occur 3/256 vs 2/256 for 56..99, capturing
+# ~58.6% of documents (the latent skew flagged by the round-6 advice).
+_NB_TRAIN_BYTE = 128
 
 
 def text_nb_classifier(spark: SparkSession, sf: str, *, vocab_k: int = _NB_VOCAB_K) -> DataFrame:
@@ -919,8 +923,10 @@ def text_nb_classifier(spark: SparkSession, sf: str, *, vocab_k: int = _NB_VOCAB
     its vocab symbol or OOV, so likelihoods use one consistent V+1-symbol
     alphabet with add-one smoothing — p(s|c) = (c_{{s,c}}+1)/(N_c+V).
     Priors are doc-count MLE with add-one over C classes.  Train/apply
-    split = md5(doc_id) % 100 (the sample_hash_split convention — no
-    rand(), stable across engines/retries).
+    split = first md5(doc_id) byte < 128 — an exact, unbiased 50% of the
+    hash space (no rand(), stable across engines/retries; the earlier
+    ``% 100 < 50`` form captured ~58.6% because 256 is not a multiple
+    of 100).
 
     Physical shape at 100 TB: the model is (V+1)·C rows — BROADCAST into
     the apply join, never a shuffle on the Zipf-hot token key; training
@@ -930,7 +936,7 @@ def text_nb_classifier(spark: SparkSession, sf: str, *, vocab_k: int = _NB_VOCAB
     row_number over the C candidate rows per doc."""
     from .sampling import _bucket_expr
 
-    bexpr = f"({_bucket_expr('spark', 'CAST(doc_id AS STRING)')} % 100) < {_NB_TRAIN_PCT}"
+    bexpr = f"{_bucket_expr('spark', 'CAST(doc_id AS STRING)')} < {_NB_TRAIN_BYTE}"
     tok = (
         _t(spark, sf, "documents")
         .select(
@@ -1026,7 +1032,7 @@ def _nb_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, lang AS true_lang,
-         ({_bucket_expr("duck", "CAST(doc_id AS VARCHAR)")} % 100) < {_NB_TRAIN_PCT} AS is_train,
+         {_bucket_expr("duck", "CAST(doc_id AS VARCHAR)")} < {_NB_TRAIN_BYTE} AS is_train,
          string_split(text, ' ') AS a
   FROM documents
 ), tk AS (

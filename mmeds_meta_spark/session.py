@@ -44,5 +44,12 @@ def get_spark(app_name: str = "mmeds-meta-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bench.py sets SPARK_GRAFT_NO_PROGRESS: its stdout must carry
+        # exactly one JSON line, and the console-progress '\r' frames
+        # share stdout (they broke the driver's BENCH_r06 tail parse)
+        .config(
+            "spark.ui.showConsoleProgress",
+            "false" if os.environ.get("SPARK_GRAFT_NO_PROGRESS") else "true",
+        )
         .getOrCreate()
     )

@@ -63,14 +63,17 @@ class FastqReader(DataSourceReader):
                     break
                 seq = fh.readline().rstrip("\n")
                 plus = fh.readline()
-                qual = fh.readline().rstrip("\n")
-                if not qual:
-                    # truncated trailing frame — whether the file ended
-                    # before OR after the '+' separator, there is no qual
-                    # line, so drop the record (matching the reference's
-                    # silent tail tolerance); an empty qual would otherwise
-                    # ship a seq/qual length mismatch downstream
+                qual_raw = fh.readline()
+                if qual_raw == "" or not plus:
+                    # truncated trailing frame — the file ended before the
+                    # qual line (or before the '+' separator), so drop the
+                    # record (matching the reference's silent tail
+                    # tolerance).  Only TRUE EOF ('' from readline) stops
+                    # the parse: a bare '\n' qual line is a legal
+                    # zero-length read (empty seq after adapter trimming)
+                    # and must not terminate the rest of the file.
                     break
+                qual = qual_raw.rstrip("\n")
                 hdr = header.rstrip("\n")
                 # strip exactly ONE marker: a header legitimately starting
                 # '@@…' must keep its second '@' (lstrip would eat both)

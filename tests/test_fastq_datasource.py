@@ -63,3 +63,24 @@ def test_truncated_after_plus_and_double_at_header(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].header == "@weird/1"
     assert rows[0].seq == "ACGT" and rows[0].qual == "IIII"
+
+
+def test_empty_qual_line_is_zero_length_record_not_eof(spark, tmp_path):
+    """A bare '\\n' qual line (zero-length read after adapter trimming) is a
+    valid empty record and must NOT terminate parsing of the file — only a
+    true EOF ('' from readline) stops the frame loop."""
+    from mmeds_meta_spark.sources.fastq_datasource import register_fastq_source
+
+    p = tmp_path / "zero_len.fastq"
+    p.write_text(
+        "@read0\nACGT\n+\nIIII\n"
+        "@read1\n\n+\n\n"          # zero-length read: empty seq + empty qual
+        "@read2\nGGCC\n+\nJJJJ\n"
+    )
+    register_fastq_source(spark)
+    rows = sorted(
+        spark.read.format("fastq").load(str(p)).collect(), key=lambda r: r.record_id
+    )
+    assert [r.header for r in rows] == ["read0", "read1", "read2"]
+    assert rows[1].seq == "" and rows[1].qual == ""
+    assert rows[2].seq == "GGCC" and rows[2].qual == "JJJJ"

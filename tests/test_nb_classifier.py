@@ -10,14 +10,15 @@ import math
 from conftest import SF_SMOKE
 
 from mmeds_meta_spark.operators.text import (
-    _NB_TRAIN_PCT,
+    _NB_TRAIN_BYTE,
     _NB_VOCAB_K,
     text_nb_classifier,
 )
 
 
 def _is_train(doc_id: int) -> bool:
-    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100 < _NB_TRAIN_PCT
+    # unbiased half of the hash space: first md5 byte < 128
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) < _NB_TRAIN_BYTE
 
 
 def _expected(docs):
