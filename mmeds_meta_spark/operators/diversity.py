@@ -690,13 +690,177 @@ def d2_pcoa_power(
     )
 
 
-def _pcoa_core(p: DataFrame, n_iter: int) -> DataFrame:
+def _pcoa_core(p: DataFrame, n_iter: int, *, block: bool = True) -> DataFrame:
     """The generic in-plan PCoA engine over a squared-distance pair
     relation ``p`` (ua, ub, dd): Gower centering + two power-iteration
     axes with deflation.  Returns one row per sample —
     (i, u1, u2, lam, lam2): unit sign-fixed eigenvectors and Rayleigh
     eigenvalues — consumed by d2_pcoa_power (formatted ordination) and
-    d13_procrustes (ordination comparison)."""
+    d13_procrustes (ordination comparison).
+
+    Two physical strategies, ONE arithmetic sequence (bit-equal results,
+    asserted by tests/test_pcoa_block.py; the DuckDB oracle is unchanged):
+
+    * ``block=True`` (default — both current consumers run over the
+      bounded _BC_BLOCK sample block): the whole n×n centered matrix is
+      ONE ROW of array<struct> and every matvec/norm/deflation is narrow
+      array arithmetic — zero joins, zero shuffles, zero broadcasts.
+      The join form spent ~1.2 s of job/broadcast overhead per 6-step
+      segment on a 40-row block (measured round 7: d13 22 s → see
+      SCALE_NOTES); the array form runs the same folds in microseconds.
+      Bounded by design: n ≤ a few thousand samples keeps the n² struct
+      array inside one task comfortably.
+    * ``block=False``: the distributed matvec-join form — shuffles on
+      the sample key over the n² pair relation — for ordinations over
+      sample counts beyond a single task's memory."""
+    if block:
+        return _pcoa_core_block(p, n_iter)
+    return _pcoa_core_distributed(p, n_iter)
+
+
+def _pcoa_core_block(p: DataFrame, n_iter: int) -> DataFrame:
+    """Dense bounded-block PCoA: the matrix as one array-valued row.
+
+    Every fold replays the join form's pinned order exactly: the pair
+    array is sort_array'd by (i, j), so each row's adjacency list folds
+    in ascending j (the _pinned('...', 'j') order); vectors live in
+    ascending-idx order (the _pinned('...', 'i') order); every closing
+    double expression is the identical tree.  IEEE ops on identical
+    inputs in identical order give identical bits -- the cross-engine
+    contract, reused cross-PLAN (asserted against the distributed form
+    by tests/test_pcoa_block.py).
+
+    Execution design: the WHOLE power chain is one
+    ``aggregate(sequence(1, n_iter), seed, step)`` fold whose
+    accumulator is the vector -- a runtime VALUE, so step t's vector is
+    never re-evaluated as an expression by step t+1 (chaining the steps
+    as columns lets CollapseProject inline each step into the next
+    lambda, where the inner vector re-evaluates per element --
+    exponential blow-up, measured as a >2 min hang at n=40).  The
+    matrix is pre-shaped once into ``bmg``: per-row adjacency lists
+    carrying the POSITION of j in idx, so the matvec inner loop is
+    element_at(v, jp) -- O(1), no per-call map builds.  A few bounded
+    1-row checkpoint jobs separate the value phases (adjacency build /
+    axis 1 / deflation + axis 2) so no phase's result is re-evaluated
+    inside a later phase's lambdas."""
+    zero = "CAST(0 AS DOUBLE)"
+    samples = p.select(F.col("ua").alias("s")).union(p.select("ub")).distinct()
+    m = (
+        p.select(F.col("ua").alias("i"), F.col("ub").alias("j"), "dd")
+        .union(p.select(F.col("ub").alias("i"), F.col("ua").alias("j"), "dd"))
+        .union(
+            samples.select(
+                F.col("s").alias("i"), F.col("s").alias("j"), F.lit(0.0).alias("dd")
+            )
+        )
+    )
+    # phase 0: (idx, md, rm) -- row means folded per i in ascending-j order
+    st = (
+        m.agg(F.expr("sort_array(collect_list(struct(i, j, dd)))").alias("md"))
+        .crossJoin(samples.agg(F.expr("sort_array(collect_list(s))").alias("idx")))
+        .withColumn(
+            "rm",
+            F.expr(
+                f"transform(idx, vi -> aggregate(filter(md, e0 -> e0.i = vi),"
+                f" {zero}, (ac0, e0) -> ac0 + e0.dd) / size(idx))"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # phase 1: centered matrix as position-indexed adjacency lists; the
+    # g / rmm subexpressions inline over the MATERIALIZED rm (cheap)
+    st = (
+        st.withColumn(
+            "g", F.expr(f"aggregate(rm, {zero}, (ac9, x9) -> ac9 + x9) / size(idx)")
+        )
+        .withColumn("rmm", F.expr("map_from_arrays(idx, rm)"))
+        .withColumn(
+            "bmg",
+            F.expr(
+                "transform(idx, vi2 -> transform(filter(md, e2 -> e2.i = vi2),"
+                " e2 -> struct(CAST(array_position(idx, e2.j) AS INT) AS jp,"
+                " -0.5 * (e2.dd - rmm[e2.i] - rmm[e2.j] + g) AS b)))"
+            ),
+        )
+        .select("idx", "bmg")
+        .localCheckpoint(eager=True)
+    )
+
+    def mv(mat: str, v: str) -> str:
+        return (
+            f"transform({mat}, rw -> aggregate(rw, {zero},"
+            f" (ac1, e1) -> ac1 + e1.b * element_at({v}, e1.jp)))"
+        )
+
+    def norm(x: str) -> str:
+        return (
+            f"transform({x}, xx -> xx / SQRT(aggregate({x}, {zero},"
+            " (ac2, zz) -> ac2 + zz * zz)))"
+        )
+
+    def chain(mat: str, start_mod: int) -> str:
+        seed = norm(f"transform(idx, s -> CAST(1 + s % {start_mod} AS DOUBLE))")
+        step_v = mv(mat, "vv")
+        return (
+            f"aggregate(sequence(1, {n_iter}), {seed}, (vv, tt) ->"
+            f" CASE WHEN tt % {_PCOA_NORM_EVERY} = 0 OR tt = {n_iter}"
+            f" THEN {norm(step_v)} ELSE {step_v} END)"
+        )
+
+    # idx is sorted ascending, so element 1 IS the min-i loading
+    signfix = "CASE WHEN element_at({v}, 1) < 0.0 THEN -1.0 ELSE 1.0 END"
+
+    def rayleigh(mat: str, v: str) -> str:
+        return (
+            f"aggregate(zip_with({v}, {mv(mat, v)}, (a3, b3) -> a3 * b3),"
+            f" {zero}, (ac3, x3) -> ac3 + x3)"
+        )
+
+    # phase 2: axis 1 -- the raw chain materializes before signfix /
+    # rayleigh read it per-element inside their lambdas
+    st = st.withColumn("v1r", F.expr(chain("bmg", 7))).localCheckpoint(eager=True)
+    st = (
+        st.withColumn(
+            "v1", F.expr(f"transform(v1r, x4 -> x4 * ({signfix.format(v='v1r')}))")
+        )
+        .withColumn("lam", F.expr(rayleigh("bmg", "v1")))
+        .localCheckpoint(eager=True)
+    )
+    # phase 3: deflation (identical formula order: b - lam*v1i*v1j) + axis 2
+    st = (
+        st.withColumn(
+            "bmg2",
+            F.expr(
+                "zip_with(bmg, sequence(1, size(idx)), (rw2, k2) ->"
+                " transform(rw2, e5 -> struct(e5.jp AS jp,"
+                " e5.b - lam * element_at(v1, k2) * element_at(v1, e5.jp) AS b)))"
+            ),
+        )
+        .withColumn("v2r", F.expr(chain("bmg2", 5)))
+        .localCheckpoint(eager=True)
+    )
+    st = st.withColumn(
+        "v2", F.expr(f"transform(v2r, x6 -> x6 * ({signfix.format(v='v2r')}))")
+    ).withColumn("lam2", F.expr(rayleigh("bmg2", "v2")))
+    return st.select(
+        F.expr("explode(sequence(1, size(idx)))").alias("k"),
+        "idx",
+        "v1",
+        "v2",
+        "lam",
+        "lam2",
+    ).select(
+        F.expr("element_at(idx, k)").alias("i"),
+        F.expr("element_at(v1, k)").alias("u1"),
+        F.expr("element_at(v2, k)").alias("u2"),
+        "lam",
+        "lam2",
+    )
+
+
+
+def _pcoa_core_distributed(p: DataFrame, n_iter: int) -> DataFrame:
+    """The distributed matvec-join PCoA (the ``block=False`` strategy)."""
     samples = (
         p.select(F.col("ua").alias("s")).union(p.select("ub")).distinct()
     )

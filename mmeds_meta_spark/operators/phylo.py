@@ -1726,11 +1726,17 @@ def d13_procrustes(spark: SparkSession, sf: str, *, n_iter: int | None = None) -
     )
 
     def coords(core: DataFrame) -> DataFrame:
+        # EAGER checkpoint: the ordination feeds FOUR downstream consumers
+        # (mean agg, centering, norm agg, unit scaling), and hat feeds the
+        # moment join on top — without truncation the 24-step power chains
+        # re-expand ~8x into the moment plan (592 exchanges / 20 s at
+        # sf0.1, the round-6 verdict's top perf target).  40 bounded rows;
+        # the same fix took text_ccnet_buckets from 24 -> 8 exchanges.
         return core.select(
             "i",
             F.expr("SQRT(GREATEST(lam, 0.0)) * u1").alias("c1"),
             F.expr("SQRT(GREATEST(lam2, 0.0)) * u2").alias("c2"),
-        )
+        ).localCheckpoint(eager=True)
 
     def unitize(cfg: DataFrame):
         mx = cfg.agg(
@@ -1750,7 +1756,7 @@ def d13_procrustes(spark: SparkSession, sf: str, *, n_iter: int | None = None) -
             "i",
             F.expr("x1 / SQRT(ss)").alias("x1"),
             F.expr("x2 / SQRT(ss)").alias("x2"),
-        )
+        ).localCheckpoint(eager=True)  # 40 unit-scaled rows, 4 moment uses
         return hat, mx.select("n")
 
     xh, nrel = unitize(coords(_pcoa_core(bc, iters)))
