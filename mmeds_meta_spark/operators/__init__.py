@@ -317,6 +317,11 @@ _GATE_TAIL: tuple[str, ...] = (
     "sketch_kmv_setops",  # bottom-k set algebra: sketch_kmv_overlap_matrix gates its strict superset
     "sketch_hll_distinct",  # register estimator: sketch_hist_quantile + kmv_overlap keep sketches gated
     "sketch_cms_heavy",  # hashed-counter sketch: same family as above; driver-green r05+r06
+    # ---- added AFTER the round-7 gate head was set (sweep + pytest
+    # verified this round; round-8 rotation candidates — the bigram LM is
+    # the genuinely new shape: a lag-window bigram formation feeding a
+    # bounded conditional-probability grid broadcast):
+    "text_bigram_lm_score",
 )
 
 

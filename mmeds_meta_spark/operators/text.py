@@ -419,6 +419,129 @@ FROM per_doc
 """
 
 
+_BLM_VOCAB_K = 256  # caps the bigram grid at (K+2)·(K+1) rows — broadcastable
+_BLM_BOS = "<s>"  # document-start context symbol
+
+
+def text_bigram_lm_score(
+    spark: SparkSession, sf: str, *, vocab_k: int = _BLM_VOCAB_K
+) -> DataFrame:
+    """Bigram-LM quality score: train a capped-vocabulary BIGRAM model
+    (add-one smoothing over conditional distributions) on the corpus
+    and score every document by mean token log-prob — the next step up
+    from text_lm_score's unigram proxy: a document full of common words
+    in improbable ORDER (shuffled text, keyword stuffing, boilerplate
+    collages) scores well under a unigram LM but poorly here.
+
+    Model: tokens map to the deterministic top-{k} vocab or the OOV
+    symbol (``''`` — the NB convention); each document's first token is
+    conditioned on the ``{bos}`` start symbol.  p(s|prev) =
+    (c(prev,s)+1) / (c(prev)+V+1) with V = |vocab|, so every context
+    row is a proper smoothed distribution over the V+1-symbol alphabet.
+
+    Physical shape at 100 TB: the model is the (V+2)·(V+1)-bounded
+    bigram grid plus a V+2-row context table — both BROADCAST into the
+    apply join (never a shuffle on the Zipf-hot bigram key); bigram
+    formation is one lag window partitioned on doc_id (uniform key);
+    per-doc log-prob sums are pinned-order folds over token position
+    and the closing mean/EXP expressions follow text_lm_score's 6dp
+    libm-parity discipline."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_k)
+    )
+    syms = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.expr("CASE WHEN c IS NULL THEN '' ELSE tok END").alias("sym"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = syms.select(
+        "doc_id",
+        "pos",
+        "sym",
+        F.coalesce(F.lag("sym").over(w), F.lit(_BLM_BOS)).alias("prev"),
+    ).localCheckpoint(eager=False)  # consumed by train (2x) AND apply
+    ctx = bg.groupBy("prev").agg(F.count("*").cast("long").alias("c_ctx"))
+    bgc = bg.groupBy("prev", "sym").agg(F.count("*").cast("long").alias("c_bg"))
+    vv = vocab.agg(F.count("*").cast("long").alias("v"))
+    scored = (
+        bg.join(F.broadcast(bgc), ["prev", "sym"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "LN(CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE)"
+                " / CAST(COALESCE(c_ctx, 0) + v + 1 AS DOUBLE))"
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+        ).alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("ROUND(slp / n_tokens, 6)").alias("mean_logprob"),
+        F.expr("ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6)").alias("ppl_proxy"),
+    )
+
+
+text_bigram_lm_score.__doc__ = text_bigram_lm_score.__doc__.format(
+    k=_BLM_VOCAB_K, bos=_BLM_BOS
+)
+
+_BLM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {_BLM_VOCAB_K}
+), syms AS (
+  SELECT doc_id, pos, CASE WHEN c IS NULL THEN '' ELSE tok END AS sym
+  FROM tok LEFT JOIN vocab USING (tok)
+), bg AS (
+  SELECT doc_id, pos, sym,
+         COALESCE(LAG(sym) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BLM_BOS}') AS prev
+  FROM syms
+), ctx AS (
+  SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_ctx FROM bg GROUP BY prev
+), bgc AS (
+  SELECT prev, sym, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY prev, sym
+), vv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), scored AS (
+  SELECT doc_id, pos,
+         LN(CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(c_ctx, 0) + v + 1 AS DOUBLE)) AS lp
+  FROM bg LEFT JOIN bgc USING (prev, sym) LEFT JOIN ctx USING (prev)
+  CROSS JOIN vv
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
+       ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
 def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style corpus partitioning (Wenzek et al. 2020): split each
     language's documents into head / middle / tail by LM perplexity —
@@ -1221,6 +1344,12 @@ QUERIES: dict[str, QuerySpec] = {
         _LM_SCORE_SQL,
         "LLM-pipeline text (CCNet-style unigram-LM perplexity proxy: "
         "capped-vocab train + broadcast apply in one plan)",
+    ),
+    "text_bigram_lm_score": QuerySpec(
+        text_bigram_lm_score,
+        _BLM_SQL,
+        "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
+        "broadcast, lag-window bigram formation, order-sensitive quality)",
     ),
     "text_vocab_kl_drift": QuerySpec(
         text_vocab_kl_drift,

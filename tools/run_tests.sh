@@ -30,7 +30,9 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_hist_quantile.py tests/test_skew_profile.py
          tests/test_kmv_overlap_matrix.py tests/test_text_gopher.py
          tests/test_srp_jl.py tests/test_bpe.py
-         tests/test_span_topk_ccnet.py tests/test_substring_islands.py)
+         tests/test_span_topk_ccnet.py tests/test_substring_islands.py
+         tests/test_pcoa_block.py tests/test_ann_recall.py
+         tests/test_advice_r07.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
@@ -42,7 +44,7 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_upsert_store.py tests/test_streaming_quantile.py
          tests/test_epoch_shuffle.py tests/test_wet_source.py
          tests/test_shard_export.py tests/test_streaming_anomaly.py
-         tests/test_observe.py)
+         tests/test_observe.py tests/test_export_funnel.py)
 
 run_shard() {
     local n=$1; shift
