@@ -322,6 +322,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # the genuinely new shape: a lag-window bigram formation feeding a
     # bounded conditional-probability grid broadcast):
     "text_bigram_lm_score",
+    # embedding-level decontamination: broadcast bench + narrow scoring
+    # (the 4th decon modality; same broadcast shape as decon_fuzzy):
+    "decon_embedding_cosine",
 )
 
 

@@ -749,8 +749,84 @@ FROM e
 """
 
 
+_DECON_BENCH_MOD = 50  # vec_id ≡ 0 (mod 50) → held-out benchmark stand-in
+_DECON_TAU = 0.35  # demo threshold: the synthetic embeddings are near-
+# orthogonal (max bench cosine 0.4533 at sf0.01), so 0.35 exercises both
+# verdict branches; production decontamination runs tau ~ 0.95
+
+
+def decon_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination: flag corpus vectors
+    whose cosine similarity to ANY held-out benchmark vector reaches
+    τ = {tau} (demo value; production runs τ ≈ 0.95) — the semantic companion of the n-gram
+    (decon_ngram_overlap), Bloom (decon_bloom_filter), and fuzzy-MinHash
+    (decon_fuzzy_minhash) tests: it catches REWRITTEN eval leaks
+    (translations, heavy paraphrases, format conversions) that share no
+    surface n-grams with the benchmark at all.  Benchmark membership is
+    the deterministic vec_id ≡ 0 (mod {mod}) stand-in (the
+    decon_fuzzy_minhash convention).
+
+    Output per corpus vector: the max benchmark cosine (4dp), how many
+    benchmark items clear τ, and the contamination verdict.
+
+    Physical shape at 100 TB: an eval suite's embeddings are MBs — the
+    benchmark side BROADCASTS, scoring is a narrow map over the corpus
+    (never a shuffle of it), and the per-vector max/count is a
+    map-side-combining partial agg on vec_id.  Nothing scales with
+    corpus × corpus."""
+    e = _as_double(_t(spark, sf, "embeddings"), "v")
+    bench = e.filter(F.col("vec_id") % _DECON_BENCH_MOD == 0).select(
+        F.col("v").alias("bv")
+    )
+    corpus = e.filter(F.col("vec_id") % _DECON_BENCH_MOD != 0)
+    cos = F.expr(
+        f"ROUND({_DOT.format(a='v', b='bv')} / (SQRT({_DOT.format(a='v', b='v')})"
+        f" * SQRT({_DOT.format(a='bv', b='bv')})), 4)"
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).withColumn("cos_b", cos)
+    return scored.groupBy("vec_id", "label").agg(
+        F.max("cos_b").alias("max_bench_cos"),
+        F.sum(F.when(F.col("cos_b") >= _DECON_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bench_hits"),
+        (F.max("cos_b") >= F.lit(_DECON_TAU)).alias("is_contaminated"),
+    )
+
+
+decon_embedding_cosine.__doc__ = decon_embedding_cosine.__doc__.format(
+    tau=_DECON_TAU, mod=_DECON_BENCH_MOD
+)
+
+_DECON_EMB_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bench AS (
+  SELECT v AS bv FROM e WHERE vec_id % {_DECON_BENCH_MOD} = 0
+), scored AS (
+  SELECT c.vec_id, c.label,
+         ROUND(list_dot_product(c.v, b.bv)
+               / (SQRT(list_dot_product(c.v, c.v))
+                  * SQRT(list_dot_product(b.bv, b.bv))), 4) AS cos_b
+  FROM e c CROSS JOIN bench b
+  WHERE c.vec_id % {_DECON_BENCH_MOD} != 0
+)
+SELECT vec_id, label, MAX(cos_b) AS max_bench_cos,
+       CAST(SUM(CASE WHEN cos_b >= {_DECON_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bench_hits,
+       MAX(cos_b) >= {_DECON_TAU} AS is_contaminated
+FROM scored GROUP BY vec_id, label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
+    "decon_embedding_cosine": QuerySpec(
+        decon_embedding_cosine,
+        _DECON_EMB_SQL,
+        "beyond-reference: embedding-level benchmark decontamination "
+        "(broadcast bench side, narrow corpus scoring — catches paraphrased "
+        "leaks the n-gram/Bloom/MinHash tests miss)",
+    ),
     "embed_quantize_int8": QuerySpec(
         embed_quantize_int8,
         _QUANT_SQL,
