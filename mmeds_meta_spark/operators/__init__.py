@@ -325,6 +325,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # embedding-level decontamination: broadcast bench + narrow scoring
     # (the 4th decon modality; same broadcast shape as decon_fuzzy):
     "decon_embedding_cosine",
+    # composed decon defense-in-depth verdict (union + rollup of the three
+    # doc-level modalities, each individually gated/sweep-verified):
+    "pipeline_decontam_report",
 )
 
 

@@ -521,7 +521,81 @@ SELECT 3, '{_EXP_STAGES[3]}', 1, n_docs, n_bpe_tokens, checksum FROM total
 """
 
 
+# ---------------------------------------------------------------------------
+# decontamination defense-in-depth report — three modalities, one verdict
+# ---------------------------------------------------------------------------
+
+
+def pipeline_decontam_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Defense-in-depth decontamination verdict: one row per corpus
+    document flagged by ANY of the three document-level modalities —
+    exact n-gram overlap (decon_ngram_overlap), the constant-size Bloom
+    probe (decon_bloom_filter), and fuzzy MinHash-LSH
+    (decon_fuzzy_minhash) — with per-modality booleans and the
+    agreement count.  This is the report a release review reads: a doc
+    flagged by all three is a verbatim leak; fuzzy-only is a paraphrase;
+    bloom-only at low agreement is likely the filter's one-sided false
+    positive (the column that makes the FP rate INSPECTABLE instead of
+    assumed).
+
+    One plan: the three flag relations reduce to doc_id sets, union with
+    a modality tag, and roll up per doc — no full-outer join chain.  The
+    modalities keep their own scale shapes (broadcast bench sides,
+    narrow corpus maps); the report adds one doc_id partial agg."""
+    from .dedup import (
+        decon_bloom_filter,
+        decon_fuzzy_minhash,
+        decon_ngram_overlap,
+    )
+
+    parts = [
+        decon_ngram_overlap(spark, sf).select("doc_id").distinct().withColumn(
+            "m", F.lit("ngram")
+        ),
+        decon_bloom_filter(spark, sf).select("doc_id").distinct().withColumn(
+            "m", F.lit("bloom")
+        ),
+        decon_fuzzy_minhash(spark, sf).select("doc_id").distinct().withColumn(
+            "m", F.lit("fuzzy")
+        ),
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return u.groupBy("doc_id").agg(
+        F.expr("SUM(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) > 0").alias("ngram_hit"),
+        F.expr("SUM(CASE WHEN m = 'bloom' THEN 1 ELSE 0 END) > 0").alias("bloom_hit"),
+        F.expr("SUM(CASE WHEN m = 'fuzzy' THEN 1 ELSE 0 END) > 0").alias("fuzzy_hit"),
+        F.count("*").cast("long").alias("n_modalities"),
+    )
+
+
+def _decontam_report_sql() -> str:
+    from .dedup import _DECON_SQL, _bloom_sql, _fuzzy_decon_sql
+
+    return f"""
+WITH ng AS (SELECT DISTINCT doc_id FROM ({_DECON_SQL})),
+bl AS (SELECT DISTINCT doc_id FROM ({_bloom_sql()})),
+fz AS (SELECT DISTINCT doc_id FROM ({_fuzzy_decon_sql()})),
+u AS (
+  SELECT doc_id, 'ngram' AS m FROM ng
+  UNION ALL SELECT doc_id, 'bloom' FROM bl
+  UNION ALL SELECT doc_id, 'fuzzy' FROM fz
+)
+SELECT doc_id,
+       SUM(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) > 0 AS ngram_hit,
+       SUM(CASE WHEN m = 'bloom' THEN 1 ELSE 0 END) > 0 AS bloom_hit,
+       SUM(CASE WHEN m = 'fuzzy' THEN 1 ELSE 0 END) > 0 AS fuzzy_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_modalities
+FROM u GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_decontam_report": QuerySpec(
+        pipeline_decontam_report,
+        _decontam_report_sql(),
+        "beyond-reference: composed decontamination defense-in-depth report "
+        "(n-gram ∪ Bloom ∪ fuzzy-MinHash verdicts with per-modality agreement)",
+    ),
     "pipeline_export_funnel": QuerySpec(
         pipeline_export_funnel,
         _export_sql(),
