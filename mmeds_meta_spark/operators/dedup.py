@@ -860,7 +860,7 @@ WHERE {cos} >= {_COS_TAU}
     )
 
 
-def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_semdedup(spark: SparkSession, sf: str, *, k: int = _IVF_K) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
     embedding space with k-means, and within each cluster PRUNE every
     item that has an ε-similar neighbor ranked "more extreme" than it —
@@ -881,6 +881,11 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape at 100 TB: centroids contract to K×dim rows (BROADCAST
     into the rank pass), the pair space is bucket-local (candidates per
     vector ≈ N/K, never N), and the rank window partitions per bucket.
+    The within-cluster pair work is inherently quadratic in cluster
+    size, so ``k`` MUST scale ∝ N to hold N/K constant — the round-7
+    scaling probe measured the fixed-K pathology directly (5.2 s →
+    36.7 s at 4× data, SCALE_NOTES.md); the gated demo pins k={k}
+    only so the DuckDB oracle replays the identical clustering.
     ε here reuses τ = {tau} so the demo corpus exercises both branches;
     production SemDeDup runs ε ≈ 0.95."""
     from ..functions.kmeans import kmeans_buckets_exact
@@ -893,7 +898,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("qv", F.expr("transform(v, x -> CAST(x AS DECIMAL(9,4)))"))
     )
-    assigned = kmeans_buckets_exact(e, k=_IVF_K, iters=_IVF_ITERS).persist()
+    assigned = kmeans_buckets_exact(e, k=k, iters=_IVF_ITERS).persist()
     cent = (
         assigned.select("bucket", F.posexplode("qv").alias("i", "q"))
         .groupBy("bucket", "i")
@@ -941,7 +946,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-dedup_semdedup.__doc__ = dedup_semdedup.__doc__.format(tau=_COS_TAU)
+dedup_semdedup.__doc__ = dedup_semdedup.__doc__.format(tau=_COS_TAU, k=_IVF_K)
 
 
 def _semdedup_sql() -> str:
