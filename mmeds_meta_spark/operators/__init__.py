@@ -328,6 +328,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # composed decon defense-in-depth verdict (union + rollup of the three
     # doc-level modalities, each individually gated/sweep-verified):
     "pipeline_decontam_report",
+    # the complete Gopher rule: both halves individually gated/sweep-
+    # verified; the composition is one doc_id join:
+    "text_gopher_full",
 )
 
 

@@ -964,6 +964,44 @@ FROM s
 """
 
 
+def text_gopher_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE Gopher filter (Rae et al. 2021, Table A1): the
+    document-shape half (text_gopher_quality — word count, mean word
+    length, symbol/alpha ratios, stopwords) AND the repetition half
+    (text_repetition_signals — top-2-gram share, duplicate-3-gram
+    fraction), joined per document with both verdicts exposed.  ``keep``
+    is the conjunction — the drop decision a Gopher-style curation run
+    actually makes; the per-half booleans say WHY a document fell.
+
+    One plan: the shape half stays a pure narrow map; the repetition
+    half keeps its one exploded groupBy; the join is doc_id-to-doc_id
+    (co-partitioned by the repetition agg's own shuffle)."""
+    shape = text_gopher_quality(spark, sf).select(
+        "doc_id", F.col("keep").alias("shape_keep")
+    )
+    rep = text_repetition_signals(spark, sf).select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    return shape.join(rep, "doc_id").select(
+        "doc_id",
+        "shape_keep",
+        "repetition_keep",
+        (F.col("shape_keep") & F.col("repetition_keep")).alias("keep"),
+    )
+
+
+_GOPHER_FULL_SQL = f"""
+WITH shape AS (
+  SELECT doc_id, keep AS shape_keep FROM ({_GOPHER_SQL})
+), rep AS (
+  SELECT doc_id, keep AS repetition_keep FROM ({_REPETITION_SQL})
+)
+SELECT doc_id, shape_keep, repetition_keep,
+       shape_keep AND repetition_keep AS keep
+FROM shape JOIN rep USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrub — detect-and-redact counts per document
 # ---------------------------------------------------------------------------
@@ -1350,6 +1388,12 @@ QUERIES: dict[str, QuerySpec] = {
         _BLM_SQL,
         "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
         "broadcast, lag-window bigram formation, order-sensitive quality)",
+    ),
+    "text_gopher_full": QuerySpec(
+        text_gopher_full,
+        _GOPHER_FULL_SQL,
+        "LLM-pipeline text (the COMPLETE Gopher rule: document-shape half "
+        "∧ repetition half, per-doc verdicts for both)",
     ),
     "text_vocab_kl_drift": QuerySpec(
         text_vocab_kl_drift,
