@@ -331,6 +331,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # the complete Gopher rule: both halves individually gated/sweep-
     # verified; the composition is one doc_id join:
     "text_gopher_full",
+    # the third beta-group-significance p-method (permanova + anosim are
+    # gated); dispersion F over in-plan PCoA distances-to-centroid.
+    # PRIORITY round-8 rotation candidate — a genuinely new D-family shape:
+    "d16_permdisp",
 )
 
 

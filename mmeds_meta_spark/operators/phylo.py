@@ -1799,6 +1799,222 @@ def _pcoa_iters() -> int:
     return _PCOA_ITERS
 
 
+def d16_permdisp(
+    spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
+) -> DataFrame:
+    """D16 — PERMDISP (Anderson 2006, homogeneity of multivariate
+    dispersions): the THIRD ``--p-method`` of qiime's
+    beta-group-significance surface (rules/diversity_analysis.smk:90-103
+    alongside the gated permanova and anosim).  PERMANOVA asks "are the
+    group CENTROIDS apart?"; PERMDISP asks "are the group SPREADS
+    different?" — a significant PERMANOVA with a significant PERMDISP
+    may be a dispersion artifact, which is why qiime runs both.
+
+    Statistic: samples are placed by the in-plan PCoA ordination
+    (diversity._pcoa_core over Bray-Curtis — the centroid variant of
+    scikit-bio's permdisp, over the top-2 axes; scikit-bio's default
+    spatial-median variant needs an iterative Weiszfeld solve the
+    2-axis demo doesn't warrant), each sample's dispersion z_i is its
+    Euclidean distance to its group centroid, and F is the one-way
+    ANOVA F over the z vector.  The permutation p relabels groups with
+    the shared md5-seeded bijection relation (k = 0 is the identity, so
+    the observed F runs through the IDENTICAL expression tree as every
+    permuted F).
+
+    Scale shape: the ordination is the bounded-block array form (three
+    1-row checkpoint jobs); the permutation grid is n·(K+1) rows with
+    (K+1)·a-row centroid/group-stat relations broadcast back; every sum
+    is a pinned-order fold, so both engines add identical doubles
+    identically.  Groups: sample % 3 (the demo cohort convention)."""
+    from .diversity import _PCOA_ITERS, _pcoa_core, _pinned, d2_bray_curtis
+
+    p = (
+        d2_bray_curtis(spark, sf)
+        .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
+        .localCheckpoint(eager=False)
+    )
+    coords = (
+        _pcoa_core(p, _PCOA_ITERS)
+        .select(
+            F.col("i").alias("sample"),
+            F.expr("SQRT(GREATEST(lam, 0.0)) * u1").alias("c1"),
+            F.expr("SQRT(GREATEST(lam2, 0.0)) * u2").alias("c2"),
+        )
+        .localCheckpoint(eager=True)  # n bounded rows, K+1 consumers
+    )
+    samples = coords.select("sample")
+    scal = samples.agg(F.count("*").alias("n"))
+    agrp = samples.select((F.col("sample") % 3).alias("g")).distinct().agg(
+        F.count("*").alias("a")
+    )
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    pts = (
+        perm.select("k", "sample", (F.col("image") % 3).alias("g"))
+        .join(F.broadcast(coords), "sample")
+    )
+    cent = pts.groupBy("k", "g").agg(
+        (F.expr(_pinned("c1", "sample")) / F.count("*")).alias("m1"),
+        (F.expr(_pinned("c2", "sample")) / F.count("*")).alias("m2"),
+    )
+    z = pts.join(F.broadcast(cent), ["k", "g"]).select(
+        "k",
+        "g",
+        "sample",
+        F.expr(
+            "SQRT((c1 - m1) * (c1 - m1) + (c2 - m2) * (c2 - m2))"
+        ).alias("z"),
+    )
+    gstat = z.groupBy("k", "g").agg(
+        F.expr(_pinned("z", "sample")).alias("sz"),
+        F.count("*").cast("long").alias("n_g"),
+    )
+    resid = (
+        z.join(F.broadcast(gstat), ["k", "g"])
+        .select(
+            "k",
+            "g",
+            "sample",
+            F.expr("(z - sz / n_g) * (z - sz / n_g)").alias("r2"),
+        )
+        .groupBy("k", "g")
+        .agg(F.expr(_pinned("r2", "sample")).alias("wg"))
+    )
+    # the grand mean must be a per-k scalar available INSIDE the between
+    # fold: compute it in a first pass, then fold with it joined in
+    gm = gstat.groupBy("k").agg(
+        (F.expr(_pinned("sz", "g")) / F.sum("n_g")).alias("gm")
+    )
+    between = (
+        gstat.join(F.broadcast(gm), "k")
+        .select(
+            "k",
+            "g",
+            F.expr("n_g * (sz / n_g - gm) * (sz / n_g - gm)").alias("bg"),
+        )
+        .groupBy("k")
+        .agg(F.expr(_pinned("bg", "g")).alias("between"))
+    )
+    within = resid.groupBy("k").agg(F.expr(_pinned("wg", "g")).alias("within"))
+    f = (
+        between.join(within, "k")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(agrp))
+        .select(
+            "k",
+            F.expr(
+                "(between / CAST(a - 1 AS DOUBLE))"
+                " / (within / CAST(n - a AS DOUBLE))"
+            ).alias("f"),
+        )
+    )
+    obs = f.filter(F.col("k") == 0).select(F.col("f").alias("f_disp"))
+    hits = f.crossJoin(F.broadcast(obs)).agg(
+        F.expr("SUM(CASE WHEN k > 0 AND f >= f_disp THEN 1 ELSE 0 END)").alias("h")
+    )
+    return (
+        scal.crossJoin(agrp)
+        .crossJoin(obs)
+        .crossJoin(hits)
+        .select(
+            F.col("n").cast("long").alias("n_samples"),
+            F.col("a").cast("long").alias("n_groups"),
+            F.expr("ROUND(f_disp, 6)").alias("f_disp"),
+            F.expr(f"CAST(h + 1 AS DOUBLE) / {n_perm + 1}").alias("p_value"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+        )
+    )
+
+
+def _permdisp_sql(n_perm: int = _N_PERM) -> str:
+    from .diversity import _D2_SQL, _pcoa_ctes, _PCOA_ITERS
+
+    def duck_fold(col: str, by: str) -> str:
+        return f"list_reduce(list({col} ORDER BY {by}), (acc, v) -> acc + v)"
+
+    return f"""
+WITH xdist AS MATERIALIZED (
+  SELECT ua, ub, bray_curtis AS dist FROM ({_D2_SQL})
+),
+{_pcoa_ctes(_PCOA_ITERS, "x")},
+coords AS MATERIALIZED (
+  SELECT v1.i AS sample,
+         SQRT(GREATEST((SELECT lam FROM xl1), 0.0)) * v1.x AS c1,
+         SQRT(GREATEST((SELECT lam2 FROM xl2), 0.0)) * v2.x AS c2
+  FROM xv1 v1 JOIN xv2 v2 ON v1.i = v2.i
+), samples AS (
+  SELECT sample FROM coords
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samples
+), agrp AS (
+  SELECT CAST(COUNT(DISTINCT sample % 3) AS BIGINT) AS a FROM samples
+), ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(1, {n_perm + 1})
+), base AS (
+  SELECT k, sample FROM ks CROSS JOIN samples
+), o_rank AS (
+  SELECT k, sample,
+         row_number() OVER (PARTITION BY k ORDER BY sample) AS r
+  FROM base
+), m_rank AS (
+  SELECT k, sample AS image,
+         row_number() OVER (PARTITION BY k ORDER BY
+           md5(CAST(k AS VARCHAR) || ':' || CAST(sample AS VARCHAR)), sample) AS r
+  FROM base
+), permk AS (
+  SELECT o.k, o.sample, m.image
+  FROM o_rank o JOIN m_rank m ON o.k = m.k AND o.r = m.r
+), perm AS (
+  SELECT CAST(0 AS BIGINT) AS k, sample, sample AS image FROM samples
+  UNION ALL SELECT k, sample, image FROM permk
+), pts AS MATERIALIZED (
+  SELECT p.k, p.sample, p.image % 3 AS g, c.c1, c.c2
+  FROM perm p JOIN coords c USING (sample)
+), cent AS (
+  SELECT k, g, {duck_fold('c1', 'sample')} / COUNT(*) AS m1,
+         {duck_fold('c2', 'sample')} / COUNT(*) AS m2
+  FROM pts GROUP BY k, g
+), z AS MATERIALIZED (
+  SELECT p.k, p.g, p.sample,
+         SQRT((c1 - m1) * (c1 - m1) + (c2 - m2) * (c2 - m2)) AS z
+  FROM pts p JOIN cent USING (k, g)
+), gstat AS MATERIALIZED (
+  SELECT k, g, {duck_fold('z', 'sample')} AS sz,
+         CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM z GROUP BY k, g
+), resid AS (
+  SELECT k, g, {duck_fold('r2', 'sample')} AS wg
+  FROM (
+    SELECT z.k, z.g, z.sample, (z.z - sz / n_g) * (z.z - sz / n_g) AS r2
+    FROM z JOIN gstat USING (k, g)
+  ) GROUP BY k, g
+), gm AS (
+  SELECT k, {duck_fold('sz', 'g')} / SUM(n_g) AS gm FROM gstat GROUP BY k
+), between_k AS (
+  SELECT k, {duck_fold('bg', 'g')} AS between
+  FROM (
+    SELECT g1.k, g1.g, n_g * (sz / n_g - gm) * (sz / n_g - gm) AS bg
+    FROM gstat g1 JOIN gm USING (k)
+  ) GROUP BY k
+), within_k AS (
+  SELECT k, {duck_fold('wg', 'g')} AS within FROM resid GROUP BY k
+), f AS (
+  SELECT k, (between / CAST(a - 1 AS DOUBLE))
+          / (within / CAST(n - a AS DOUBLE)) AS f
+  FROM between_k JOIN within_k USING (k)
+  CROSS JOIN scal CROSS JOIN agrp
+), obs AS (
+  SELECT f AS f_disp FROM f WHERE k = 0
+), hits AS (
+  SELECT SUM(CASE WHEN k > 0 AND f >= f_disp THEN 1 ELSE 0 END) AS h
+  FROM f CROSS JOIN obs
+)
+SELECT n AS n_samples, a AS n_groups, ROUND(f_disp, 6) AS f_disp,
+       CAST(h + 1 AS DOUBLE) / {n_perm + 1} AS p_value,
+       CAST({n_perm} AS BIGINT) AS n_perm
+FROM scal CROSS JOIN agrp CROSS JOIN obs CROSS JOIN hits
+"""
+
+
 def _procrustes_sql() -> str:
     from .diversity import _D2_SQL, _fold_sql, _pcoa_ctes, _PCOA_ITERS
 
@@ -1891,6 +2107,13 @@ QUERIES: dict[str, QuerySpec] = {
         "D11 rules/diversity_analysis.smk:88 (alpha-group-significance): "
         "Kruskal-Wallis over the D1 Shannon vector, two-phase mid-ranks, "
         "199 in-plan permutations",
+    ),
+    "d16_permdisp": QuerySpec(
+        d16_permdisp,
+        _permdisp_sql(),
+        "D16 rules/diversity_analysis.smk:90-103 (beta-group-significance, "
+        "permdisp p-method — the third and last): Anderson 2006 dispersion "
+        "F over in-plan PCoA distances-to-centroid + 199 permutations",
     ),
     "d10_anosim": QuerySpec(
         d10_anosim,
