@@ -95,6 +95,13 @@ OPS = [
     "text_vocab_kl_drift",  # capped-class grid + pinned LN folds
     "a25_rollup_cube",  # Expand + single partial agg, exact decimal sums
     "d15_chao1_coverage",  # singleton/doubleton integer profile
+    # round-7 additions
+    "pipeline_export_funnel",  # bucketed pack windows + modular checksums
+    "pipeline_decontam_report",  # three-modality union + doc rollup
+    "text_bigram_lm_score",  # lag-window bigrams + broadcast grid folds
+    "decon_embedding_cosine",  # broadcast bench + per-vector max/count agg
+    "text_gopher_full",  # narrow-map half ∧ exploded-agg half join
+    "d16_permdisp",  # PCoA centroid distances + permutation ANOVA F
 ]
 
 
