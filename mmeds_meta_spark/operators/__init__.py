@@ -335,6 +335,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # gated); dispersion F over in-plan PCoA distances-to-centroid.
     # PRIORITY round-8 rotation candidate — a genuinely new D-family shape:
     "d16_permdisp",
+    # exact two-sample KS over bounded length histograms (KL drift's
+    # distribution-shape companion):
+    "text_length_ks_drift",
 )
 
 

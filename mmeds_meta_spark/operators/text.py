@@ -542,6 +542,157 @@ FROM per_doc
 """
 
 
+_KS_CRIT_05 = 1.358  # asymptotic two-sample KS critical coefficient, α=0.05
+
+
+def text_length_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between every source
+    pair's document-LENGTH distributions — the distribution-shape
+    companion of text_vocab_kl_drift (which compares vocabularies):
+    a source whose scrape pipeline broke mid-crawl (truncated pages,
+    boilerplate-only shells) shifts its length CDF long before its
+    vocabulary moves.  Reports D = max |F_a − F_b| per pair plus the
+    α=0.05 asymptotic decision (D > {c}·√((n_a+n_b)/(n_a·n_b))).
+
+    Exactness: token lengths are INTEGERS, so the CDFs are integer
+    cumulative counts over a bounded (source × length) grid — D is a
+    max over |integer/integer − integer/integer| doubles, identical on
+    both engines with no order-statistic machinery.
+
+    Physical shape at 100 TB: ONE corpus shuffle to the bounded
+    (source, length) count grid; everything after (pair expansion,
+    union-length CDF windows, the max) runs over
+    #sources² × #distinct-lengths rows — thousands, not the corpus.
+    This bounded-grid form is exactly why KS-over-histograms beats
+    KS-over-sorted-samples at scale: no global sort of 100 TB of
+    lengths ever exists."""
+    d = _t(spark, sf, "documents")
+    g = (
+        d.select("source", F.expr("size(split(text, ' '))").alias("len"))
+        .groupBy("source", "len")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # bounded grid, 4 consumers
+    )
+    tot = g.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+        .crossJoin(tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    lens = (
+        pairs.select("sa", "sb")
+        .join(g.select(F.col("source").alias("sa"), "len"), "sa")
+        .select("sa", "sb", "len")
+        .union(
+            pairs.select("sa", "sb")
+            .join(g.select(F.col("source").alias("sb"), "len"), "sb")
+            .select("sa", "sb", "len")
+        )
+        .distinct()
+    )
+    r = (
+        lens.join(
+            g.select(F.col("source").alias("sa"), "len", F.col("c").alias("ca")),
+            ["sa", "len"],
+            "left",
+        )
+        .join(
+            g.select(F.col("source").alias("sb"), "len", F.col("c").alias("cb")),
+            ["sb", "len"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "len",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = r.select(
+        "sa",
+        "sb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    ks = (
+        cdf.join(F.broadcast(pairs), ["sa", "sb"])
+        .select(
+            "sa",
+            "sb",
+            "n_a",
+            "n_b",
+            F.expr(
+                "ABS(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)"
+            ).alias("diff"),
+        )
+        .groupBy("sa", "sb", "n_a", "n_b")
+        .agg(F.max("diff").alias("d"))
+    )
+    return ks.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_a",
+        "n_b",
+        F.expr("ROUND(d, 6)").alias("ks_stat"),
+        F.expr(
+            f"d > {_KS_CRIT_05} * SQRT(CAST(n_a + n_b AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        ).alias("reject_05"),
+    )
+
+
+text_length_ks_drift.__doc__ = text_length_ks_drift.__doc__.format(c=_KS_CRIT_05)
+
+_KS_SQL = f"""
+WITH g AS (
+  SELECT source, len(string_split(text, ' ')) AS len,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY source
+), pairs AS (
+  SELECT a.source AS sa, a.n AS n_a, b.source AS sb, b.n AS n_b
+  FROM tot a JOIN tot b ON a.source < b.source
+), lens AS (
+  SELECT DISTINCT sa, sb, len FROM (
+    SELECT p.sa, p.sb, g.len FROM pairs p JOIN g ON g.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, g.len FROM pairs p JOIN g ON g.source = p.sb
+  )
+), r AS (
+  SELECT l.sa, l.sb, l.len,
+         COALESCE(ga.c, 0) AS ca, COALESCE(gb.c, 0) AS cb
+  FROM lens l
+  LEFT JOIN g ga ON ga.source = l.sa AND ga.len = l.len
+  LEFT JOIN g gb ON gb.source = l.sb AND gb.len = l.len
+), cdf AS (
+  SELECT sa, sb,
+         SUM(ca) OVER (PARTITION BY sa, sb ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY sa, sb ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM r
+), ks AS (
+  SELECT sa, sb, n_a, n_b,
+         MAX(ABS(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)) AS d
+  FROM cdf JOIN pairs USING (sa, sb)
+  GROUP BY sa, sb, n_a, n_b
+)
+SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+       ROUND(d, 6) AS ks_stat,
+       d > {_KS_CRIT_05} * SQRT(CAST(n_a + n_b AS DOUBLE)
+                                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         AS reject_05
+FROM ks
+"""
+
+
 def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style corpus partitioning (Wenzek et al. 2020): split each
     language's documents into head / middle / tail by LM perplexity —
@@ -1388,6 +1539,12 @@ QUERIES: dict[str, QuerySpec] = {
         _BLM_SQL,
         "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
         "broadcast, lag-window bigram formation, order-sensitive quality)",
+    ),
+    "text_length_ks_drift": QuerySpec(
+        text_length_ks_drift,
+        _KS_SQL,
+        "LLM-pipeline text (exact two-sample KS drift between source length "
+        "CDFs over a bounded histogram grid — no global sort ever exists)",
     ),
     "text_gopher_full": QuerySpec(
         text_gopher_full,
