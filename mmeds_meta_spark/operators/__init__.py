@@ -338,6 +338,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # exact two-sample KS over bounded length histograms (KL drift's
     # distribution-shape companion):
     "text_length_ks_drift",
+    # exact per-source quality quota via histogram threshold (the
+    # no-per-group-rank-window selection shape):
+    "sample_quality_quota",
 )
 
 

@@ -86,6 +86,111 @@ WHERE rk <= {_TOPK}
 """
 
 
+_QQ_FRAC = 0.25  # keep the best 25% of each source, exact count
+_QQ_SCORE = "ROUND(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')), 4)"
+_QQ_SCORE_DUCK = "ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4)"
+
+
+def sample_quality_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-quota selection WITHOUT a per-group rank
+    window: keep exactly k_s = max(1, ⌊{frac:.0%}·n_s⌋) docs per source,
+    best-first by a 4dp type-token-ratio quality score.
+
+    The scale problem this solves: ``row_number() OVER (PARTITION BY
+    source ORDER BY score)`` funnels each source's ENTIRE membership
+    through its rank window — when one source is 80% of a 100 TB corpus,
+    that window is the job.  Instead the k-th-best score comes from a
+    bounded (source × 4dp-score) HISTOGRAM: one corpus shuffle to the
+    grid, a descending cumulative over ≤10⁴ rows per source, and the
+    threshold broadcasts back — membership is then a narrow comparison.
+    Only the BOUNDARY score class (docs tied exactly at the threshold)
+    is ranked, by (md5(doc_id), doc_id), to fill the remaining quota
+    exactly — the tie window touches one score class, not the source.
+
+    Deterministic: 4dp score, FLOOR quota, md5 tie order — identical
+    picks on both engines, retry-stable, layout-independent."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.expr(_QQ_SCORE).alias("qscore")
+    )
+    hist = d.groupBy("source", "qscore").agg(F.count("*").cast("long").alias("c"))
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n")).withColumn(
+        "k",
+        F.expr(f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({_QQ_FRAC} * n) AS BIGINT))"),
+    )
+    wdesc = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qscore").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wdesc))
+    thr = (
+        cum.join(tot, "source")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("source", "k")
+        .agg(F.max("qscore").alias("t"))
+    )
+    # strictly-above count at the threshold class = cum(t) − c(t)
+    thrx = (
+        thr.join(cum.select("source", F.col("qscore").alias("t"), "c", "cum"), ["source", "t"])
+        .select("source", "k", "t", (F.col("cum") - F.col("c")).alias("n_above"))
+        .localCheckpoint(eager=False)  # #sources rows, 2 consumers
+    )
+    flagged = d.join(F.broadcast(thrx), "source")
+    sel_above = flagged.filter(F.col("qscore") > F.col("t"))
+    wt = Window.partitionBy("source").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), F.col("doc_id")
+    )
+    sel_tie = (
+        flagged.filter(F.col("qscore") == F.col("t"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= F.col("k") - F.col("n_above"))
+        .drop("rn")
+    )
+    return sel_above.unionAll(sel_tie).select(
+        "source", "doc_id", "qscore", F.col("k").alias("source_quota")
+    )
+
+
+sample_quality_quota.__doc__ = sample_quality_quota.__doc__.format(frac=_QQ_FRAC)
+
+_QQ_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_QQ_SCORE_DUCK} AS qscore FROM documents
+), hist AS (
+  SELECT source, qscore, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({_QQ_FRAC} * SUM(c)) AS BIGINT)) AS k
+  FROM hist GROUP BY source
+), cum AS (
+  SELECT source, qscore, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY qscore DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), thr AS (
+  SELECT cum.source, k, MAX(qscore) AS t
+  FROM cum JOIN tot USING (source)
+  WHERE cum >= k GROUP BY cum.source, k
+), thrx AS (
+  SELECT thr.source, k, t, cum - c AS n_above
+  FROM thr JOIN cum ON cum.source = thr.source AND cum.qscore = thr.t
+), above AS (
+  SELECT d.source, d.doc_id, d.qscore, k
+  FROM d JOIN thrx USING (source) WHERE d.qscore > t
+), tie AS (
+  SELECT source, doc_id, qscore, k FROM (
+    SELECT d.source, d.doc_id, d.qscore, k, n_above,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+    FROM d JOIN thrx USING (source) WHERE d.qscore = t
+  ) WHERE rn <= k - n_above
+)
+SELECT source, doc_id, qscore, k AS source_quota FROM above
+UNION ALL
+SELECT source, doc_id, qscore, k AS source_quota FROM tie
+"""
+
+
 # ---------------------------------------------------------------------------
 # exact stratified sampling — largest-remainder allocation, md5 order
 # ---------------------------------------------------------------------------
@@ -872,6 +977,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sample_balanced_topk": QuerySpec(
         sample_balanced_topk, _TOPK_SQL, "per-group cap / class-balanced top-k"
+    ),
+    "sample_quality_quota": QuerySpec(
+        sample_quality_quota,
+        _QQ_SQL,
+        "beyond-reference: exact per-source quality quota via a bounded "
+        "score-histogram threshold — no per-group rank window over the corpus",
     ),
     "sample_stratified_exact": QuerySpec(
         sample_stratified_exact,

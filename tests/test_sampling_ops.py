@@ -145,3 +145,34 @@ def test_mixture_weighted_quotas_and_determinism(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, sample_mixture_weighted(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_quality_quota_exact_counts_and_best_first(spark):
+    """sample_quality_quota: exactly max(1, floor(0.25 n_s)) docs per
+    source, and no unselected doc outscores a selected one."""
+    from mmeds_meta_spark.operators.sampling import _QQ_FRAC, sample_quality_quota
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_source = {r.source: r.cnt for r in d.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    sel = sample_quality_quota(spark, SF_SMOKE).collect()
+    got = {}
+    for r in sel:
+        got.setdefault(r.source, []).append(r)
+    for s, n in per_source.items():
+        k = max(1, int(_QQ_FRAC * n))
+        assert len(got[s]) == k, (s, n, k, len(got[s]))
+        assert all(r.source_quota == k for r in got[s])
+    # best-first: min selected score per source >= max unselected score
+    # (strictly greater OR equal with the md5 tie-break at the boundary)
+    scores = {
+        (r.doc_id): (r.source, round(len(set(r.text.split(" "))) / len(r.text.split(" ")), 4))
+        for r in d.select("doc_id", "source", "text").collect()
+    }
+    sel_ids = {r.doc_id for r in sel}
+    for s in per_source:
+        sel_min = min(r.qscore for r in got[s])
+        out_max = max(
+            (q for did, (src, q) in scores.items() if src == s and did not in sel_ids),
+            default=-1.0,
+        )
+        assert out_max <= sel_min
