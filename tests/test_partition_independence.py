@@ -102,6 +102,8 @@ OPS = [
     "decon_embedding_cosine",  # broadcast bench + per-vector max/count agg
     "text_gopher_full",  # narrow-map half ∧ exploded-agg half join
     "d16_permdisp",  # PCoA centroid distances + permutation ANOVA F
+    "text_length_ks_drift",  # bounded-grid CDF windows + max fold
+    "sample_quality_quota",  # histogram threshold + boundary-class rank
 ]
 
 

@@ -32,6 +32,7 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_srp_jl.py tests/test_bpe.py
          tests/test_span_topk_ccnet.py tests/test_substring_islands.py
          tests/test_pcoa_block.py tests/test_ann_recall.py tests/test_ks_drift.py
+         tests/test_dedup_recall.py
          tests/test_advice_r07.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
