@@ -1900,7 +1900,19 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     and never enters a prefix unless the doc is tiny).  Verification
     joins the two bounded element arrays and tests
     {den}·|A∩B| ≥ {num}·|A∪B| in exact integer arithmetic — the double
-    ``jaccard`` column is display-only."""
+    ``jaccard`` column is display-only.
+
+    Dictionary-encoded fast path (round 7, measured 13.0 → 9.1 s at
+    sf0.1): elements carry a Spark-internal ``xxhash64`` id — candidate
+    generation joins on 8-byte longs instead of strings, and
+    verification runs in two LOSSLESS stages: (1) an id-set
+    intersection bound ub = |set(ids_a) ∩ set(ids_b)| + dup_a + dup_b
+    (for every common element its id is in both sets; elements sharing
+    a collided id are covered by the per-doc duplicate counts, so
+    ub ≥ |A∩B| PROVABLY, collisions or not) filters the 2.46M
+    candidates down to the survivors, then (2) the exact string-array
+    intersection decides only those few hundred.  Ids never reach the
+    oracle — it states the plain quadratic semantics."""
     d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
     tf = (
         d.select("doc_id", F.explode("toks").alias("tok"))
@@ -1922,6 +1934,12 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("transform(sort_array(collect_list(struct(df, el))), s -> s.el)").alias("els"),
             F.count("*").alias("n"),
         )
+        # Spark-internal dictionary ids: same df order, 8-byte join keys,
+        # plus the per-doc distinct-id set and collision-duplicate count
+        # that make the verify-stage bound provably lossless (docstring)
+        .withColumn("ids", F.expr("transform(els, x -> xxhash64(x))"))
+        .withColumn("idset", F.expr("array_distinct(ids)"))
+        .withColumn("dup", F.expr("n - size(idset)"))
     ).localCheckpoint()
     # prefix length p = n − ⌈τ·n⌉ + 1; ⌈(num·n)/den⌉ = (num·n + den − 1) DIV den
     # posexplode keeps each element's 0-based rank — fuel for the
@@ -1931,7 +1949,7 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.posexplode(
             F.expr(
-                f"slice(els, 1, n - (({_SIMJOIN_NUM} * n + {_SIMJOIN_DEN} - 1)"
+                f"slice(ids, 1, n - (({_SIMJOIN_NUM} * n + {_SIMJOIN_DEN} - 1)"
                 f" DIV {_SIMJOIN_DEN}) + 1)"
             )
         ).alias("pos", "el"),
@@ -1974,10 +1992,34 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # verify stage 1: lossless id-set bound over the full candidate set
+    ia = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("idset").alias("ia"),
+        F.col("dup").alias("dup_a"),
+        F.col("n").alias("na1"),
+    )
+    ib = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("idset").alias("ib"),
+        F.col("dup").alias("dup_b"),
+        F.col("n").alias("nb1"),
+    )
+    pre = (
+        cand.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .withColumn("ub", F.expr("size(array_intersect(ia, ib)) + dup_a + dup_b"))
+        .filter(
+            _SIMJOIN_DEN * F.col("ub")
+            >= _SIMJOIN_NUM * (F.col("na1") + F.col("nb1") - F.col("ub"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    # verify stage 2: exact string-array intersection on the survivors
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("els").alias("els_a"), F.col("n").alias("n_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("els").alias("els_b"), F.col("n").alias("n_b"))
     return (
-        cand.join(da, "doc_a")
+        pre.join(da, "doc_a")
         .join(db, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("els_a", "els_b")).cast("long"))
         .filter(
