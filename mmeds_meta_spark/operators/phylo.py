@@ -1851,6 +1851,10 @@ def d16_permdisp(
     pts = (
         perm.select("k", "sample", (F.col("image") % 3).alias("g"))
         .join(F.broadcast(coords), "sample")
+        # n·(K+1) bounded rows feeding cent AND z — without truncation the
+        # perm-grid windows re-expand into every downstream branch (audited
+        # at 92 exchanges before this checkpoint)
+        .localCheckpoint(eager=True)
     )
     cent = pts.groupBy("k", "g").agg(
         (F.expr(_pinned("c1", "sample")) / F.count("*")).alias("m1"),
@@ -1864,10 +1868,11 @@ def d16_permdisp(
             "SQRT((c1 - m1) * (c1 - m1) + (c2 - m2) * (c2 - m2))"
         ).alias("z"),
     )
+    z = z.localCheckpoint(eager=True)  # n·(K+1) rows, 2 consumers
     gstat = z.groupBy("k", "g").agg(
         F.expr(_pinned("z", "sample")).alias("sz"),
         F.count("*").cast("long").alias("n_g"),
-    )
+    ).localCheckpoint(eager=True)  # (K+1)·a rows, 3 consumers
     resid = (
         z.join(F.broadcast(gstat), ["k", "g"])
         .select(
@@ -1906,6 +1911,7 @@ def d16_permdisp(
                 " / (within / CAST(n - a AS DOUBLE))"
             ).alias("f"),
         )
+        .localCheckpoint(eager=True)  # K+1 rows, 3 consumers (obs, hits×2)
     )
     obs = f.filter(F.col("k") == 0).select(F.col("f").alias("f_disp"))
     hits = f.crossJoin(F.broadcast(obs)).agg(
