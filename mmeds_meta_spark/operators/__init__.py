@@ -341,6 +341,8 @@ _GATE_TAIL: tuple[str, ...] = (
     # exact per-source quality quota via histogram threshold (the
     # no-per-group-rank-window selection shape):
     "sample_quality_quota",
+    # k-anonymity / l-diversity privacy audit (F13's quantitative sibling):
+    "p11_k_anonymity",
 )
 
 

@@ -1414,7 +1414,81 @@ FROM ev GROUP BY ROLLUP (event_type, day_idx)
 """
 
 
+# ---------------------------------------------------------------------------
+# p11 — k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # minimum equivalence-class size
+_KANON_L = 3  # minimum distinct sensitive values per class
+
+
+def p11_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy audit of the release-candidate view: k-anonymity and
+    l-diversity over the quasi-identifier pair (nation, market segment)
+    with the account-balance band as the sensitive attribute — the
+    quantitative counterpart of the reference's PHI header blocklist
+    (mmeds/validate.py check_header_format / config.py PHI column list
+    bans DIRECT identifiers; k-anonymity measures whether the remaining
+    QUASI-identifiers still isolate individuals).
+
+    One row per equivalence class: size, distinct sensitive bands, and
+    the k/l verdicts (class < {k} rows → re-identifiable; < {l} distinct
+    bands → attribute-disclosable even when k holds).
+
+    Physical shape at 100 TB: two-level agg — (quasi, band) partial
+    counts, then the class rollup — so no COUNT(DISTINCT) expand and
+    ONE corpus shuffle on the quasi key; the report is
+    class-cardinality-bounded."""
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("band"),
+    )
+    per_band = c.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    cls = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("nb").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("n_sensitive_values"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "n_sensitive_values",
+        (F.col("class_size") < _KANON_K).alias("k_violation"),
+        (F.col("n_sensitive_values") < _KANON_L).alias("l_violation"),
+    )
+
+
+p11_k_anonymity.__doc__ = p11_k_anonymity.__doc__.format(k=_KANON_K, l=_KANON_L)
+
+_KANON_SQL = f"""
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+  FROM customer
+), per_band AS (
+  SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(SUM(nb) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sensitive_values,
+       SUM(nb) < {_KANON_K} AS k_violation,
+       COUNT(*) < {_KANON_L} AS l_violation
+FROM per_band GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "p11_k_anonymity": QuerySpec(
+        p11_k_anonymity,
+        _KANON_SQL,
+        "beyond-reference privacy audit (the quantitative sibling of F13's "
+        "PHI blocklist): k-anonymity + l-diversity per quasi-identifier "
+        "class, two-level agg, no COUNT(DISTINCT) expand",
+    ),
     "w4_sessionization": QuerySpec(w4_sessionization, _W4_SQL, "W-family extension: gap sessionization (training-pipeline event windowing)"),
     "w9_rolling_window_range": QuerySpec(
         w9_rolling_window_range,
