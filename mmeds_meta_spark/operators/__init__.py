@@ -343,6 +343,9 @@ _GATE_TAIL: tuple[str, ...] = (
     "sample_quality_quota",
     # k-anonymity / l-diversity privacy audit (F13's quantitative sibling):
     "p11_k_anonymity",
+    # Pielou evenness — the remaining core-metrics alpha metric
+    # (d1_shannon's gated two-shuffle shape with a new closing tree):
+    "d17_pielou_evenness",
 )
 
 

@@ -64,6 +64,55 @@ FROM terms
 """
 
 
+def d17_pielou_evenness(spark: SparkSession, sf: str) -> DataFrame:
+    """Pielou's evenness J = H / ln(S) per sample — the remaining alpha
+    metric of qiime's core-metrics bundle (``qiime diversity
+    core-metrics-phylogenetic`` emits evenness alongside shannon /
+    observed-features / faith_pd, rules/diversity_analysis.smk:5-40):
+    richness-normalized diversity, 1.0 = perfectly even feature
+    abundances.  Samples with a single feature have no defined evenness
+    (ln(1) = 0) and report NULL on both engines.
+
+    Same two-shuffle shape and exact-integer count base as d1_shannon;
+    the closing expression is one identical double tree
+    ((ln N − Σc·ln c / N) / ln S) rounded at 6dp."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    terms = counts.groupBy("user_id").agg(
+        F.expr("SUM(c)").alias("n"),
+        F.expr("SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))").alias("clnc"),
+        F.expr("COUNT(*)").alias("n_features"),
+    )
+    return terms.select(
+        "user_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        F.expr(
+            "CASE WHEN n_features > 1 THEN"
+            " ROUND((LN(CAST(n AS DOUBLE)) - clnc / n)"
+            " / LN(CAST(n_features AS DOUBLE)), 6)"
+            " ELSE NULL END"
+        ).alias("pielou_evenness"),
+    )
+
+
+_D17_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type
+), terms AS (
+  SELECT user_id, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc,
+         COUNT(*) AS n_features
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, CAST(n_features AS BIGINT) AS n_features,
+       CASE WHEN n_features > 1 THEN
+         ROUND((LN(CAST(n AS DOUBLE)) - clnc / n)
+               / LN(CAST(n_features AS DOUBLE)), 6)
+       ELSE NULL END AS pielou_evenness
+FROM terms
+"""
+
+
 def d15_chao1_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Chao1 richness + Good's coverage per sample — the two abundance-
     based alpha metrics of the reference's qiime runs beside shannon /
@@ -1245,6 +1294,12 @@ QUERIES: dict[str, QuerySpec] = {
         "oracle = the same iteration unrolled as a CTE chain",
     ),
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
+    "d17_pielou_evenness": QuerySpec(
+        d17_pielou_evenness,
+        _D17_SQL,
+        "D17 rules/diversity_analysis.smk:5-40 (core-metrics evenness): "
+        "Pielou J = H/ln(S), d1_shannon's two-shuffle shape, NULL at S=1",
+    ),
     "d15_chao1_coverage": QuerySpec(
         d15_chao1_coverage,
         _D15_SQL,
