@@ -346,6 +346,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # Pielou evenness — the remaining core-metrics alpha metric
     # (d1_shannon's gated two-shuffle shape with a new closing tree):
     "d17_pielou_evenness",
+    # the composed core-metrics bundle (the reference's end-to-end
+    # analysis chain as ONE plan) — PRIORITY round-8 rotation candidate:
+    "pipeline_core_metrics",
 )
 
 

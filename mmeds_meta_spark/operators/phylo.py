@@ -1799,6 +1799,112 @@ def _pcoa_iters() -> int:
     return _PCOA_ITERS
 
 
+def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """The core-metrics bundle composed as ONE plan — the engine twin of
+    the reference's end-to-end analysis chain (``qiime diversity
+    core-metrics-phylogenetic``, rules/diversity_analysis.smk:5-40,
+    which emits every alpha metric and distance matrix in one run):
+    observed features, Shannon, Pielou evenness, chao1, Good's coverage
+    over samples, plus Bray-Curtis and weighted-UniFrac over sample
+    pairs — each summarized as (n_units, mean, min, max).
+
+    One Catalyst plan: the five alpha branches share the identical
+    (sample, feature)-count aggregation subtree (Spark's ReuseExchange
+    dedupes the repeated exchange), the two beta branches share the
+    capped-block counts relation, and the summary is ONE
+    groupBy(metric) whose mean is a pinned-order fold over the unit
+    key — identical doubles in identical order on both engines.
+    Evenness-undefined samples (a single feature) are excluded from
+    that metric's units on both engines."""
+    from .diversity import (
+        d1_shannon_diversity,
+        d2_bray_curtis,
+        d15_chao1_coverage,
+        d17_pielou_evenness,
+    )
+
+    def alpha(df: DataFrame, col: str, metric: str) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            F.expr("CAST(user_id AS STRING)").alias("k"),
+            F.col(col).cast("double").alias("v"),
+        )
+
+    def beta(df: DataFrame, col: str, metric: str) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            F.expr("concat(CAST(ua AS STRING), ':', CAST(ub AS STRING))").alias("k"),
+            F.col(col).cast("double").alias("v"),
+        )
+
+    sh = d1_shannon_diversity(spark, sf)
+    ch = d15_chao1_coverage(spark, sf)
+    parts = [
+        alpha(sh, "n_features", "observed_features"),
+        alpha(sh, "shannon", "shannon"),
+        alpha(
+            d17_pielou_evenness(spark, sf).filter(
+                F.col("pielou_evenness").isNotNull()
+            ),
+            "pielou_evenness",
+            "pielou_evenness",
+        ),
+        alpha(ch, "chao1", "chao1"),
+        alpha(ch, "goods_coverage", "goods_coverage"),
+        beta(d2_bray_curtis(spark, sf), "bray_curtis", "bray_curtis"),
+        beta(d2_unifrac_weighted(spark, sf), "unifrac_w", "unifrac_w"),
+    ]
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionAll(x)
+    return u.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.expr(
+            "ROUND(aggregate(array_sort(collect_list(struct(k, v))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.v) / COUNT(*), 6)"
+        ).alias("mean_value"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
+
+
+def _core_metrics_sql() -> str:
+    from .diversity import _D2_SQL, _D15_SQL, _D17_SQL
+    from .diversity import _D1_SQL as _D1
+
+    return f"""
+WITH sh AS ({_D1}),
+ev AS ({_D17_SQL}),
+ch AS ({_D15_SQL}),
+bc AS ({_D2_SQL}),
+uf AS ({_UF_W_SQL}),
+m AS (
+  SELECT 'observed_features' AS metric, CAST(user_id AS VARCHAR) AS k,
+         CAST(n_features AS DOUBLE) AS v FROM sh
+  UNION ALL
+  SELECT 'shannon', CAST(user_id AS VARCHAR), shannon FROM sh
+  UNION ALL
+  SELECT 'pielou_evenness', CAST(user_id AS VARCHAR), pielou_evenness
+  FROM ev WHERE pielou_evenness IS NOT NULL
+  UNION ALL
+  SELECT 'chao1', CAST(user_id AS VARCHAR), chao1 FROM ch
+  UNION ALL
+  SELECT 'goods_coverage', CAST(user_id AS VARCHAR), goods_coverage FROM ch
+  UNION ALL
+  SELECT 'bray_curtis', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
+         bray_curtis FROM bc
+  UNION ALL
+  SELECT 'unifrac_w', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
+         unifrac_w FROM uf
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_units,
+       ROUND(list_reduce(list(v ORDER BY k), (acc, x) -> acc + x)
+             / COUNT(*), 6) AS mean_value,
+       MIN(v) AS min_value, MAX(v) AS max_value
+FROM m GROUP BY metric
+"""
+
+
 def d16_permdisp(
     spark: SparkSession, sf: str, *, n_perm: int = _N_PERM
 ) -> DataFrame:
@@ -2113,6 +2219,13 @@ QUERIES: dict[str, QuerySpec] = {
         "D11 rules/diversity_analysis.smk:88 (alpha-group-significance): "
         "Kruskal-Wallis over the D1 Shannon vector, two-phase mid-ranks, "
         "199 in-plan permutations",
+    ),
+    "pipeline_core_metrics": QuerySpec(
+        pipeline_core_metrics,
+        _core_metrics_sql(),
+        "D-family composition (qiime core-metrics, smk:5-40): five alpha "
+        "metrics + two distance matrices summarized in ONE plan with "
+        "shared count subtrees and pinned-order mean folds",
     ),
     "d16_permdisp": QuerySpec(
         d16_permdisp,
