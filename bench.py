@@ -94,6 +94,10 @@ HEAVY = [
     "sample_epoch_shuffle",
     "sketch_kmv_overlap_matrix",
     "pipeline_export_funnel",
+    # round-7 session-2: the last beta-group-significance method and the
+    # composed core-metrics bundle — both permutation/branch-heavy
+    "d16_permdisp",
+    "pipeline_core_metrics",
 ]
 
 

@@ -104,6 +104,9 @@ OPS = [
     "d16_permdisp",  # PCoA centroid distances + permutation ANOVA F
     "text_length_ks_drift",  # bounded-grid CDF windows + max fold
     "sample_quality_quota",  # histogram threshold + boundary-class rank
+    "p11_k_anonymity",  # two-level quasi-class agg
+    "d17_pielou_evenness",  # richness-normalized double tree
+    "pipeline_core_metrics",  # 7-branch union + pinned mean folds
 ]
 
 
