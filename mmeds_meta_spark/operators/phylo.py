@@ -1804,8 +1804,9 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
     the reference's end-to-end analysis chain (``qiime diversity
     core-metrics-phylogenetic``, rules/diversity_analysis.smk:5-40,
     which emits every alpha metric and distance matrix in one run):
-    observed features, Shannon, Pielou evenness, chao1, Good's coverage
-    over samples, plus Bray-Curtis and weighted-UniFrac over sample
+    observed features, Shannon, Pielou evenness, chao1, Good's
+    coverage, and Faith's PD (over the real parsed Newick tree) over
+    samples, plus Bray-Curtis and weighted-UniFrac over sample
     pairs — each summarized as (n_units, mean, min, max).
 
     One Catalyst plan: the five alpha branches share the identical
@@ -1851,6 +1852,7 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
         ),
         alpha(ch, "chao1", "chao1"),
         alpha(ch, "goods_coverage", "goods_coverage"),
+        alpha(d1_faith_pd_newick(spark, sf), "pd", "faith_pd"),
         beta(d2_bray_curtis(spark, sf), "bray_curtis", "bray_curtis"),
         beta(d2_unifrac_weighted(spark, sf), "unifrac_w", "unifrac_w"),
     ]
@@ -1876,6 +1878,7 @@ def _core_metrics_sql() -> str:
 WITH sh AS ({_D1}),
 ev AS ({_D17_SQL}),
 ch AS ({_D15_SQL}),
+fa AS ({_FAITH_NEWICK_SQL}),
 bc AS ({_D2_SQL}),
 uf AS ({_UF_W_SQL}),
 m AS (
@@ -1890,6 +1893,8 @@ m AS (
   SELECT 'chao1', CAST(user_id AS VARCHAR), chao1 FROM ch
   UNION ALL
   SELECT 'goods_coverage', CAST(user_id AS VARCHAR), goods_coverage FROM ch
+  UNION ALL
+  SELECT 'faith_pd', CAST(user_id AS VARCHAR), CAST(pd AS DOUBLE) FROM fa
   UNION ALL
   SELECT 'bray_curtis', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
          bray_curtis FROM bc
@@ -2223,8 +2228,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_core_metrics": QuerySpec(
         pipeline_core_metrics,
         _core_metrics_sql(),
-        "D-family composition (qiime core-metrics, smk:5-40): five alpha "
-        "metrics + two distance matrices summarized in ONE plan with "
+        "D-family composition (qiime core-metrics, smk:5-40): six alpha "
+        "metrics (incl. faith_pd over the parsed Newick tree) + two "
+        "distance matrices summarized in ONE plan with "
         "shared count subtrees and pinned-order mean folds",
     ),
     "d16_permdisp": QuerySpec(
