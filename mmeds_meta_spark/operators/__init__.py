@@ -349,6 +349,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # the composed core-metrics bundle (the reference's end-to-end
     # analysis chain as ONE plan) — PRIORITY round-8 rotation candidate:
     "pipeline_core_metrics",
+    # core-metrics' 4th distance matrix (presence/absence jaccard —
+    # bray-curtis' gated inverted-index pair shape, binary weights):
+    "d2_jaccard_beta",
 )
 
 

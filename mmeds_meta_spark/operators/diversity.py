@@ -251,6 +251,66 @@ LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
 """
 
 
+def d2_jaccard_beta(
+    spark: SparkSession, sf: str, *, block: int = _BC_BLOCK
+) -> DataFrame:
+    """Jaccard beta diversity — the presence/absence distance matrix of
+    qiime's core-metrics bundle (it emits FOUR matrices: jaccard,
+    bray-curtis, and both UniFracs; rules/diversity_analysis.smk:5-40):
+    J_dist(a,b) = 1 − |A∩B|/|A∪B| over each sample's feature SET.
+
+    Same inverted-index pair shape as d2_bray_curtis (features are the
+    join key, the pair space is block-bounded, no dense matrix), and
+    exact by construction: dist = (n_a + n_b − 2·I)/(n_a + n_b − I) is
+    an integer ratio."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
+    feats = ev.select("user_id", "event_type").distinct().cache()
+    nf = feats.groupBy("user_id").agg(F.count("*").alias("nf"))
+    a = feats.select(F.col("user_id").alias("ua"), "event_type")
+    b = feats.select(F.col("user_id").alias("ub"), "event_type").hint("shuffle_hash")
+    common = (
+        a.join(b, "event_type")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("inter"))
+    )
+    ta = nf.select(F.col("user_id").alias("ua"), F.col("nf").alias("na"))
+    tb = nf.select(F.col("user_id").alias("ub"), F.col("nf").alias("nb"))
+    return (
+        ta.crossJoin(tb)
+        .filter(F.col("ua") < F.col("ub"))
+        .join(F.broadcast(common), ["ua", "ub"], "left")
+        .fillna(0, subset=["inter"])
+        .select(
+            "ua",
+            "ub",
+            F.expr(
+                "CAST(na + nb - 2 * inter AS DOUBLE) / (na + nb - inter)"
+            ).alias("jaccard_dist"),
+        )
+    )
+
+
+_D2J_SQL = f"""
+WITH feats AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE user_id < {_BC_BLOCK}
+), nf AS (
+  SELECT user_id, COUNT(*) AS nf FROM feats GROUP BY user_id
+), common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS inter
+  FROM feats a JOIN feats b
+    ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT ta.user_id AS ua, tb.user_id AS ub,
+       CAST(ta.nf + tb.nf - 2 * COALESCE(inter, 0) AS DOUBLE)
+         / (ta.nf + tb.nf - COALESCE(inter, 0)) AS jaccard_dist
+FROM nf ta
+JOIN nf tb ON ta.user_id < tb.user_id
+LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # D6 — Kruskal-Wallis H across groups (LEfSe's first stage)
 # (rules/differential_abundance.smk:16-72)
@@ -1294,6 +1354,12 @@ QUERIES: dict[str, QuerySpec] = {
         "oracle = the same iteration unrolled as a CTE chain",
     ),
     "d1_shannon_diversity": QuerySpec(d1_shannon_diversity, _D1_SQL, "D1 rules/diversity_analysis.smk:42-75"),
+    "d2_jaccard_beta": QuerySpec(
+        d2_jaccard_beta,
+        _D2J_SQL,
+        "D2 rules/diversity_analysis.smk:5-40 (core-metrics jaccard matrix): "
+        "presence/absence distance, inverted-index pairs, integer-ratio exact",
+    ),
     "d17_pielou_evenness": QuerySpec(
         d17_pielou_evenness,
         _D17_SQL,

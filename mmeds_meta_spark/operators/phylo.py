@@ -1806,8 +1806,8 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
     which emits every alpha metric and distance matrix in one run):
     observed features, Shannon, Pielou evenness, chao1, Good's
     coverage, and Faith's PD (over the real parsed Newick tree) over
-    samples, plus Bray-Curtis and weighted-UniFrac over sample
-    pairs — each summarized as (n_units, mean, min, max).
+    samples, plus ALL FOUR distance matrices the bundle emits — jaccard,
+    Bray-Curtis, weighted and unweighted UniFrac — over sample pairs — each summarized as (n_units, mean, min, max).
 
     One Catalyst plan: the five alpha branches share the identical
     (sample, feature)-count aggregation subtree (Spark's ReuseExchange
@@ -1820,6 +1820,7 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
     from .diversity import (
         d1_shannon_diversity,
         d2_bray_curtis,
+        d2_jaccard_beta,
         d15_chao1_coverage,
         d17_pielou_evenness,
     )
@@ -1853,8 +1854,10 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
         alpha(ch, "chao1", "chao1"),
         alpha(ch, "goods_coverage", "goods_coverage"),
         alpha(d1_faith_pd_newick(spark, sf), "pd", "faith_pd"),
+        beta(d2_jaccard_beta(spark, sf), "jaccard_dist", "jaccard"),
         beta(d2_bray_curtis(spark, sf), "bray_curtis", "bray_curtis"),
         beta(d2_unifrac_weighted(spark, sf), "unifrac_w", "unifrac_w"),
+        beta(d2_unifrac_unweighted(spark, sf), "unifrac_u", "unifrac_u"),
     ]
     u = parts[0]
     for x in parts[1:]:
@@ -1871,7 +1874,7 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _core_metrics_sql() -> str:
-    from .diversity import _D2_SQL, _D15_SQL, _D17_SQL
+    from .diversity import _D2_SQL, _D2J_SQL, _D15_SQL, _D17_SQL
     from .diversity import _D1_SQL as _D1
 
     return f"""
@@ -1879,8 +1882,10 @@ WITH sh AS ({_D1}),
 ev AS ({_D17_SQL}),
 ch AS ({_D15_SQL}),
 fa AS ({_FAITH_NEWICK_SQL}),
+jc AS ({_D2J_SQL}),
 bc AS ({_D2_SQL}),
 uf AS ({_UF_W_SQL}),
+ufu AS ({_UF_U_SQL}),
 m AS (
   SELECT 'observed_features' AS metric, CAST(user_id AS VARCHAR) AS k,
          CAST(n_features AS DOUBLE) AS v FROM sh
@@ -1896,11 +1901,17 @@ m AS (
   UNION ALL
   SELECT 'faith_pd', CAST(user_id AS VARCHAR), CAST(pd AS DOUBLE) FROM fa
   UNION ALL
+  SELECT 'jaccard', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
+         jaccard_dist FROM jc
+  UNION ALL
   SELECT 'bray_curtis', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
          bray_curtis FROM bc
   UNION ALL
   SELECT 'unifrac_w', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
          unifrac_w FROM uf
+  UNION ALL
+  SELECT 'unifrac_u', CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR),
+         unifrac_u FROM ufu
 )
 SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_units,
        ROUND(list_reduce(list(v ORDER BY k), (acc, x) -> acc + x)
@@ -2229,7 +2240,7 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_core_metrics,
         _core_metrics_sql(),
         "D-family composition (qiime core-metrics, smk:5-40): six alpha "
-        "metrics (incl. faith_pd over the parsed Newick tree) + two "
+        "metrics (incl. faith_pd over the parsed Newick tree) + all four "
         "distance matrices summarized in ONE plan with "
         "shared count subtrees and pinned-order mean folds",
     ),
