@@ -106,7 +106,8 @@ OPS = [
     "sample_quality_quota",  # histogram threshold + boundary-class rank
     "p11_k_anonymity",  # two-level quasi-class agg
     "d17_pielou_evenness",  # richness-normalized double tree
-    "pipeline_core_metrics",  # 7-branch union + pinned mean folds
+    "pipeline_core_metrics",  # 10-branch union + pinned mean folds
+    "d2_jaccard_beta",  # binary inverted-index pairs, integer ratio
 ]
 
 
