@@ -261,3 +261,85 @@ def test_simhash_banding_is_lossless(spark, tmp_path_factory, texts):
             if h <= 4:
                 want[(a, b)] = h
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_ks_drift_bounds_and_identity(spark, tmp_path_factory, texts):
+    """text_length_ks_drift: 0 ≤ D ≤ 1 always, and two sources with the
+    IDENTICAL length multiset have D = 0 and no rejection."""
+    tmp = tmp_path_factory.mktemp("ks")
+    # build srcA and srcB with the same texts -> identical length CDFs
+    rows = [(i, t, "en", "srcA", len(t)) for i, t in enumerate(texts)] + [
+        (1000 + i, t, "en", "srcB", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp / "ks"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = REG["text_length_ks_drift"].spark(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.ks_stat == 0.0 and not r.reject_05
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_quality_quota_is_exact_and_best_first(spark, tmp_path_factory, texts):
+    """sample_quality_quota on random corpora: per-source counts are
+    exactly max(1, floor(frac·n_s)) and no rejected doc strictly
+    outscores an accepted one."""
+    from mmeds_meta_spark.operators.sampling import _QQ_FRAC
+
+    tmp = tmp_path_factory.mktemp("qq")
+    sf = _write_docs(spark, tmp, texts, "c")
+    sel = REG["sample_quality_quota"].spark(spark, sf).collect()
+    per_src = Counter(i % 2 for i in range(len(texts)))
+    got = Counter()
+    min_sel: dict[str, float] = {}
+    for r in sel:
+        got[r.source] += 1
+        min_sel[r.source] = min(min_sel.get(r.source, 2.0), r.qscore)
+    for s, n in per_src.items():
+        src = f"src{s}"
+        assert got[src] == max(1, int(_QQ_FRAC * n))
+    # best-first: every unselected doc scores <= the weakest selected one
+    sel_ids = {r.doc_id for r in sel}
+    for i, t in enumerate(texts):
+        if i in sel_ids:
+            continue
+        toks = t.split(" ")
+        q = round(len(set(toks)) / len(toks), 4)
+        assert q <= min_sel[f"src{i % 2}"] + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_jaccard_beta_metric_axioms(spark, tmp_path_factory, texts):
+    """d2_jaccard_beta over random event corpora: 0 ≤ d ≤ 1, d = 0 iff
+    identical feature sets (checked via a pure-Python recomputation)."""
+    tmp = tmp_path_factory.mktemp("jb")
+    # synthesize events: user i emits its tokens as event types
+    rows = []
+    eid = 0
+    for i, t in enumerate(texts):
+        for tok in t.split(" "):
+            rows.append((eid, i, tok, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    d = tmp / "jb"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {(r.ua, r.ub): r.jaccard_dist for r in REG["d2_jaccard_beta"].spark(spark, str(d)).collect()}
+    sets = {i: set(t.split(" ")) for i, t in enumerate(texts)}
+    for (a, b), dist in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        want = (union - inter) / union
+        assert abs(dist - want) < 1e-12
+        assert 0.0 <= dist <= 1.0
+    # completeness: every pair present
+    n = len(texts)
+    assert len(got) == n * (n - 1) // 2
