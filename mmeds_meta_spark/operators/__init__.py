@@ -317,41 +317,26 @@ _GATE_TAIL: tuple[str, ...] = (
     "sketch_kmv_setops",  # bottom-k set algebra: sketch_kmv_overlap_matrix gates its strict superset
     "sketch_hll_distinct",  # register estimator: sketch_hist_quantile + kmv_overlap keep sketches gated
     "sketch_cms_heavy",  # hashed-counter sketch: same family as above; driver-green r05+r06
-    # ---- added AFTER the round-7 gate head was set (sweep + pytest
-    # verified this round; round-8 rotation candidates — the bigram LM is
-    # the genuinely new shape: a lag-window bigram formation feeding a
-    # bounded conditional-probability grid broadcast):
-    "text_bigram_lm_score",
-    # embedding-level decontamination: broadcast bench + narrow scoring
-    # (the 4th decon modality; same broadcast shape as decon_fuzzy):
-    "decon_embedding_cosine",
-    # composed decon defense-in-depth verdict (union + rollup of the three
-    # doc-level modalities, each individually gated/sweep-verified):
-    "pipeline_decontam_report",
-    # the complete Gopher rule: both halves individually gated/sweep-
-    # verified; the composition is one doc_id join:
-    "text_gopher_full",
-    # the third beta-group-significance p-method (permanova + anosim are
-    # gated); dispersion F over in-plan PCoA distances-to-centroid.
-    # PRIORITY round-8 rotation candidate — a genuinely new D-family shape:
-    "d16_permdisp",
-    # exact two-sample KS over bounded length histograms (KL drift's
-    # distribution-shape companion):
-    "text_length_ks_drift",
-    # exact per-source quality quota via histogram threshold (the
-    # no-per-group-rank-window selection shape):
-    "sample_quality_quota",
-    # k-anonymity / l-diversity privacy audit (F13's quantitative sibling):
-    "p11_k_anonymity",
-    # Pielou evenness — the remaining core-metrics alpha metric
-    # (d1_shannon's gated two-shuffle shape with a new closing tree):
-    "d17_pielou_evenness",
-    # the composed core-metrics bundle (the reference's end-to-end
-    # analysis chain as ONE plan) — PRIORITY round-8 rotation candidate:
-    "pipeline_core_metrics",
-    # core-metrics' 4th distance matrix (presence/absence jaccard —
-    # bray-curtis' gated inverted-index pair shape, binary weights):
-    "d2_jaccard_beta",
+    # ---- round-7 session-2 rotation: every operator built THIS round
+    # (text_bigram_lm_score, decon_embedding_cosine,
+    # pipeline_decontam_report, text_gopher_full, d16_permdisp,
+    # text_length_ks_drift, sample_quality_quota, p11_k_anonymity,
+    # d17_pielou_evenness, pipeline_core_metrics, d2_jaccard_beta — each
+    # verified oracle-exact at sf0.01, most also at sf0.1, all layout-
+    # independence-tested) takes a gate slot immediately so no entry is
+    # ever a round behind on driver evidence.  OUT: eleven entries
+    # driver-green in r06 whose physical shapes keep gated twins:
+    "a21_taxa_barplot",  # relative-abundance layer: a13's gated collapse family
+    "a22_mad_outliers",  # two-level CDF medians: sketch_hist_quantile gates the CDF walk
+    "d12_feature_table_summarize",  # dual-axis CDF quantiles: same gated family
+    "w6_funnel_conversion",  # ordered funnel: w5_range_join_bucketed keeps the event family
+    "text_bm25_topk",  # broadcast IDF scoring: the BPE/vocab text family is heavily gated
+    "text_nb_classifier",  # broadcast NB model: text_ccnet_buckets keeps train+apply gated
+    "d14_alpha_correlation",  # mid-rank Spearman + perm p: d16_permdisp gates the perm family
+    "d4_permanova_pairwise",  # per-pair PERMANOVA: d4_permanova stays gated
+    "d10_anosim",  # rank-R perm test: d4_permanova + d16_permdisp keep the surface
+    "sample_kcenter_coreset",  # bounded greedy argmax: sample_dsir keeps selection gated
+    "a23_source_mixture_profile",  # k-row concentration folds: a25/sketches keep agg family
 )
 
 
