@@ -337,6 +337,9 @@ _GATE_TAIL: tuple[str, ...] = (
     "d10_anosim",  # rank-R perm test: d4_permanova + d16_permdisp keep the surface
     "sample_kcenter_coreset",  # bounded greedy argmax: sample_dsir keeps selection gated
     "a23_source_mixture_profile",  # k-row concentration folds: a25/sketches keep agg family
+    # ---- added after the session-2 rotation (sweep + pytest verified;
+    # round-8 rotation candidate — the windowed-sketch-merge shape):
+    "w16_sliding_distinct_hll",
 )
 
 

@@ -473,6 +473,124 @@ SELECT source, COUNT(*) AS n_nonzero,
 FROM regs GROUP BY source
 """
 
+_HLL_WIN = 3  # sliding window width in hours
+
+
+def w16_sliding_distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window distinct-USER estimates from hour-bucketed HLL
+    registers: per absolute hour, build the 256-register sketch of
+    md5(user_id); a {w}-hour window's sketch is then the register-wise
+    MAX of its member hours — sketches MERGE, events are never
+    rescanned per window.  This is the property that makes sketch
+    columns the right representation for rolling dashboards at 100 TB:
+    one event pass builds hours × 256 register rows, and any window
+    (sliding, session-aligned, calendar) folds them associatively.
+
+    Window w covers hours [w, w+{w0}]; every window with at least one
+    member hour reports (n_hours, n_nonzero registers, estimate).
+    Estimates use the exact-decimal harmonic sum shared with the gated
+    HLL operators — oracle-exact, not approximately equal."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        (event_time_us(raw.schema) / F.lit(3_600_000_000)).cast("long").alias("h"),
+        F.expr("md5(CAST(user_id AS STRING))").alias("hh"),
+    )
+    br = ev.selectExpr(
+        "h",
+        "CAST(conv(substr(hh, 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr(hh, 3, {_HLL_WBITS // 4}), 16, 10) AS BIGINT) AS w",
+    ).selectExpr(
+        "h",
+        "bucket",
+        f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank",
+    )
+    hour_regs = br.groupBy("h", "bucket").agg(F.max("rank").alias("m_j"))
+    win = hour_regs.select(
+        F.expr(f"explode(transform(sequence(0, {_HLL_WIN - 1}), k -> h - k))").alias(
+            "win_start_hour"
+        ),
+        "h",
+        "bucket",
+        "m_j",
+    )
+    regs = win.groupBy("win_start_hour", "bucket").agg(F.max("m_j").alias("m_j"))
+    hours = (
+        win.select("win_start_hour", "h")
+        .distinct()
+        .groupBy("win_start_hour")
+        .agg(F.count("*").cast("long").alias("n_hours"))
+    )
+    # small-range (linear-counting) correction — Flajolet et al. 2007:
+    # the raw harmonic estimator saturates near ~0.7·m for tiny
+    # cardinalities (a 2-user window reads ~185 with m=256); when the raw
+    # estimate is ≤ 2.5·m and empty registers remain, m·ln(m/V) is the
+    # published replacement.  The gated global/grouped HLL entries never
+    # enter this regime at fixture scale; sliding windows do.
+    raw = (
+        f"{_HLL_NUM!r}"
+        f" / CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 49 - m_j) AS DECIMAL(38,0)))"
+        f"   + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0)) * {2 ** 49} AS DOUBLE)"
+    )
+    est = regs.groupBy("win_start_hour").agg(
+        F.count("*").cast("long").alias("n_nonzero"),
+        F.expr(
+            f"ROUND(CASE WHEN ({raw}) <= 2.5 * {_HLL_M} AND COUNT(*) < {_HLL_M}"
+            f" THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)"
+            f" / CAST({_HLL_M} - COUNT(*) AS DOUBLE))"
+            f" ELSE ({raw}) END, 4)"
+        ).alias("est_distinct"),
+    )
+    return est.join(hours, "win_start_hour")
+
+
+w16_sliding_distinct_hll.__doc__ = w16_sliding_distinct_hll.__doc__.format(
+    w=_HLL_WIN, w0=_HLL_WIN - 1
+)
+
+_HLL_SLIDE_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, md5(CAST(user_id AS VARCHAR)) AS hh
+  FROM events
+), br AS (
+  SELECT h,
+         CAST(('0x' || substr(hh, 1, 2)) AS UBIGINT)::BIGINT AS bucket,
+         CAST(('0x' || substr(hh, 3, {_HLL_WBITS // 4})) AS UBIGINT)::BIGINT AS w
+  FROM ev
+), ranked AS (
+  SELECT h, bucket,
+         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank
+  FROM br
+), hour_regs AS (
+  SELECT h, bucket, MAX(rank) AS m_j FROM ranked GROUP BY h, bucket
+), win AS (
+  SELECT h - k AS win_start_hour, h, bucket, m_j
+  FROM hour_regs, UNNEST(range(0, {_HLL_WIN})) AS t(k)
+), regs AS (
+  SELECT win_start_hour, bucket, MAX(m_j) AS m_j
+  FROM win GROUP BY win_start_hour, bucket
+), hours AS (
+  SELECT win_start_hour, CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM (SELECT DISTINCT win_start_hour, h FROM win) GROUP BY win_start_hour
+)
+SELECT r.win_start_hour, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+       ROUND(CASE WHEN ({_HLL_NUM!r}
+             / CAST(SUM(CAST(1::BIGINT << (49 - m_j) AS HUGEINT))
+               + CAST({_HLL_M} - COUNT(*) AS HUGEINT) * CAST({2 ** 49} AS HUGEINT) AS DOUBLE))
+             <= 2.5 * {_HLL_M} AND COUNT(*) < {_HLL_M}
+         THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                            / CAST({_HLL_M} - COUNT(*) AS DOUBLE))
+         ELSE ({_HLL_NUM!r}
+             / CAST(SUM(CAST(1::BIGINT << (49 - m_j) AS HUGEINT))
+               + CAST({_HLL_M} - COUNT(*) AS HUGEINT) * CAST({2 ** 49} AS HUGEINT) AS DOUBLE))
+         END, 4) AS est_distinct,
+       MAX(hrs.n_hours) AS n_hours
+FROM regs r JOIN hours hrs USING (win_start_hour)
+GROUP BY r.win_start_hour
+"""
+
 
 # ---------------------------------------------------------------------------
 # KMV overlap matrix — all-pairs source overlap from ONE bottom-k sample
@@ -771,6 +889,13 @@ QUERIES: dict[str, QuerySpec] = {
         "counter state at any corpus size, pinned-order interpolation, "
         "deterministic one-bin error bound (the mergeable counterpart of "
         "a18's exact CDF quantiles)",
+    ),
+    "w16_sliding_distinct_hll": QuerySpec(
+        w16_sliding_distinct_hll,
+        _HLL_SLIDE_SQL,
+        "beyond-reference: sliding-window distinct-user estimates from "
+        "hour-bucketed HLL registers — register MAX is associative, so "
+        "windows MERGE sketches instead of rescanning events",
     ),
     "sketch_hll_by_group": QuerySpec(
         sketch_hll_by_group,

@@ -54,3 +54,31 @@ def test_accuracy_bound_on_corpus(spark):
         assert r.n == len(vals)
         exact = vals[math.ceil(r.p * len(vals) / 100) - 1]
         assert abs(r.est - exact) <= r.err_bound + 1e-9, (r.grp, r.p, r.est, exact)
+
+
+def test_sliding_hll_estimates_track_truth(spark):
+    """w16_sliding_distinct_hll: each window's estimate must be within
+    HLL error bounds of the TRUE distinct-user count (256 registers →
+    6.5% std error; 25% is a >3σ ceiling), and full windows must
+    estimate at least as many users as any member hour alone."""
+    import pyspark.sql.functions as F
+
+    from mmeds_meta_spark.functions.event_time import event_time_us
+    from mmeds_meta_spark.operators import registry
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = raw.select(
+        (event_time_us(raw.schema) / F.lit(3_600_000_000)).cast("long").alias("h"),
+        "user_id",
+    )
+    hours = {(r.h, r.user_id) for r in ev.distinct().collect()}
+    got = registry()["w16_sliding_distinct_hll"].spark(spark, SF_SMOKE).collect()
+    assert got
+    for r in got:
+        truth = len({u for (h, u) in hours if r.win_start_hour <= h < r.win_start_hour + 3})
+        assert truth > 0
+        assert abs(r.est_distinct - truth) / truth < 0.25, (
+            r.win_start_hour,
+            r.est_distinct,
+            truth,
+        )
