@@ -108,6 +108,7 @@ OPS = [
     "d17_pielou_evenness",  # richness-normalized double tree
     "pipeline_core_metrics",  # 10-branch union + pinned mean folds
     "d2_jaccard_beta",  # binary inverted-index pairs, integer ratio
+    "w16_sliding_distinct_hll",  # windowed register-MAX merge + correction
 ]
 
 
