@@ -338,8 +338,10 @@ _GATE_TAIL: tuple[str, ...] = (
     "sample_kcenter_coreset",  # bounded greedy argmax: sample_dsir keeps selection gated
     "a23_source_mixture_profile",  # k-row concentration folds: a25/sketches keep agg family
     # ---- added after the session-2 rotation (sweep + pytest verified;
-    # round-8 rotation candidate — the windowed-sketch-merge shape):
+    # round-8 rotation candidates — the windowed-sketch-merge shape and
+    # the span-level decontamination/redaction shape):
     "w16_sliding_distinct_hll",
+    "decon_span_islands",
 )
 
 

@@ -1874,6 +1874,134 @@ FROM d LEFT JOIN stats st USING (doc_id)
 """
 
 
+def decon_span_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the REDACTION spec, not
+    just the verdict: for every corpus document containing verbatim
+    benchmark text, the maximal leaked token intervals (the
+    dedup_substring_islands run/interval-union machinery, with
+    "duplicated" replaced by "appears in the benchmark").  The doc-level
+    tests (n-gram/Bloom/fuzzy/embedding) say WHETHER a doc leaked; this
+    says WHICH tokens to cut so the rest of the document survives —
+    what a real decontamination pass actually edits.  Intervals ship as
+    a portable ``s-e`` CSV string (start/end token offsets, 0-based).
+    Benchmark membership is doc_id ≡ 0 (mod 7) — decon_fuzzy_minhash's
+    denser stand-in, chosen so the synthetic fixture actually contains
+    verbatim leaks (the mod-101 set shares no 8-token window).
+
+    Physical shape at 100 TB: the benchmark's window hashes BROADCAST
+    (an eval suite is MBs); the corpus side is the stride-1 window
+    explode + a broadcast semi-join — no corpus-vs-corpus shuffle at
+    all (cheaper than the dedup twin, which must count occurrences) —
+    and runs/islands are per-doc windows bounded by document length."""
+    d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    elig = d.filter(F.size("toks") >= _ISL_W)
+    sh = elig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_ISL_W}),"
+                f" s -> md5(array_join(slice(toks, s + 1, {_ISL_W}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).select("h").distinct()
+    )
+    leak = (
+        sh.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        leak.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("a"), (F.max("pos") + F.lit(_ISL_W - 1)).alias("e"))
+    )
+    w_a = Window.partitionBy("doc_id").orderBy("a")
+    prev_max = F.max("e").over(w_a.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        runs.withColumn(
+            "new_isl", F.when(prev_max.isNull() | (F.col("a") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "isl", F.sum("new_isl").over(w_a.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("a").alias("s"), F.max("e").alias("e"))
+    )
+    stats = islands.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_leak_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("leak_token_count"),
+        F.expr(
+            "concat_ws(',', transform(sort_array(collect_list(struct(s, e))),"
+            " q -> concat(CAST(q.s AS STRING), '-', CAST(q.e AS STRING))))"
+        ).alias("leak_intervals"),
+    )
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return stats.join(base, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_leak_islands",
+        "leak_token_count",
+        (F.col("leak_token_count").cast("double") / F.col("n_tokens")).alias(
+            "leak_ratio"
+        ),
+        "leak_intervals",
+    )
+
+
+_SPAN_DECON_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(toks[s + 1 : s + {_ISL_W}], ' ')) AS h
+  FROM d, UNNEST(range(0, len(toks) - {_ISL_W} + 1)) AS t(s)
+  WHERE len(toks) >= {_ISL_W}
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % {_FUZZY_BENCH_MOD} = 0
+), leak AS (
+  SELECT doc_id, pos FROM sh
+  WHERE doc_id % {_FUZZY_BENCH_MOD} != 0 AND h IN (SELECT h FROM bench)
+), runs AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_ISL_W - 1} AS e
+  FROM (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM leak
+  ) GROUP BY doc_id, grp
+), marked AS (
+  SELECT doc_id, a, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR a > MAX(e) OVER (PARTITION BY doc_id ORDER BY a
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM runs
+), islands AS (
+  SELECT doc_id, isl, MIN(a) AS s, MAX(e) AS e FROM (
+    SELECT doc_id, a, e,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY a
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM marked
+  ) GROUP BY doc_id, isl
+), stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leak_islands,
+         CAST(SUM(e - s + 1) AS BIGINT) AS leak_token_count,
+         string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR), ','
+                    ORDER BY s) AS leak_intervals
+  FROM islands GROUP BY doc_id
+)
+SELECT st.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       st.n_leak_islands, st.leak_token_count,
+       CAST(st.leak_token_count AS DOUBLE) / len(d.toks) AS leak_ratio,
+       st.leak_intervals
+FROM stats st JOIN d USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtered exact similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------
@@ -2265,6 +2393,13 @@ QUERIES: dict[str, QuerySpec] = {
         "beyond-reference: LSH banding advisor — expected S-curve recall per "
         "(bands, rows) over the measured exact-Jaccard histogram (MMDS §3.4); "
         "pow-free repeated-squaring chains, value-bounded histogram",
+    ),
+    "decon_span_islands": QuerySpec(
+        decon_span_islands,
+        _SPAN_DECON_SQL,
+        "beyond-reference: SPAN-level benchmark decontamination — the "
+        "redaction spec (leaked token intervals via broadcast-bench "
+        "stride-1 windows + run/interval-union islands)",
     ),
     "dedup_substring_islands": QuerySpec(
         dedup_substring_islands,
