@@ -109,6 +109,7 @@ OPS = [
     "pipeline_core_metrics",  # 10-branch union + pinned mean folds
     "d2_jaccard_beta",  # binary inverted-index pairs, integer ratio
     "w16_sliding_distinct_hll",  # windowed register-MAX merge + correction
+    "decon_span_islands",  # broadcast-bench semi-join + island windows
 ]
 
 

@@ -97,3 +97,66 @@ def test_islands_corpus_laws(spark):
             assert r.longest_dup_tokens >= _ISL_W
             # islands are disjoint, each ≥ W tokens
             assert r.dup_token_count >= r.n_dup_islands * _ISL_W
+
+
+def test_span_decon_matches_pure_python_recomputation(spark):
+    """decon_span_islands: exact pure-Python recomputation — leaked
+    window positions, run grouping, interval union, and the interval
+    strings must all match."""
+    from mmeds_meta_spark.operators import registry
+    from mmeds_meta_spark.operators.dedup import _FUZZY_BENCH_MOD, _ISL_W
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    bench_windows = set()
+    for did, toks in docs.items():
+        if did % _FUZZY_BENCH_MOD == 0:
+            for i in range(len(toks) - _ISL_W + 1):
+                bench_windows.add(tuple(toks[i : i + _ISL_W]))
+
+    expected = {}
+    for did, toks in docs.items():
+        if did % _FUZZY_BENCH_MOD == 0:
+            continue
+        pos = [
+            i
+            for i in range(len(toks) - _ISL_W + 1)
+            if tuple(toks[i : i + _ISL_W]) in bench_windows
+        ]
+        if not pos:
+            continue
+        # runs of consecutive positions -> token intervals -> union
+        runs = []
+        start = prev = pos[0]
+        for q in pos[1:]:
+            if q == prev + 1:
+                prev = q
+            else:
+                runs.append((start, prev + _ISL_W - 1))
+                start = prev = q
+        runs.append((start, prev + _ISL_W - 1))
+        merged = [list(runs[0])]
+        for a, e in runs[1:]:
+            if a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([a, e])
+        expected[did] = merged
+
+    rows = {
+        r.doc_id: r
+        for r in registry()["decon_span_islands"].spark(spark, SF_SMOKE).collect()
+    }
+    assert rows, "fixture should contain span leaks under the mod-7 bench"
+    assert set(rows) == set(expected)
+    for did, merged in expected.items():
+        r = rows[did]
+        want = ",".join(f"{a}-{e}" for a, e in merged)
+        assert r.leak_intervals == want, (did, r.leak_intervals, want)
+        assert r.n_leak_islands == len(merged)
+        assert r.leak_token_count == sum(e - a + 1 for a, e in merged)
+        assert r.n_tokens == len(docs[did])
