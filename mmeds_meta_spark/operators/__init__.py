@@ -337,11 +337,13 @@ _GATE_TAIL: tuple[str, ...] = (
     "d10_anosim",  # rank-R perm test: d4_permanova + d16_permdisp keep the surface
     "sample_kcenter_coreset",  # bounded greedy argmax: sample_dsir keeps selection gated
     "a23_source_mixture_profile",  # k-row concentration folds: a25/sketches keep agg family
-    # ---- added after the session-2 rotation (sweep + pytest verified;
-    # round-8 rotation candidates — the windowed-sketch-merge shape and
-    # the span-level decontamination/redaction shape):
-    "w16_sliding_distinct_hll",
-    "decon_span_islands",
+    # ---- round-7 session-3 rotation: the final two new shapes
+    # (w16_sliding_distinct_hll — windowed sketch merging;
+    # decon_span_islands — span-level leak redaction) take slots
+    # immediately, displacing two entries driver-green in EVERY round
+    # r01–r06 whose shapes keep gated twins:
+    "f19_weight_cascade",  # running-window cascade: w5/w13-family twins stay via the event ops
+    "a13_hierarchical_collapse",  # prefix-collapse groupBy: a25_rollup_cube gates the rollup family
 )
 
 
