@@ -589,7 +589,145 @@ FROM u GROUP BY doc_id
 """
 
 
+_DD_STAGES = ("raw", "exact", "normalized", "semantic_cluster")
+
+
+def pipeline_dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-ESCALATION funnel: how many documents (and tokens) survive
+    each successively stronger dedup level —
+
+    * stage 0 ``raw``              — every document
+    * stage 1 ``exact``            — md5(text) keepers (min doc_id)
+    * stage 2 ``normalized``       — + keepers under C4/RefinedWeb
+      canonicalization (casing/punctuation/whitespace collapsed)
+    * stage 3 ``semantic_cluster`` — + one canonical doc per SimHash
+      near-dup connected component (docs in no pair are singletons)
+
+    The report a dedup-planning review reads: each stage's MARGINAL
+    removal is the measured value of escalating (exact → normalized →
+    near-dup clustering), the number that decides whether the expensive
+    level is worth running on the full corpus.  Mirrors the curation /
+    selection / export / decontamination funnels — one plan, cumulative
+    stages, pct_of_raw.
+
+    Physical shape: two md5 groupBy keepers (uniform keys), the CC
+    fixpoint on the contracted quotient graph (dedup_cluster_components'
+    pointer jumping, bounded checkpoints), and one 4-row rollup."""
+    from .dedup import _norm_expr, dedup_cluster_components
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.expr("size(split(text, ' '))").alias("n_tok")
+    )
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    exact = fp.join(fp.groupBy("f").agg(F.min("doc_id").alias("k")), "f").select(
+        "doc_id", (F.col("doc_id") == F.col("k")).alias("exact_keep")
+    )
+    nf = d.select(
+        "doc_id", F.expr("md5(" + _norm_expr("spark", "text") + ")").alias("nf")
+    )
+    norm = nf.join(nf.groupBy("nf").agg(F.min("doc_id").alias("k")), "nf").select(
+        "doc_id", (F.col("doc_id") == F.col("k")).alias("norm_keep")
+    )
+    comp = dedup_cluster_components(spark, sf)
+    cmin = (
+        comp.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("k"))
+        .join(comp, "cluster_id")
+        .select("doc_id", (F.col("doc_id") == F.col("k")).alias("in_cluster_keep"))
+    )
+    flags = (
+        d.select("doc_id", "n_tok")
+        .join(exact, "doc_id")
+        .join(norm, "doc_id")
+        .join(cmin, "doc_id", "left")
+        .select(
+            "n_tok",
+            "exact_keep",
+            "norm_keep",
+            F.coalesce("in_cluster_keep", F.lit(True)).alias("cluster_keep"),
+        )
+    )
+    tall = flags.selectExpr(
+        "n_tok",
+        "stack(4, "
+        f"0L, '{_DD_STAGES[0]}', true, "
+        f"1L, '{_DD_STAGES[1]}', exact_keep, "
+        f"2L, '{_DD_STAGES[2]}', exact_keep AND norm_keep, "
+        f"3L, '{_DD_STAGES[3]}', exact_keep AND norm_keep AND cluster_keep"
+        ") AS (stage, stage_name, alive)"
+    )
+    agg = tall.groupBy("stage", "stage_name").agg(
+        F.sum(F.when(F.col("alive"), 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("alive"), F.col("n_tok"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.lit(1))  # 4-row frame
+    return agg.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.max(F.when(F.col("stage") == 0, F.col("n_docs"))).over(w)
+        ).alias("pct_of_raw"),
+    )
+
+
+def _dedup_funnel_sql() -> str:
+    from .dedup import _components_sql, _norm_expr
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok FROM documents
+), exact AS (
+  SELECT d.doc_id, d.doc_id = k.k AS exact_keep
+  FROM d JOIN (SELECT md5(text) AS f, MIN(doc_id) AS k FROM d GROUP BY 1) k
+    ON md5(d.text) = k.f
+), norm AS (
+  SELECT d.doc_id, d.doc_id = k.k AS norm_keep
+  FROM d JOIN (SELECT md5({_norm_expr('duck', 'text')}) AS nf, MIN(doc_id) AS k
+               FROM d GROUP BY 1) k
+    ON md5({_norm_expr('duck', 'd.text')}) = k.nf
+), comp AS ({_components_sql()}),
+cmin AS (
+  SELECT c.doc_id, c.doc_id = m.k AS in_cluster_keep
+  FROM comp c JOIN (SELECT cluster_id, MIN(doc_id) AS k FROM comp GROUP BY 1) m
+    USING (cluster_id)
+), flags AS (
+  SELECT d.n_tok, e.exact_keep, n.norm_keep,
+         COALESCE(cm.in_cluster_keep, TRUE) AS cluster_keep
+  FROM d JOIN exact e USING (doc_id) JOIN norm n USING (doc_id)
+  LEFT JOIN cmin cm USING (doc_id)
+), tall AS (
+  SELECT 0 AS stage, '{_DD_STAGES[0]}' AS stage_name, TRUE AS alive, n_tok FROM flags
+  UNION ALL
+  SELECT 1, '{_DD_STAGES[1]}', exact_keep, n_tok FROM flags
+  UNION ALL
+  SELECT 2, '{_DD_STAGES[2]}', exact_keep AND norm_keep, n_tok FROM flags
+  UNION ALL
+  SELECT 3, '{_DD_STAGES[3]}', exact_keep AND norm_keep AND cluster_keep, n_tok
+  FROM flags
+), agg AS (
+  SELECT stage, stage_name,
+         CAST(SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN alive THEN n_tok END) AS BIGINT) AS n_tokens
+  FROM tall GROUP BY stage, stage_name
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE)
+         / MAX(CASE WHEN stage = 0 THEN n_docs END) OVER () AS pct_of_raw
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_dedup_funnel": QuerySpec(
+        pipeline_dedup_funnel,
+        _dedup_funnel_sql(),
+        "beyond-reference: dedup-escalation funnel (exact → normalized → "
+        "SimHash-cluster canonical) — the marginal-removal report that "
+        "decides whether each stronger level is worth its cost",
+    ),
     "pipeline_decontam_report": QuerySpec(
         pipeline_decontam_report,
         _decontam_report_sql(),

@@ -110,6 +110,7 @@ OPS = [
     "d2_jaccard_beta",  # binary inverted-index pairs, integer ratio
     "w16_sliding_distinct_hll",  # windowed register-MAX merge + correction
     "decon_span_islands",  # broadcast-bench semi-join + island windows
+    "pipeline_dedup_funnel",  # two md5 keepers + CC fixpoint + rollup
 ]
 
 
