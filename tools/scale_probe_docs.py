@@ -40,6 +40,15 @@ OPS = [
     "sample_epoch_shuffle",
     "sketch_kmv_overlap_matrix",
     "pipeline_export_funnel",
+    # round-7 session-2/3 additions
+    "text_bigram_lm_score",
+    "text_gopher_full",
+    "text_length_ks_drift",
+    "sample_quality_quota",
+    "pipeline_decontam_report",
+    "decon_span_islands",
+    "decon_embedding_cosine",
+    "pipeline_dedup_funnel",
 ]
 SCALES = (1, 2, 4)
 
