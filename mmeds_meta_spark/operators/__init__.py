@@ -345,8 +345,10 @@ _GATE_TAIL: tuple[str, ...] = (
     "f19_weight_cascade",  # running-window cascade: w5/w13-family twins stay via the event ops
     "a13_hierarchical_collapse",  # prefix-collapse groupBy: a25_rollup_cube gates the rollup family
     # ---- added after the session-3 rotation (sweep + pytest verified;
-    # round-8 rotation candidate — the dedup-escalation composition):
+    # round-8 rotation candidates — the dedup-escalation composition and
+    # the absorbing-chain solve):
     "pipeline_dedup_funnel",
+    "w17_markov_absorption",
 )
 
 

@@ -1415,6 +1415,156 @@ FROM ev GROUP BY ROLLUP (event_type, day_idx)
 
 
 # ---------------------------------------------------------------------------
+# w17 — Markov absorption probability (conversion modeling on w7's chain)
+# ---------------------------------------------------------------------------
+
+_ABS_STATE = "purchase"  # absorbing target
+_ABS_STEPS = 24  # fixed horizon: deterministic, same convention as PCoA
+
+
+def w17_markov_absorption(spark: SparkSession, sf: str) -> DataFrame:
+    """Absorption probability on the w7 first-order Markov chain: from
+    each starting event type, the probability of reaching
+    ``{target}`` within {t} steps — the quantity behind Markov
+    attribution and conversion modeling (w7 fits the chain; this SOLVES
+    it).  The target is absorbing (its observed outgoing transitions
+    are overridden — once converted, done); states with no outgoing
+    transitions are sinks at 0.
+
+    Numerics: transition probabilities are integer ratios (exact
+    doubles); the {t}-step iteration runs as ONE
+    ``aggregate(sequence(...))`` fold over a single array-valued row —
+    the dense bounded-block machinery proven bit-identical for PCoA —
+    with every per-state sum folded in next-state order, so the DuckDB
+    oracle (the same iteration unrolled as {t} chained CTEs with
+    ORDER-pinned list folds) reproduces the doubles exactly.
+
+    Physical shape at 100 TB: ONE user_id shuffle for the lag pairs,
+    a ≤|types|²-row matrix, then value-level array arithmetic — the
+    solve costs the same at any corpus size."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = steps.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    trans = steps.join(F.broadcast(totals), "cur").select(
+        "cur", "nxt", (F.col("n").cast("double") / F.col("n_cur")).alias("p")
+    )
+    states = (
+        trans.select(F.col("cur").alias("s"))
+        .union(trans.select("nxt"))
+        .distinct()
+    )
+    zero = "CAST(0 AS DOUBLE)"
+    st = (
+        trans.agg(
+            F.expr("sort_array(collect_list(struct(cur, nxt, p)))").alias("tr")
+        )
+        .crossJoin(states.agg(F.expr("sort_array(collect_list(s))").alias("sts")))
+        .withColumn(
+            "adj",
+            F.expr(
+                "transform(sts, si -> transform(filter(tr, e0 -> e0.cur = si),"
+                " e0 -> struct(CAST(array_position(sts, e0.nxt) AS INT) AS jp,"
+                " e0.p AS p)))"
+            ),
+        )
+        .select("sts", "adj")
+        .localCheckpoint(eager=True)  # ONE bounded row
+    )
+    seed = (
+        f"transform(sts, si -> CASE WHEN si = '{_ABS_STATE}'"
+        f" THEN CAST(1 AS DOUBLE) ELSE {zero} END)"
+    )
+    step = (
+        "zip_with(sts, adj, (si, rw) ->"
+        f" CASE WHEN si = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)"
+        f" ELSE aggregate(rw, {zero}, (ac1, e1) -> ac1 + e1.p * element_at(vv, e1.jp))"
+        " END)"
+    )
+    st = st.withColumn(
+        "x",
+        F.expr(
+            f"aggregate(sequence(1, {_ABS_STEPS}), {seed}, (vv, tt) -> {step})"
+        ),
+    )
+    out_counts = trans.groupBy("cur").agg(F.count("*").cast("long").alias("n_out"))
+    res = st.select(
+        F.expr("explode(sequence(1, size(sts)))").alias("k"), "sts", "x"
+    ).select(
+        F.expr("element_at(sts, k)").alias("state"),
+        F.expr("ROUND(element_at(x, k), 6)").alias("p_convert"),
+    )
+    return res.join(out_counts.withColumnRenamed("cur", "state"), "state", "left").select(
+        "state", F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"), "p_convert"
+    )
+
+
+w17_markov_absorption.__doc__ = w17_markov_absorption.__doc__.format(
+    target=_ABS_STATE, t=_ABS_STEPS
+)
+
+
+def _absorption_sql() -> str:
+    steps = []
+    prev = "x0"
+    for t in range(1, _ABS_STEPS + 1):
+        cur = f"x{t}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT s.state,
+         CASE WHEN s.state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+              ELSE COALESCE((
+                SELECT list_reduce(list(tr.p * xp.x ORDER BY tr.nxt),
+                                   (acc, v) -> acc + v)
+                FROM trans tr JOIN {prev} xp ON xp.state = tr.nxt
+                WHERE tr.cur = s.state), CAST(0 AS DOUBLE))
+         END AS x
+  FROM states s
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), lagged AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS nxt
+  FROM pairs
+), steps AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM lagged WHERE nxt IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT cur, SUM(n) AS n_cur FROM steps GROUP BY cur
+), trans AS MATERIALIZED (
+  SELECT s.cur, s.nxt, CAST(s.n AS DOUBLE) / t.n_cur AS p
+  FROM steps s JOIN totals t USING (cur)
+), states AS MATERIALIZED (
+  SELECT DISTINCT cur AS state FROM trans
+  UNION SELECT DISTINCT nxt FROM trans
+), x0 AS MATERIALIZED (
+  SELECT state, CASE WHEN state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS x
+  FROM states
+),
+{chain},
+outc AS (
+  SELECT cur AS state, CAST(COUNT(*) AS BIGINT) AS n_out FROM trans GROUP BY cur
+)
+SELECT x.state, COALESCE(o.n_out, 0) AS n_out, ROUND(x.x, 6) AS p_convert
+FROM {prev} x LEFT JOIN outc o USING (state)
+"""
+
+
+# ---------------------------------------------------------------------------
 # p11 — k-anonymity / l-diversity privacy audit
 # ---------------------------------------------------------------------------
 
@@ -1482,6 +1632,13 @@ FROM per_band GROUP BY c_nationkey, c_mktsegment
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "w17_markov_absorption": QuerySpec(
+        w17_markov_absorption,
+        _absorption_sql(),
+        "beyond-reference: absorption probability on the w7 Markov chain "
+        "(conversion modeling — the chain SOLVED, dense one-row fold; "
+        "oracle = the same iteration unrolled as chained CTEs)",
+    ),
     "p11_k_anonymity": QuerySpec(
         p11_k_anonymity,
         _KANON_SQL,

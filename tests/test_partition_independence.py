@@ -111,6 +111,7 @@ OPS = [
     "w16_sliding_distinct_hll",  # windowed register-MAX merge + correction
     "decon_span_islands",  # broadcast-bench semi-join + island windows
     "pipeline_dedup_funnel",  # two md5 keepers + CC fixpoint + rollup
+    "w17_markov_absorption",  # lag pairs + one-row absorbing-chain fold
 ]
 
 

@@ -47,7 +47,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_shard_export.py tests/test_streaming_anomaly.py
          tests/test_observe.py tests/test_export_funnel.py
          tests/test_streaming_export.py tests/test_permdisp.py
-         tests/test_streaming_decon.py tests/test_streaming_diversity.py)
+         tests/test_streaming_decon.py tests/test_streaming_diversity.py
+         tests/test_markov_absorption.py)
 
 run_shard() {
     local n=$1; shift
