@@ -349,6 +349,7 @@ _GATE_TAIL: tuple[str, ...] = (
     # the absorbing-chain solve):
     "pipeline_dedup_funnel",
     "w17_markov_absorption",
+    "w18_markov_removal",
 )
 
 

@@ -1564,6 +1564,195 @@ FROM {prev} x LEFT JOIN outc o USING (state)
 """
 
 
+_REM_START = "view"  # journeys are evaluated from this entry state
+
+
+def w18_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov REMOVAL EFFECTS — the attribution layer on top of
+    w17_markov_absorption: for every non-target, non-start event type,
+    re-solve the absorbing chain with that state DELETED (paths through
+    it die — the classic removal-effect convention) and report how much
+    of the ``{start}`` → ``{target}`` conversion probability disappears:
+    effect(c) = 1 − p_removed / p_full.  The channel whose removal
+    costs the most conversions gets the credit.
+
+    Physical shape: the chain fit is w17's (one lag shuffle, a
+    ≤|types|²-row matrix); each variant is the SAME one-row {t}-step
+    fold over the adjacency array filtered of the removed state — K+1
+    value-level folds in one plan, constant cost at any corpus size.
+    The oracle unrolls every variant's iteration as MATERIALIZED CTE
+    chains over the same integer-ratio matrix."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.withColumn("ts_us", event_time_us(raw.schema))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = steps.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    trans = steps.join(F.broadcast(totals), "cur").select(
+        "cur", "nxt", (F.col("n").cast("double") / F.col("n_cur")).alias("p")
+    )
+    states = (
+        trans.select(F.col("cur").alias("s")).union(trans.select("nxt")).distinct()
+    )
+    zero = "CAST(0 AS DOUBLE)"
+    st = (
+        trans.agg(F.expr("sort_array(collect_list(struct(cur, nxt, p)))").alias("tr"))
+        .crossJoin(states.agg(F.expr("sort_array(collect_list(s))").alias("sts")))
+        .localCheckpoint(eager=True)
+    )
+
+    def solve(removed: str) -> str:
+        """p(start→target, {t} steps) with ``removed`` deleted, as one
+        value-level expression over (tr, sts)."""
+        keep = (
+            f"filter(tr, e9 -> e9.cur != '{removed}' AND e9.nxt != '{removed}')"
+            if removed
+            else "tr"
+        )
+        adj = (
+            f"transform(sts, si -> transform(filter({keep}, e0 -> e0.cur = si),"
+            " e0 -> struct(CAST(array_position(sts, e0.nxt) AS INT) AS jp,"
+            " e0.p AS p)))"
+        )
+        seed = (
+            f"transform(sts, si -> CASE WHEN si = '{_ABS_STATE}'"
+            f" THEN CAST(1 AS DOUBLE) ELSE {zero} END)"
+        )
+        step = (
+            "zip_with(sts, aj, (si, rw) ->"
+            f" CASE WHEN si = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)"
+            f" ELSE aggregate(rw, {zero}, (ac1, e1) -> ac1 + e1.p * element_at(vv, e1.jp))"
+            " END)"
+        )
+        # bind the filtered adjacency once per fold step via a let-style
+        # outer fold over a 1-element sequence (adj is loop-invariant but
+        # inexpensive at |types| scale; recomputing per step keeps this a
+        # single expression)
+        body = step.replace("aj", adj)
+        return (
+            f"element_at(aggregate(sequence(1, {_ABS_STEPS}), {seed},"
+            f" (vv, tt) -> {body}),"
+            f" CAST(array_position(sts, '{_REM_START}') AS INT))"
+        )
+
+    st = st.withColumn("p_full", F.expr(solve("")))
+    exploded = st.select(
+        "tr",
+        "sts",
+        "p_full",
+        F.expr(
+            f"explode(filter(sts, s9 -> s9 != '{_ABS_STATE}' AND s9 != '{_REM_START}'))"
+        ).alias("removed_state"),
+    ).localCheckpoint(eager=True)  # ≤|types| rows; each solves one variant
+    out = exploded.withColumn(
+        "p_removed",
+        F.expr(
+            solve("@R@").replace("'@R@'", "removed_state")
+        ),
+    )
+    return out.select(
+        "removed_state",
+        F.expr("ROUND(p_full, 6)").alias("p_full"),
+        F.expr("ROUND(p_removed, 6)").alias("p_removed"),
+        F.expr(
+            "CASE WHEN p_full > 0 THEN ROUND(1 - p_removed / p_full, 6)"
+            " ELSE NULL END"
+        ).alias("removal_effect"),
+    )
+
+
+w18_markov_removal.__doc__ = w18_markov_removal.__doc__.format(
+    start=_REM_START, target=_ABS_STATE, t=_ABS_STEPS
+)
+
+
+def _removal_sql_build() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), lagged AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS nxt
+  FROM pairs
+), steps AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM lagged WHERE nxt IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT cur, SUM(n) AS n_cur FROM steps GROUP BY cur
+), trans AS MATERIALIZED (
+  SELECT s.cur, s.nxt, CAST(s.n AS DOUBLE) / t.n_cur AS p
+  FROM steps s JOIN totals t USING (cur)
+), allstates AS MATERIALIZED (
+  SELECT DISTINCT cur AS state FROM trans
+  UNION SELECT DISTINCT nxt FROM trans
+), removable AS MATERIALIZED (
+  SELECT state AS removed_state FROM allstates
+  WHERE state NOT IN ('{_ABS_STATE}', '{_REM_START}')
+), grid AS MATERIALIZED (
+  SELECT r.removed_state, a.state FROM removable r CROSS JOIN allstates a
+  WHERE a.state != r.removed_state
+), gx0 AS MATERIALIZED (
+  SELECT removed_state, state,
+         CASE WHEN state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS x
+  FROM grid
+), fx0 AS MATERIALIZED (
+  SELECT state, CASE WHEN state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS x
+  FROM allstates
+)"""
+    parts = []
+    fprev, gprev = "fx0", "gx0"
+    for t in range(1, _ABS_STEPS + 1):
+        fcur, gcur = f"fx{t}", f"gx{t}"
+        parts.append(
+            f""",
+{fcur} AS MATERIALIZED (
+  SELECT s.state,
+         CASE WHEN s.state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+              ELSE COALESCE((
+                SELECT list_reduce(list(tr.p * xp.x ORDER BY tr.nxt),
+                                   (acc, v) -> acc + v)
+                FROM trans tr JOIN {fprev} xp ON xp.state = tr.nxt
+                WHERE tr.cur = s.state), CAST(0 AS DOUBLE))
+         END AS x
+  FROM allstates s
+),
+{gcur} AS MATERIALIZED (
+  SELECT g.removed_state, g.state,
+         CASE WHEN g.state = '{_ABS_STATE}' THEN CAST(1 AS DOUBLE)
+              ELSE COALESCE((
+                SELECT list_reduce(list(tr.p * xp.x ORDER BY tr.nxt),
+                                   (acc, v) -> acc + v)
+                FROM trans tr
+                JOIN {gprev} xp
+                  ON xp.removed_state = g.removed_state AND xp.state = tr.nxt
+                WHERE tr.cur = g.state AND tr.cur != g.removed_state
+                  AND tr.nxt != g.removed_state), CAST(0 AS DOUBLE))
+         END AS x
+  FROM grid g
+)"""
+        )
+        fprev, gprev = fcur, gcur
+    tail = f"""
+SELECT r.removed_state,
+       ROUND(f.x, 6) AS p_full,
+       ROUND(g.x, 6) AS p_removed,
+       CASE WHEN f.x > 0 THEN ROUND(1 - g.x / f.x, 6) ELSE NULL END
+         AS removal_effect
+FROM removable r
+JOIN {fprev} f ON f.state = '{_REM_START}'
+JOIN {gprev} g ON g.removed_state = r.removed_state AND g.state = '{_REM_START}'
+"""
+    return head + "".join(parts) + tail
+
+
 # ---------------------------------------------------------------------------
 # p11 — k-anonymity / l-diversity privacy audit
 # ---------------------------------------------------------------------------
@@ -1638,6 +1827,13 @@ QUERIES: dict[str, QuerySpec] = {
         "beyond-reference: absorption probability on the w7 Markov chain "
         "(conversion modeling — the chain SOLVED, dense one-row fold; "
         "oracle = the same iteration unrolled as chained CTEs)",
+    ),
+    "w18_markov_removal": QuerySpec(
+        w18_markov_removal,
+        _removal_sql_build(),
+        "beyond-reference: Markov removal effects (attribution) — the "
+        "absorbing chain re-solved per deleted channel, K+1 one-row folds "
+        "in one plan",
     ),
     "p11_k_anonymity": QuerySpec(
         p11_k_anonymity,

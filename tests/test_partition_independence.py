@@ -112,6 +112,7 @@ OPS = [
     "decon_span_islands",  # broadcast-bench semi-join + island windows
     "pipeline_dedup_funnel",  # two md5 keepers + CC fixpoint + rollup
     "w17_markov_absorption",  # lag pairs + one-row absorbing-chain fold
+    "w18_markov_removal",  # per-channel chain variants, one plan
 ]
 
 
