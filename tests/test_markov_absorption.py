@@ -60,3 +60,15 @@ def test_absorption_matches_pure_python(spark):
         assert got[s].n_out == len(trans.get(s, []))
         assert abs(got[s].p_convert - x[s]) < 5.1e-7  # operator rounds 6dp
     assert got[_ABS_STATE].p_convert == 1.0
+
+
+def test_removal_effects_are_monotone_and_bounded(spark):
+    """w18_markov_removal: deleting a channel only removes paths, so
+    p_removed <= p_full always, and effects lie in [0, 1]."""
+    from mmeds_meta_spark.operators.filters_misc import w18_markov_removal
+
+    rows = w18_markov_removal(spark, SF_SMOKE).collect()
+    assert rows, "fixture chain should have removable channels"
+    for r in rows:
+        assert r.p_removed <= r.p_full + 5.1e-7
+        assert 0.0 <= r.removal_effect <= 1.0
