@@ -98,6 +98,9 @@ HEAVY = [
     # composed core-metrics bundle — both permutation/branch-heavy
     "d16_permdisp",
     "pipeline_core_metrics",
+    # round-7 session-3: the dedup-escalation funnel (composes the CC
+    # fixpoint) — the heaviest of the final additions
+    "pipeline_dedup_funnel",
 ]
 
 
