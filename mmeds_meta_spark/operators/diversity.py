@@ -264,7 +264,12 @@ def d2_jaccard_beta(
     exact by construction: dist = (n_a + n_b − 2·I)/(n_a + n_b − I) is
     an integer ratio."""
     ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
-    feats = ev.select("user_id", "event_type").distinct().cache()
+    # localCheckpoint, not .cache(): a cached plan is never unpersisted
+    # here, so repeated invocations in a long-lived session (bench
+    # passes, pipeline_core_metrics) would accumulate orphaned storage
+    # blocks — the sibling operators' checkpoint convention (round-8
+    # ADVICE) sidesteps the leak and cuts the reuse subtree too.
+    feats = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
     nf = feats.groupBy("user_id").agg(F.count("*").alias("nf"))
     a = feats.select(F.col("user_id").alias("ua"), "event_type")
     b = feats.select(F.col("user_id").alias("ub"), "event_type").hint("shuffle_hash")

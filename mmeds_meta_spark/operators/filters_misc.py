@@ -1641,6 +1641,13 @@ def w18_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
             f" CAST(array_position(sts, '{_REM_START}') AS INT))"
         )
 
+    # Engine-parity guard (round-8 ADVICE): if the start state never
+    # appears in the observed transitions, array_position(sts, start)
+    # is 0 and Spark's element_at(..., 0) would raise at runtime while
+    # the DuckDB oracle's final `f.state = '<start>'` join simply yields
+    # zero rows.  Filter the one-row matrix relation the same way so
+    # both engines degrade to an empty result.
+    st = st.filter(F.expr(f"array_position(sts, '{_REM_START}') > 0"))
     st = st.withColumn("p_full", F.expr(solve("")))
     exploded = st.select(
         "tr",

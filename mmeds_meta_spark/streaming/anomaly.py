@@ -64,10 +64,16 @@ def start_streaming_moments(
 def store_baseline(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged (event_type, hour_of_day, s, q, n) baseline across all
     batches — equals the batch moments over the same events exactly."""
+    from ._store import read_store
+
     mdir = os.path.join(store_dir, "moments")
     return (
-        spark.read.option("basePath", mdir)
-        .parquet(mdir)
+        read_store(
+            spark,
+            mdir,
+            "event_type STRING, hour_of_day INT,"
+            " s DECIMAL(38,0), q DECIMAL(38,0), n DECIMAL(38,0)",
+        )
         .groupBy("event_type", "hour_of_day")
         .agg(
             F.expr("SUM(s)").alias("s"),

@@ -92,12 +92,9 @@ def start_streaming_bloom_bench(
 def bloom_store_bits(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged set-bit relation (pos) across all batches — the
     OR-fold of every benchmark batch seen so far."""
-    return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
-        .select("pos")
-        .distinct()
-    )
+    from ._store import read_store
+
+    return read_store(spark, store_dir, "pos BIGINT").distinct()
 
 
 def probe_with_store(

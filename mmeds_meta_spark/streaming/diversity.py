@@ -70,9 +70,10 @@ def start_streaming_diversity(
 def diversity_store_counts(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged (user_id, event_type, c) count relation — counts are
     linear, so the SUM across batch partitions equals one batch pass."""
+    from ._store import read_store
+
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
+        read_store(spark, store_dir, "user_id BIGINT, event_type STRING, c BIGINT")
         .groupBy("user_id", "event_type")
         .agg(F.sum("c").cast("long").alias("c"))
     )

@@ -74,9 +74,14 @@ def export_manifest_from_store(spark: SparkSession, store_dir: str) -> DataFrame
     exporter's ``_shard_stats`` over the union of the batches' docs.
     Sums of per-batch residues mod 2^60 equal the whole-corpus residue
     (modular addition is associative), so checksums match exactly."""
+    from ._store import read_store
+
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
+        read_store(
+            spark,
+            store_dir,
+            "shard INT, n_docs BIGINT, n_chars BIGINT, checksum BIGINT",
+        )
         .groupBy("shard")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),

@@ -62,9 +62,10 @@ def start_streaming_mixture(
 
 def mixture_store_counts(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged (source, x) count relation across all batches."""
+    from ._store import read_store
+
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
+        read_store(spark, store_dir, "source STRING, x BIGINT")
         .groupBy("source")
         .agg(F.expr("CAST(SUM(x) AS BIGINT)").alias("x"))
     )

@@ -87,10 +87,11 @@ def hist_store_counts(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged (grp, bin, c) counter table across all batches — equals
     batch ``hist_bin_counts`` over the same events exactly (counts are
     linear)."""
+    from ._store import read_store
+
     counts_dir = os.path.join(store_dir, "counts")
     return (
-        spark.read.option("basePath", counts_dir)
-        .parquet(counts_dir)
+        read_store(spark, counts_dir, "grp STRING, bin BIGINT, c BIGINT")
         .groupBy("grp", "bin")
         .agg(F.sum("c").alias("c"))
     )

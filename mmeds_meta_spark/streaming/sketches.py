@@ -143,9 +143,10 @@ def cms_store_counters(spark: SparkSession, store_dir: str) -> DataFrame:
     equals the batch ``cms_counters`` over the same documents exactly
     (counts are linear), so streaming estimates are bit-identical to
     batch ones."""
+    from ._store import read_store
+
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
+        read_store(spark, store_dir, "row_id INT, bucket BIGINT, c BIGINT")
         .groupBy("row_id", "bucket")
         .agg(F.sum("c").alias("c"))
     )

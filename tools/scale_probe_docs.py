@@ -84,6 +84,9 @@ def build_scaled(spark, base: str, mult: int, out: str) -> None:
 
 
 def main() -> None:
+    # only auto-delete directories this probe itself created — a
+    # caller-supplied out_root (argv[1]) is left in place (round-8 ADVICE)
+    owns_out_root = len(sys.argv) <= 1
     out_root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="scaleprobe_")
     spark = get_spark("scale-probe-docs")
     spark.sparkContext.setLogLevel("ERROR")
@@ -116,7 +119,8 @@ def main() -> None:
     print("|---|---|---|---|")
     for name, times in rows:
         print(f"| {name} | " + " | ".join(f"{t:.2f} s" for t in times) + " |")
-    shutil.rmtree(out_root, ignore_errors=True)
+    if owns_out_root:
+        shutil.rmtree(out_root, ignore_errors=True)
 
 
 if __name__ == "__main__":
