@@ -344,12 +344,17 @@ _GATE_TAIL: tuple[str, ...] = (
     # r01–r06 whose shapes keep gated twins:
     "f19_weight_cascade",  # running-window cascade: w5/w13-family twins stay via the event ops
     "a13_hierarchical_collapse",  # prefix-collapse groupBy: a25_rollup_cube gates the rollup family
-    # ---- added after the session-3 rotation (sweep + pytest verified;
-    # round-8 rotation candidates — the dedup-escalation composition and
-    # the absorbing-chain solve):
-    "pipeline_dedup_funnel",
-    "w17_markov_absorption",
-    "w18_markov_removal",
+    # ---- round-8 rotation.  IN: the only three of 169 entries that had
+    # never held a gate slot (pipeline_dedup_funnel, w17_markov_absorption,
+    # w18_markov_removal — each landed after the session-3 rotation;
+    # sweep- and pytest-verified every session since).  OUT: three entries
+    # driver-green in r07 whose exact expressions stay gated elsewhere:
+    # chao1/coverage and pielou are recomputed VERBATIM inside the gated
+    # pipeline_core_metrics alpha bundle, and bpe_vocab is a projection of
+    # the gated text_bpe_train merge table:
+    "d15_chao1_coverage",
+    "d17_pielou_evenness",
+    "text_bpe_vocab",
 )
 
 
