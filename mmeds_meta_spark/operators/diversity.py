@@ -31,12 +31,17 @@ from . import QuerySpec
 # ---------------------------------------------------------------------------
 
 
-def d1_shannon_diversity(spark: SparkSession, sf: str) -> DataFrame:
+def d1_shannon_diversity(
+    spark: SparkSession, sf: str, *, counts: DataFrame | None = None
+) -> DataFrame:
     """H = ln(N) − (1/N)·Σ c·ln(c) over feature counts per sample.
     Counts are exact ints; the two ln-terms use the identical formula both
-    engines; result rounded to 6dp."""
-    ev = _t(spark, sf, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    engines; result rounded to 6dp.  Pass a pre-computed ``counts``
+    (user_id, event_type, c) to share ONE events scan across metrics
+    (the core-metrics composition does)."""
+    if counts is None:
+        ev = _t(spark, sf, "events")
+        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     terms = counts.groupBy("user_id").agg(
         F.expr("SUM(c)").alias("n"),
         F.expr("SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))").alias("clnc"),
@@ -64,7 +69,9 @@ FROM terms
 """
 
 
-def d17_pielou_evenness(spark: SparkSession, sf: str) -> DataFrame:
+def d17_pielou_evenness(
+    spark: SparkSession, sf: str, *, counts: DataFrame | None = None
+) -> DataFrame:
     """Pielou's evenness J = H / ln(S) per sample — the remaining alpha
     metric of qiime's core-metrics bundle (``qiime diversity
     core-metrics-phylogenetic`` emits evenness alongside shannon /
@@ -76,8 +83,9 @@ def d17_pielou_evenness(spark: SparkSession, sf: str) -> DataFrame:
     Same two-shuffle shape and exact-integer count base as d1_shannon;
     the closing expression is one identical double tree
     ((ln N − Σc·ln c / N) / ln S) rounded at 6dp."""
-    ev = _t(spark, sf, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    if counts is None:
+        ev = _t(spark, sf, "events")
+        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     terms = counts.groupBy("user_id").agg(
         F.expr("SUM(c)").alias("n"),
         F.expr("SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))").alias("clnc"),
@@ -113,7 +121,9 @@ FROM terms
 """
 
 
-def d15_chao1_coverage(spark: SparkSession, sf: str) -> DataFrame:
+def d15_chao1_coverage(
+    spark: SparkSession, sf: str, *, counts: DataFrame | None = None
+) -> DataFrame:
     """Chao1 richness + Good's coverage per sample — the two abundance-
     based alpha metrics of the reference's qiime runs beside shannon /
     faith_pd (`qiime diversity alpha`, rules/diversity_analysis.smk:5-40;
@@ -126,8 +136,9 @@ def d15_chao1_coverage(spark: SparkSession, sf: str) -> DataFrame:
     double division per metric — bit-exact cross-engine, no
     transcendentals.  One partial-agg shuffle to (sample, feature)
     counts, one to the per-sample F1/F2 profile."""
-    ev = _t(spark, sf, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    if counts is None:
+        ev = _t(spark, sf, "events")
+        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     prof = counts.groupBy("user_id").agg(
         F.count("*").cast("long").alias("s_obs"),
         F.sum("c").cast("long").alias("n_reads"),
@@ -252,7 +263,11 @@ LEFT JOIN common ON ua = ta.user_id AND ub = tb.user_id
 
 
 def d2_jaccard_beta(
-    spark: SparkSession, sf: str, *, block: int = _BC_BLOCK
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int = _BC_BLOCK,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard beta diversity — the presence/absence distance matrix of
     qiime's core-metrics bundle (it emits FOUR matrices: jaccard,
@@ -263,13 +278,20 @@ def d2_jaccard_beta(
     join key, the pair space is block-bounded, no dense matrix), and
     exact by construction: dist = (n_a + n_b − 2·I)/(n_a + n_b − I) is
     an integer ratio."""
-    ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
+    if counts is None:
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
+        presence = ev.select("user_id", "event_type").distinct()
+    else:
+        # presence = the support of the shared counts relation
+        presence = counts.filter(F.col("user_id") < block).select(
+            "user_id", "event_type"
+        )
     # localCheckpoint, not .cache(): a cached plan is never unpersisted
     # here, so repeated invocations in a long-lived session (bench
     # passes, pipeline_core_metrics) would accumulate orphaned storage
     # blocks — the sibling operators' checkpoint convention (round-8
     # ADVICE) sidesteps the leak and cuts the reuse subtree too.
-    feats = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    feats = presence.localCheckpoint(eager=True)
     nf = feats.groupBy("user_id").agg(F.count("*").alias("nf"))
     a = feats.select(F.col("user_id").alias("ua"), "event_type")
     b = feats.select(F.col("user_id").alias("ub"), "event_type").hint("shuffle_hash")

@@ -137,7 +137,11 @@ FROM cov GROUP BY user_id
 
 
 def d2_unifrac_unweighted(
-    spark: SparkSession, sf: str, *, block: int = _BLOCK
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int = _BLOCK,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """UF(a,b) = (Ta + Tb − 2S) / (Ta + Tb − S): only shared branches join
     (branch-inverted index); unshared mass comes from the per-sample
@@ -145,8 +149,12 @@ def d2_unifrac_unweighted(
 
     cov is cached: it is block-bounded (≤ block × branches rows) and
     consumed by differently-pruned subplans that would otherwise each
-    re-scan events (no exchange reuse across pruned copies)."""
-    cov = _cov(spark, sf, block=block).cache()
+    re-scan events (no exchange reuse across pruned copies).  When a
+    shared ``counts`` relation is supplied (the core-metrics bundle),
+    cov is eagerly checkpointed instead so the composed plan STATES the
+    reuse rather than restating the subtree per consumer."""
+    cov = _cov(spark, sf, block=block, counts=counts)
+    cov = cov.localCheckpoint(eager=True) if counts is not None else cov.cache()
     tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
     # shuffle-hash: branch keys are few and fat (every sample covers most
@@ -207,8 +215,11 @@ def d2_unifrac_weighted(
     counts: DataFrame | None = None,
 ) -> DataFrame:
     """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
-    is an integer until the single final division by N_a·N_b."""
-    cov = _cov(spark, sf, block=block, counts=counts).cache()
+    is an integer until the single final division by N_a·N_b.  cov
+    handling mirrors the unweighted variant: cached standalone, eagerly
+    checkpointed when composed over a shared ``counts`` relation."""
+    cov = _cov(spark, sf, block=block, counts=counts)
+    cov = cov.localCheckpoint(eager=True) if counts is not None else cov.cache()
     # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
     nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
         F.expr("SUM(cb)").alias("n")
@@ -309,7 +320,23 @@ def _demo_membership_rows() -> list[tuple[str, float, str, bool]]:
     return membership_rows(parse_newick(_NEWICK_DEMO))
 
 
-def _demo_feats(spark: SparkSession, sf: str, *, block: int | None) -> DataFrame:
+def _demo_feats(
+    spark: SparkSession,
+    sf: str,
+    *,
+    block: int | None,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    if counts is not None:
+        # re-key the shared (user_id, event_type, c) relation; filtering
+        # on the group key AFTER the agg equals filtering the input
+        if block is not None:
+            counts = counts.filter(F.col("user_id") < block)
+        return counts.select(
+            F.col("user_id").alias("sample"),
+            F.col("event_type").alias("feature"),
+            F.col("c").cast("double").alias("count"),
+        )
     ev = _t(spark, sf, "events")
     if block is not None:
         ev = ev.filter(F.col("user_id") < block)
@@ -318,7 +345,9 @@ def _demo_feats(spark: SparkSession, sf: str, *, block: int | None) -> DataFrame
     ).agg(F.count("*").cast("double").alias("count"))
 
 
-def d1_faith_pd_newick(spark: SparkSession, sf: str) -> DataFrame:
+def d1_faith_pd_newick(
+    spark: SparkSession, sf: str, *, counts: DataFrame | None = None
+) -> DataFrame:
     """Faith's PD against a REAL parsed Newick tree (D1 closure: the
     reference's rooted_tree artifact, rules/process_sequencing_data.smk:
     75-92, is now ingestible instead of only the synthetic relation)."""
@@ -326,7 +355,8 @@ def d1_faith_pd_newick(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.newick import read_newick
 
     cov = tree_cov(
-        _demo_feats(spark, sf, block=None), read_newick(spark, _NEWICK_DEMO)
+        _demo_feats(spark, sf, block=None, counts=counts),
+        read_newick(spark, _NEWICK_DEMO),
     )
     return faith_pd(cov).select(
         F.col("sample").alias("user_id"), "n_branches", "pd"
@@ -1809,14 +1839,16 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
     samples, plus ALL FOUR distance matrices the bundle emits — jaccard,
     Bray-Curtis, weighted and unweighted UniFrac — over sample pairs — each summarized as (n_units, mean, min, max).
 
-    One Catalyst plan: the five alpha branches share the identical
-    (sample, feature)-count aggregation subtree (Spark's ReuseExchange
-    dedupes the repeated exchange), the two beta branches share the
-    capped-block counts relation, and the summary is ONE
-    groupBy(metric) whose mean is a pinned-order fold over the unit
-    key — identical doubles in identical order on both engines.
-    Evenness-undefined samples (a single feature) are excluded from
-    that metric's units on both engines."""
+    One plan, ONE events scan: every branch — five alpha metrics and
+    all four distance matrices — derives from a single eagerly
+    checkpointed (user_id, event_type, c) counts relation, so the
+    PHYSICAL plan states the reuse instead of restating ten copies of
+    the count subtree and leaning on runtime ReuseExchange (round-7
+    verdict item 5; same fix as d16_permdisp's 92 → 8 exchanges).  The
+    summary is ONE groupBy(metric) whose mean is a pinned-order fold
+    over the unit key — identical doubles in identical order on both
+    engines.  Evenness-undefined samples (a single feature) are
+    excluded from that metric's units on both engines."""
     from .diversity import (
         d1_shannon_diversity,
         d2_bray_curtis,
@@ -1824,6 +1856,15 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
         d15_chao1_coverage,
         d17_pielou_evenness,
     )
+
+    ev = _t(spark, sf, "events")
+    # the shared feature table: bounded by |samples|×|event types| rows
+    cnts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    blocked = cnts.filter(F.col("user_id") < _BLOCK)
 
     def alpha(df: DataFrame, col: str, metric: str) -> DataFrame:
         return df.select(
@@ -1839,13 +1880,15 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
             F.col(col).cast("double").alias("v"),
         )
 
-    sh = d1_shannon_diversity(spark, sf)
-    ch = d15_chao1_coverage(spark, sf)
+    # sh and ch are sample-bounded (one row per sample) and each feeds
+    # TWO metric branches — checkpoint so the plan states that reuse too
+    sh = d1_shannon_diversity(spark, sf, counts=cnts).localCheckpoint(eager=True)
+    ch = d15_chao1_coverage(spark, sf, counts=cnts).localCheckpoint(eager=True)
     parts = [
         alpha(sh, "n_features", "observed_features"),
         alpha(sh, "shannon", "shannon"),
         alpha(
-            d17_pielou_evenness(spark, sf).filter(
+            d17_pielou_evenness(spark, sf, counts=cnts).filter(
                 F.col("pielou_evenness").isNotNull()
             ),
             "pielou_evenness",
@@ -1853,11 +1896,15 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
         ),
         alpha(ch, "chao1", "chao1"),
         alpha(ch, "goods_coverage", "goods_coverage"),
-        alpha(d1_faith_pd_newick(spark, sf), "pd", "faith_pd"),
-        beta(d2_jaccard_beta(spark, sf), "jaccard_dist", "jaccard"),
-        beta(d2_bray_curtis(spark, sf), "bray_curtis", "bray_curtis"),
-        beta(d2_unifrac_weighted(spark, sf), "unifrac_w", "unifrac_w"),
-        beta(d2_unifrac_unweighted(spark, sf), "unifrac_u", "unifrac_u"),
+        alpha(d1_faith_pd_newick(spark, sf, counts=cnts), "pd", "faith_pd"),
+        beta(d2_jaccard_beta(spark, sf, counts=cnts), "jaccard_dist", "jaccard"),
+        beta(d2_bray_curtis(spark, sf, counts=blocked), "bray_curtis", "bray_curtis"),
+        beta(d2_unifrac_weighted(spark, sf, counts=blocked), "unifrac_w", "unifrac_w"),
+        beta(
+            d2_unifrac_unweighted(spark, sf, counts=blocked),
+            "unifrac_u",
+            "unifrac_u",
+        ),
     ]
     u = parts[0]
     for x in parts[1:]:
