@@ -101,6 +101,12 @@ HEAVY = [
     # round-7 session-3: the dedup-escalation funnel (composes the CC
     # fixpoint) — the heaviest of the final additions
     "pipeline_dedup_funnel",
+    # round-8: the newly gated one-row-fold chain solves (K+1 value-level
+    # folds over the transition matrix) and the composed differential-
+    # abundance bundle — tracked from their first gated round
+    "w17_markov_absorption",
+    "w18_markov_removal",
+    "pipeline_diff_abundance",
 ]
 
 

@@ -355,6 +355,11 @@ _GATE_TAIL: tuple[str, ...] = (
     "d15_chao1_coverage",
     "d17_pielou_evenness",
     "text_bpe_vocab",
+    # displaced by the new pipeline_diff_abundance composition (driver-r07
+    # green; the BPE merge fold stays gated via text_bpe_train, and the
+    # apply-side subword encoding runs verbatim inside the gated
+    # pipeline_export_funnel's tokenize stage):
+    "text_bpe_token_count",
 )
 
 

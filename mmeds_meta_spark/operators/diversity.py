@@ -763,6 +763,393 @@ FROM mom a JOIN mom b
 
 
 # ---------------------------------------------------------------------------
+# Composed differential-abundance bundle — the reference's SECOND
+# end-to-end analysis chain (rules/differential_abundance.smk:1-72 driving
+# rules/common.smk:13-77 class splits), as pipeline_core_metrics composed
+# the diversity chain: split planning → per-feature KW → LDA effect sizes
+# → ANCOM-BC verdicts over ONE shared feature-table scan.
+# ---------------------------------------------------------------------------
+
+_DA_LDA_SIG = 2.0  # LEfSe's published |LDA score| significance threshold
+
+
+def pipeline_diff_abundance(spark: SparkSession, sf: str) -> DataFrame:
+    """The differential-abundance bundle composed as ONE plan — the
+    second end-to-end chain of the reference's analysis dataflow
+    (rules/differential_abundance.smk:1-72: LEfSe + ANCOM-BC over the
+    same feature table, with rules/common.smk:13-77 planning the class
+    splits).  Four chained stages over a single eagerly-checkpointed
+    (sample_id, feature_id, count) feature table (samples = user_id,
+    features = event_type, classes = user_id % 3, ANCOM-BC's binary
+    contrast = user_id % 2 — the d5/d6 demo conventions):
+
+    1. **split planning** (a15's all-against-all convention): class
+       pairs where both sides have ≥2 samples;
+    2. **per-feature Kruskal-Wallis** across the 3 classes on quantized
+       CLR features — mid-ranks via the d6/d11 two-phase bucketed CDF
+       (windows partitioned by (feature, bucket); no global sort, and no
+       per-feature single-task sort either — the shape that survives a
+       continuous measure at 100 TB);
+    3. **LDA effect sizes** (:func:`~..functions.diff_abundance.lefse_lda`
+       verbatim) on the PLANNED splits only, reduced to each feature's
+       best split by lexicographic struct-max;
+    4. **ANCOM-BC verdicts**
+       (:func:`~..functions.diff_abundance.ancombc` verbatim) on the
+       binary contrast.
+
+    Output: one row per feature joining the three methods' statistics
+    and verdicts plus ``methods_significant`` (0-3 agreement count —
+    the same defense-in-depth report shape as pipeline_decontam_report:
+    a feature flagged by all three methods is a finding, a feature
+    flagged by one is a hypothesis).
+
+    CLR is the engine's quantized convention (ln(count+1) as
+    DECIMAL(18,9), per-sample mean via one double division) so every
+    rank tie-class and every moment is bit-identical cross-engine; all
+    per-feature class folds are pinned in class order."""
+    from ..functions.diff_abundance import _CHI2_05, ancombc, lefse_lda
+
+    ev = _t(spark, sf, "events")
+    cnts = (
+        ev.groupBy(
+            F.col("user_id").alias("sample_id"),
+            F.col("event_type").alias("feature_id"),
+        )
+        .agg(F.count("*").alias("count"))
+        .localCheckpoint(eager=True)  # the ONE shared feature-table scan
+    )
+    smeta = (
+        cnts.select("sample_id")
+        .distinct()
+        .select(
+            "sample_id",
+            F.expr("sample_id % 3").alias("g3"),
+            F.expr("sample_id % 2").alias("g2"),
+        )
+        .localCheckpoint(eager=True)  # sample-bounded; feeds 3 stages
+    )
+
+    # -- stage 1: split planning (a15_pairwise_splits' convention) --------
+    ng3 = smeta.groupBy("g3").agg(F.count("*").alias("n"))
+    sa = ng3.select(F.col("g3").alias("lo"), F.col("n").alias("n_lo"))
+    sb = ng3.select(F.col("g3").alias("hi"), F.col("n").alias("n_hi"))
+    splits = (
+        sa.crossJoin(sb)
+        .filter(
+            (F.col("lo") < F.col("hi")) & (F.col("n_lo") >= 2) & (F.col("n_hi") >= 2)
+        )
+        .select("lo", "hi")
+    )
+
+    # -- shared quantized CLR (lefse_lda's exact convention) --------------
+    y = cnts.select(
+        "sample_id",
+        "feature_id",
+        F.expr("CAST(LN(count + 1) AS DECIMAL(18,9))").alias("y"),
+    )
+    m = (
+        y.groupBy("sample_id")
+        .agg(F.sum("y").alias("ys"), F.count("*").alias("yn"))
+        .select(
+            "sample_id",
+            F.expr("CAST(CAST(ys AS DOUBLE) / yn AS DECIMAL(18,9))").alias("mlg"),
+        )
+    )
+    clr = (
+        y.join(m, "sample_id")
+        .join(F.broadcast(smeta.select("sample_id", "g3")), "sample_id")
+        .select(
+            "feature_id", "g3", F.expr("CAST(y - mlg AS DECIMAL(19,9))").alias("clr")
+        )
+    )
+
+    # -- stage 2: per-feature KW via the two-phase bucketed mid-rank CDF --
+    vt = clr.groupBy("feature_id", "clr").agg(F.count("*").alias("t"))
+    bounds = vt.groupBy("feature_id").agg(
+        F.expr("MIN(CAST(clr AS DOUBLE))").alias("vlo"),
+        F.expr("MAX(CAST(clr AS DOUBLE))").alias("vhi"),
+    )
+    vb = vt.join(F.broadcast(bounds), "feature_id").withColumn(
+        "bkt",
+        F.when(F.col("vlo") == F.col("vhi"), F.lit(1)).otherwise(
+            F.least(
+                F.lit(1024),
+                F.expr("width_bucket(CAST(clr AS DOUBLE), vlo, vhi, 1024)"),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("feature_id", "bkt").orderBy("clr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = vb.withColumn("cum_in", F.sum("t").over(w_in))
+    w_b = Window.partitionBy("feature_id").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prefix = (
+        vb.groupBy("feature_id", "bkt")
+        .agg(F.sum("t").alias("bt"))
+        .withColumn("pre", F.sum("bt").over(w_b) - F.col("bt"))
+        .select("feature_id", "bkt", "pre")
+    )
+    vc = (
+        within.join(prefix, ["feature_id", "bkt"])
+        .withColumn(
+            "c", (F.col("pre") + F.col("cum_in")).cast("decimal(38,0)") - F.col("t")
+        )
+        .select("feature_id", "clr", "t", "c")
+    )
+    gv = clr.groupBy("feature_id", "g3", "clr").agg(F.count("*").alias("ngv"))
+    g = (
+        gv.join(vc, ["feature_id", "clr"])
+        .groupBy("feature_id", "g3")
+        .agg(
+            F.expr("SUM(CAST(ngv AS DECIMAL(38,0)) * (2 * c + t + 1))").alias("rg2"),
+            F.expr("SUM(ngv)").alias("ng"),
+        )
+        .withColumn(
+            "v", F.expr("CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4")
+        )
+    )
+    kwf = g.groupBy("feature_id").agg(
+        F.expr(_pinned("v", "g3")).alias("sum_r2n"),
+        F.expr("SUM(ng)").alias("n"),
+        F.expr("COUNT(*)").alias("k"),
+    )
+    ties = vt.groupBy("feature_id").agg(
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)").alias("tie_sum")
+    )
+    means = (
+        clr.groupBy("feature_id", "g3")
+        .agg(
+            F.count("*").alias("nc"),
+            F.expr("CAST(SUM(clr) AS DECIMAL(28,9))").alias("s1"),
+        )
+        .withColumn("mean_clr", F.expr("CAST(s1 AS DOUBLE) / nc"))
+    )
+    meanagg = means.groupBy("feature_id").agg(
+        F.expr("ROUND(MAX(mean_clr) - MIN(mean_clr), 6)").alias("kw_effect_size"),
+        F.expr("MAX(struct(mean_clr, g3)).g3").alias("kw_top_class"),
+    )
+    crit = "CASE " + " ".join(
+        f"WHEN k - 1 = {df} THEN CAST({v} AS DOUBLE)" for df, v in _CHI2_05.items()
+    ) + " ELSE CAST('inf' AS DOUBLE) END"
+    kw = (
+        kwf.join(ties, "feature_id")
+        .join(meanagg, "feature_id")
+        .withColumn(
+            "kw_h",
+            F.expr(
+                "CASE WHEN n > 1 AND CAST(tie_sum AS DOUBLE)"
+                " < CAST(n AS DOUBLE) * n * n - n THEN"
+                " ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n"
+                " - 3.0 * (n + 1))"
+                " / (1.0 - CAST(tie_sum AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * n * n - n)), 6) END"
+            ),
+        )
+        .select(
+            "feature_id",
+            "kw_h",
+            F.expr("CAST(k - 1 AS BIGINT)").alias("kw_df"),
+            F.expr(
+                f"COALESCE(kw_h > ({crit}), FALSE)"
+            ).alias("kw_significant"),
+            "kw_effect_size",
+            "kw_top_class",
+        )
+    )
+
+    # -- stage 3: LDA effect sizes on the PLANNED splits, best per feature
+    lda = lefse_lda(cnts, smeta.select("sample_id", "g3"), class_col="g3")
+    planned = lda.join(
+        F.broadcast(splits),
+        (lda["class_lo"] == splits["lo"]) & (lda["class_hi"] == splits["hi"]),
+    )
+    best = (
+        planned.groupBy("feature_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("lda_score"),
+                    F.col("class_lo"),
+                    F.col("class_hi"),
+                    F.col("top_class"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "feature_id",
+            F.col("b.lda_score").alias("lda_best_score"),
+            F.col("b.class_lo").alias("lda_split_lo"),
+            F.col("b.class_hi").alias("lda_split_hi"),
+            F.col("b.top_class").alias("lda_top_class"),
+        )
+    )
+
+    # -- stage 4: ANCOM-BC verdicts on the binary contrast ----------------
+    anc = ancombc(
+        cnts, smeta.select("sample_id", "g2"), group_col="g2", iters=_ANCOMBC_ITERS
+    ).select(
+        "feature_id",
+        F.col("lfc").alias("ancombc_lfc"),
+        F.col("w_stat").alias("ancombc_w"),
+        F.col("significant").alias("ancombc_raw_sig"),
+    )
+
+    return (
+        kw.join(best, "feature_id", "left")
+        .join(anc, "feature_id", "left")
+        .withColumn(
+            "lda_significant",
+            F.expr(f"COALESCE(lda_best_score > {_DA_LDA_SIG}, FALSE)"),
+        )
+        .withColumn(
+            "ancombc_significant", F.expr("COALESCE(ancombc_raw_sig, FALSE)")
+        )
+        .select(
+            "feature_id",
+            "kw_h",
+            "kw_df",
+            "kw_significant",
+            "kw_effect_size",
+            "kw_top_class",
+            "lda_best_score",
+            "lda_split_lo",
+            "lda_split_hi",
+            "lda_top_class",
+            "lda_significant",
+            "ancombc_lfc",
+            "ancombc_w",
+            "ancombc_significant",
+            F.expr(
+                "CAST(CAST(kw_significant AS INT) + CAST(lda_significant AS INT)"
+                " + CAST(ancombc_significant AS INT) AS BIGINT)"
+            ).alias("methods_significant"),
+        )
+    )
+
+
+def _diff_abundance_sql() -> str:
+    """DuckDB transcription: same quantized CLR, same pinned class folds,
+    mid-ranks by the per-feature cumulative window (value-identical to
+    the engine's two-phase bucketed form by construction), lexicographic
+    best-split selection, and the ANCOM-BC oracle embedded verbatim."""
+    crit = "CASE " + " ".join(
+        f"WHEN k - 1 = {df} THEN CAST({v} AS DOUBLE)"
+        for df, v in {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070}.items()
+    ) + " ELSE CAST('inf' AS DOUBLE) END"
+    return f"""
+WITH counts AS (
+  SELECT user_id AS sample_id, event_type AS feature_id, COUNT(*) AS count
+  FROM events GROUP BY 1, 2
+), smeta AS (
+  SELECT DISTINCT user_id AS sample_id, user_id % 3 AS g3, user_id % 2 AS g2
+  FROM events
+), ng3 AS (
+  SELECT g3, COUNT(*) AS n FROM smeta GROUP BY 1
+), splits AS (
+  SELECT a.g3 AS lo, b.g3 AS hi FROM ng3 a, ng3 b
+  WHERE a.g3 < b.g3 AND a.n >= 2 AND b.n >= 2
+), y AS (
+  SELECT sample_id, feature_id, CAST(LN(count + 1) AS DECIMAL(18,9)) AS y
+  FROM counts
+), m AS (
+  SELECT sample_id, CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS mlg
+  FROM y GROUP BY 1
+), clr AS (
+  SELECT y.feature_id, s.g3, CAST(y.y - m.mlg AS DECIMAL(19,9)) AS clr
+  FROM y JOIN m USING (sample_id) JOIN smeta s USING (sample_id)
+), vt AS (
+  SELECT feature_id, clr, COUNT(*) AS t FROM clr GROUP BY 1, 2
+), vc AS (
+  SELECT feature_id, clr, t,
+         CAST(SUM(t) OVER (PARTITION BY feature_id ORDER BY clr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           - t AS c
+  FROM vt
+), gv AS (
+  SELECT feature_id, g3, clr, COUNT(*) AS ngv FROM clr GROUP BY 1, 2, 3
+), g AS (
+  SELECT gv.feature_id, gv.g3,
+         SUM(CAST(ngv AS HUGEINT) * (2 * c + t + 1)) AS rg2,
+         SUM(ngv) AS ng
+  FROM gv JOIN vc USING (feature_id, clr) GROUP BY 1, 2
+), gval AS (
+  SELECT feature_id, g3,
+         CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / ng / 4 AS v, ng
+  FROM g
+), kwf AS (
+  SELECT feature_id,
+         list_reduce(list(v ORDER BY g3), (acc, x) -> acc + x) AS sum_r2n,
+         SUM(ng) AS n, COUNT(*) AS k
+  FROM gval GROUP BY feature_id
+), ties AS (
+  SELECT feature_id, SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
+  FROM vt GROUP BY feature_id
+), means AS (
+  SELECT feature_id, g3,
+         CAST(CAST(SUM(clr) AS DECIMAL(28,9)) AS DOUBLE) / COUNT(*) AS mean_clr
+  FROM clr GROUP BY 1, 2
+), meanr AS (
+  SELECT feature_id, g3, mean_clr,
+         ROW_NUMBER() OVER (PARTITION BY feature_id
+                            ORDER BY mean_clr DESC, g3 DESC) AS rn
+  FROM means
+), meanagg AS (
+  SELECT feature_id,
+         ROUND(MAX(mean_clr) - MIN(mean_clr), 6) AS kw_effect_size,
+         MAX(CASE WHEN rn = 1 THEN g3 END) AS kw_top_class
+  FROM meanr GROUP BY feature_id
+), kwh AS (
+  SELECT kwf.feature_id, n, k, tie_sum, kw_effect_size, kw_top_class,
+         CASE WHEN n > 1 AND CAST(tie_sum AS DOUBLE)
+                  < CAST(n AS DOUBLE) * n * n - n THEN
+           ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_r2n
+                  - 3.0 * (n + 1))
+                 / (1.0 - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n)), 6) END AS kw_h
+  FROM kwf JOIN ties USING (feature_id) JOIN meanagg USING (feature_id)
+), kw AS (
+  SELECT feature_id, kw_h, CAST(k - 1 AS BIGINT) AS kw_df,
+         COALESCE(kw_h > ({crit}), FALSE) AS kw_significant,
+         kw_effect_size, kw_top_class
+  FROM kwh
+), lda AS ({_LEFSE_LDA_SQL}
+), planned AS (
+  SELECT l.* FROM lda l JOIN splits s
+    ON l.class_lo = s.lo AND l.class_hi = s.hi
+), bestr AS (
+  SELECT feature_id, lda_score, class_lo, class_hi, top_class,
+         ROW_NUMBER() OVER (PARTITION BY feature_id
+                            ORDER BY lda_score DESC, class_lo DESC,
+                                     class_hi DESC, top_class DESC) AS rn
+  FROM planned
+), best AS (
+  SELECT feature_id, lda_score AS lda_best_score, class_lo AS lda_split_lo,
+         class_hi AS lda_split_hi, top_class AS lda_top_class
+  FROM bestr WHERE rn = 1
+), anc AS (
+  SELECT feature_id, lfc AS ancombc_lfc, w_stat AS ancombc_w,
+         significant AS ancombc_raw_sig
+  FROM ({_ancombc_sql()})
+)
+SELECT kw.feature_id, kw_h, kw_df, kw_significant, kw_effect_size,
+       kw_top_class,
+       lda_best_score, lda_split_lo, lda_split_hi, lda_top_class,
+       COALESCE(lda_best_score > {_DA_LDA_SIG}, FALSE) AS lda_significant,
+       ancombc_lfc, ancombc_w,
+       COALESCE(ancombc_raw_sig, FALSE) AS ancombc_significant,
+       CAST(CAST(kw_significant AS INT)
+            + CAST(COALESCE(lda_best_score > {_DA_LDA_SIG}, FALSE) AS INT)
+            + CAST(COALESCE(ancombc_raw_sig, FALSE) AS INT) AS BIGINT)
+         AS methods_significant
+FROM kw
+LEFT JOIN best USING (feature_id)
+LEFT JOIN anc USING (feature_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D2 (ordination half) — PCoA fully in-plan via power iteration
 # ---------------------------------------------------------------------------
 
@@ -1416,5 +1803,13 @@ QUERIES: dict[str, QuerySpec] = {
         d6_lefse_lda,
         _LEFSE_LDA_SQL,
         "D6 rules/differential_abundance.smk:16-72 (run_lefse LDA effect size, closed-form two-class)",
+    ),
+    "pipeline_diff_abundance": QuerySpec(
+        pipeline_diff_abundance,
+        _diff_abundance_sql(),
+        "rules/differential_abundance.smk:1-72 + rules/common.smk:13-77 composed: "
+        "split planning -> per-feature KW (two-phase bucketed mid-ranks) -> "
+        "planned-split LDA effect sizes -> ANCOM-BC verdicts over ONE shared "
+        "checkpointed feature-table scan, with a 0-3 method-agreement column",
     ),
 }

@@ -174,3 +174,62 @@ def test_ancombc_em_centers_null_features(spark):
     for r in em.values():
         assert abs(r.lfc_centered) < abs(plain[r.feature_id].lfc)
         assert not r.significant
+
+
+def test_pipeline_diff_abundance_bundle(spark, duck):
+    """The composed bundle: oracle parity at the smoke SF plus the
+    report's structural invariants (agreement arithmetic, planned splits
+    only, per-method consistency with the standalone operators)."""
+    from mmeds_meta_spark.operators import registry
+
+    spec = registry()["pipeline_diff_abundance"]
+    df = spec.spark(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "one row per feature expected"
+    cols = [c.lower() for c in df.columns]
+    rel = duck.sql(spec.oracle)
+    assert sorted(cols) == sorted(c.lower() for c in rel.columns)
+    order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+    d_cols = [c.lower() for c in rel.columns]
+    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    sn = sorted((tuple(r[i] for i in order_s) for r in (tuple(x) for x in rows)), key=repr)
+    dn = sorted((tuple(r[i] for i in order_d) for r in rel.fetchall()), key=repr)
+    assert sn == dn
+    by = {c: i for i, c in enumerate(df.columns)}
+    for r in rows:
+        t = tuple(r)
+        # agreement column is exactly the sum of the three verdicts
+        assert t[by["methods_significant"]] == (
+            int(t[by["kw_significant"]])
+            + int(t[by["lda_significant"]])
+            + int(t[by["ancombc_significant"]])
+        )
+        # best split comes from the planned all-against-all pairs of g3
+        if t[by["lda_split_lo"]] is not None:
+            assert 0 <= t[by["lda_split_lo"]] < t[by["lda_split_hi"]] <= 2
+        # KW df = k-1 with k <= 3 classes
+        assert 0 <= t[by["kw_df"]] <= 2
+
+
+def test_pipeline_diff_abundance_matches_singles(spark):
+    """Each method's numbers inside the bundle equal the standalone
+    operator family's values computed over the same feature table."""
+    from mmeds_meta_spark.functions.diff_abundance import ancombc
+    from mmeds_meta_spark.operators import registry
+
+    sf = "/root/testdata/sf0.001"
+    bundle = {
+        r.feature_id: r
+        for r in registry()["pipeline_diff_abundance"].spark(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cnts = ev.groupBy(
+        F.col("user_id").alias("sample_id"), F.col("event_type").alias("feature_id")
+    ).agg(F.count("*").alias("count"))
+    smeta = (
+        cnts.select("sample_id").distinct().withColumn("g2", F.expr("sample_id % 2"))
+    )
+    anc = {r.feature_id: r for r in ancombc(cnts, smeta, group_col="g2").collect()}
+    for f, r in bundle.items():
+        assert r.ancombc_lfc == anc[f].lfc
+        assert r.ancombc_w == anc[f].w_stat
