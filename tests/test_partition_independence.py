@@ -116,8 +116,13 @@ OPS = [
 ]
 
 
-@pytest.mark.parametrize("name", OPS)
-def test_same_rows_under_any_partitioning(name, spark):
+# round-8: the suite covers the ENTIRE registry — the complement of the
+# curated risk-class list above is derived dynamically, so an operator
+# added in a future round is layout-checked from day one by construction
+REST = sorted(set(REG) - set(OPS))
+
+
+def _assert_layout_independent(name: str, spark) -> None:
     spec = REG[name]
     default = spark.conf.get("spark.sql.shuffle.partitions")
     results = []
@@ -132,3 +137,13 @@ def test_same_rows_under_any_partitioning(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
     assert results[0] == results[1] == results[2]
+
+
+@pytest.mark.parametrize("name", OPS)
+def test_same_rows_under_any_partitioning(name, spark):
+    _assert_layout_independent(name, spark)
+
+
+@pytest.mark.parametrize("name", REST)
+def test_same_rows_under_any_partitioning_rest(name, spark):
+    _assert_layout_independent(name, spark)
