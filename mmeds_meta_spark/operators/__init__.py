@@ -360,6 +360,13 @@ _GATE_TAIL: tuple[str, ...] = (
     # apply-side subword encoding runs verbatim inside the gated
     # pipeline_export_funnel's tokenize stage):
     "text_bpe_token_count",
+    # displaced by the two new round-8 ops (dedup_cross_source_matrix,
+    # sample_epoch_plan) so text_bpe_train keeps its slot: both funnels
+    # are driver-r07 green and every stage they compose stays gated as a
+    # single (quality/gopher/DSIR signals; the decontam and export
+    # funnels keep the composition shape gated):
+    "pipeline_selection_funnel",
+    "pipeline_curation_funnel",
 )
 
 

@@ -2350,12 +2350,109 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix — the mixture-planning artifact
+# ---------------------------------------------------------------------------
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix: for every source pair, how much
+    of their shingle vocabulary is shared — the artifact a mixture
+    planner reads before weighting sources (two crawls of the same
+    sites look like independent data until this table says they are
+    80% the same text; cf. the overlap audits in the Pile/Dolma source
+    analyses).  Exact distinct word-2-gram vocabularies per source,
+    pairwise intersection counts, and the vocabulary Jaccard as an
+    integer ratio.
+
+    Physical shape at 100 TB: ONE corpus pass to the distinct
+    (shingle, source) relation; the self-join is keyed by shingle where
+    every key carries ≤ |sources| rows (the expansion is
+    |sources|²-bounded PER KEY, never corpus×corpus); the result is one
+    |sources|²-row matrix.  Every source pair appears — pairs sharing
+    nothing report 0.0 via the per-source-totals cross join, which is
+    |sources|-bounded and broadcast."""
+    d = _t(spark, sf, "documents").select("source", F.split("text", " ").alias("toks"))
+    shingles = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "array_distinct(transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))) "
+        "ELSE array() END"
+    )
+    ss = d.select("source", F.explode(shingles).alias("shingle")).distinct()
+    na = ss.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    # shuffle-hash: shingle keys are many and thin (≤ |sources| rows
+    # each) — SHJ streams the pair expansion, SMJ would sort it
+    b = ss.select(F.col("source").alias("source_b"), "shingle").hint("shuffle_hash")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = na.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = na.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        ta.crossJoin(tb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .fillna(0, subset=["n_shared"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)"
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+_CROSS_SOURCE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         doc_id
+  FROM documents
+), ss AS (
+  SELECT DISTINCT a.source, a.tok || ' ' || b.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             AND a.source = b.source
+), na AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS source_a, tb.source AS source_b,
+       ta.n AS n_a, tb.n AS n_b,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+             / (ta.n + tb.n - COALESCE(s.n_shared, 0)), 6) AS vocab_jaccard
+FROM na ta
+JOIN na tb ON ta.source < tb.source
+LEFT JOIN shared s ON s.source_a = ta.source AND s.source_b = tb.source
+"""
+
+
 # deferred: _BENCH_MOD is defined next to decon_ngram_overlap, below the
 # fuzzy twin's source position
 decon_fuzzy_minhash.__doc__ = decon_fuzzy_minhash.__doc__.format(mod=_FUZZY_BENCH_MOD)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cross_source_matrix": QuerySpec(
+        dedup_cross_source_matrix,
+        _CROSS_SOURCE_SQL,
+        "LLM-pipeline mixture planning: exact cross-source shingle-vocabulary "
+        "overlap matrix (one corpus pass, per-key |sources|-bounded pair "
+        "expansion, |sources|^2-row output)",
+    ),
     "dedup_cluster_stats": QuerySpec(
         dedup_cluster_stats,
         _cluster_stats_sql(),

@@ -936,7 +936,130 @@ FROM sharded
 """
 
 
+# ---------------------------------------------------------------------------
+# epoch plan — data-constrained repetition (how many copies of each doc
+# fit a T-token run)
+# ---------------------------------------------------------------------------
+
+_EP_NUM, _EP_DEN = 5, 2  # token target T = (5/2)x the corpus — 2 full
+# epochs + a half-epoch remainder (repeating data up to ~4 epochs is
+# near-free per Muennighoff et al. 2023, "Scaling Data-Constrained LMs")
+
+
+def sample_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """EPOCH PLAN for a token-budgeted training run: given a target of
+    T = ({num}/{den})·total_corpus_tokens, how many copies of each doc
+    ship — every doc gets ⌊T/total⌋ full-epoch copies, and the remainder
+    budget is filled by a deterministic md5-ordered greedy prefix
+    (largest prefix of md5(doc_id) order whose token sum fits) — exactly
+    how a trainer materializes "2.5 epochs over this corpus".
+
+    The scale shape is the quality-quota trick transposed to the md5
+    axis: the remainder selection needs a GLOBAL running token sum in
+    md5 order, which as one window is a single-task corpus sort.
+    Instead the 256-class md5-prefix histogram gives each bucket's token
+    subtotal (one partial agg), the exclusive bucket prefix is a ≤256-row
+    window, whole buckets below the crossing are taken wholesale, and
+    only the ONE boundary bucket (~1/256 of the corpus) is ordered
+    exactly.  Deterministic: integer token target ((T = {num}·total
+    DIV {den})), md5 order, doc_id tie-break."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("k"),
+    )
+    d = d.withColumn("bkt", F.expr(_bucket_expr("spark", "CAST(doc_id AS STRING)")))
+    tot = d.agg(
+        F.expr("SUM(n_tokens)").alias("total")
+    ).select(
+        "total",
+        F.expr(f"CAST({_EP_NUM} * total DIV {_EP_DEN} AS BIGINT)").alias("t_target"),
+    ).select(
+        "total",
+        "t_target",
+        F.expr("CAST(t_target DIV total AS BIGINT)").alias("full_copies"),
+        F.expr("CAST(t_target % total AS BIGINT)").alias("rem"),
+    )
+    bs = d.groupBy("bkt").agg(F.expr("SUM(n_tokens)").alias("bt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bs.withColumn("pre", F.sum("bt").over(wb) - F.col("bt")).select(
+        "bkt", "pre", "bt"
+    )
+    flagged = d.join(F.broadcast(pre), "bkt").crossJoin(F.broadcast(tot))
+    below = flagged.filter(F.col("pre") + F.col("bt") <= F.col("rem")).withColumn(
+        "extra", F.lit(1)
+    )
+    wk = Window.partitionBy("bkt").orderBy("k", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boundary = (
+        flagged.filter(
+            (F.col("pre") <= F.col("rem")) & (F.col("pre") + F.col("bt") > F.col("rem"))
+        )
+        .withColumn("cum", F.sum("n_tokens").over(wk))
+        .withColumn(
+            "extra", F.expr("CASE WHEN pre + cum <= rem THEN 1 ELSE 0 END")
+        )
+    )
+    above = flagged.filter(F.col("pre") > F.col("rem")).withColumn("extra", F.lit(0))
+    cols = ["doc_id", "source", "n_tokens", "full_copies", "extra"]
+    return (
+        below.select(*cols)
+        .unionAll(boundary.select(*cols))
+        .unionAll(above.select(*cols))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("CAST(full_copies + extra AS BIGINT)").alias("n_copies"),
+            F.expr("CAST(n_tokens * (full_copies + extra) AS BIGINT)").alias(
+                "planned_tokens"
+            ),
+        )
+    )
+
+
+sample_epoch_plan.__doc__ = sample_epoch_plan.__doc__.format(num=_EP_NUM, den=_EP_DEN)
+
+_EPOCH_PLAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), tot AS (
+  SELECT SUM(n_tokens) AS total,
+         ({_EP_NUM} * SUM(n_tokens)) // {_EP_DEN} AS t_target
+  FROM d
+), plan AS (
+  SELECT total, t_target,
+         CAST(t_target // total AS BIGINT) AS full_copies,
+         CAST(t_target % total AS BIGINT) AS rem
+  FROM tot
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM d
+)
+SELECT doc_id, source, n_tokens,
+       CAST(full_copies + CASE WHEN c <= rem THEN 1 ELSE 0 END AS BIGINT)
+         AS n_copies,
+       CAST(n_tokens * (full_copies + CASE WHEN c <= rem THEN 1 ELSE 0 END)
+            AS BIGINT) AS planned_tokens
+FROM cum, plan
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_epoch_plan": QuerySpec(
+        sample_epoch_plan,
+        _EPOCH_PLAN_SQL,
+        "LLM-pipeline data-constrained repetition (Muennighoff 2023): full-epoch "
+        "copies + md5-greedy remainder fill to an exact token target, via the "
+        "256-class prefix histogram (only the boundary bucket is ordered)",
+    ),
     "sample_epoch_shuffle": QuerySpec(
         sample_epoch_shuffle,
         _epoch_sql(),
