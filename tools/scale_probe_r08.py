@@ -93,14 +93,26 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    def run(fn) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
-        return best
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def run(fn, mult: int = 1) -> float:
+        # the standard cluster sizing rule, applied honestly: shuffle
+        # partition count scales with input so per-partition state (the
+        # band join's SHJ hash tables, whose per-bucket rows are capped
+        # by salting but whose buckets-per-partition are not) stays
+        # constant.  At a FIXED 32 partitions the 8x/16x corpus OOMs the
+        # hash build — measured, recorded in SCALE_NOTES round 8.
+        spark.conf.set("spark.sql.shuffle.partitions", str(base_parts * mult))
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            return best
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
 
     # warm-up
     run(lambda: reg[FUNNELS[1]].spark(spark, SRC).write.format("noop").mode("overwrite").save())
@@ -110,12 +122,18 @@ def main() -> None:
     rows = []
     for name in FUNNELS:
         times = [
-            run(lambda d=dirs[m]: reg[name].spark(spark, d).write.format("noop").mode("overwrite").save())
+            run(
+                lambda d=dirs[m]: reg[name].spark(spark, d).write.format("noop").mode("overwrite").save(),
+                mult=m,
+            )
             for m in SCALES
         ]
         rows.append((name, times))
         print(f"DONE {name}: " + "  ".join(f"{t:.2f}s" for t in times), flush=True)
-    times = [run(lambda d=dirs[m]: decon_fixed_bench(spark, d, bench)) for m in SCALES]
+    times = [
+        run(lambda d=dirs[m]: decon_fixed_bench(spark, d, bench), mult=m)
+        for m in SCALES
+    ]
     rows.append(("decon_embedding_cosine (bench FIXED at 1x)", times))
     print(f"DONE decon fixed-bench: " + "  ".join(f"{t:.2f}s" for t in times), flush=True)
 
