@@ -367,6 +367,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # funnels keep the composition shape gated):
     "pipeline_selection_funnel",
     "pipeline_curation_funnel",
+    # displaced by the new pipeline_mixture_plan composition so
+    # text_bpe_train keeps its slot: driver-green since r1 and a STRICT
+    # SUBSET of the gated text_gopher_full (which recomputes the shape
+    # half verbatim before AND-ing the repetition half):
+    "text_gopher_quality",
 )
 
 

@@ -720,7 +720,175 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture plan — per-source weights from size, overlap, and temperature
+# ---------------------------------------------------------------------------
+
+_MIX_TAU = 0.7  # temperature (mC4/XLM-R convention: p_s ∝ n_s^0.7)
+
+
+def pipeline_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed MIXTURE PLAN: per-source sampling weights a training
+    run would actually use, derived in three chained stages —
+
+    1. raw per-source size (docs, whitespace tokens);
+    2. overlap correction from the cross-source shingle-vocabulary
+       matrix (:func:`~.dedup.dedup_cross_source_matrix` verbatim):
+       each source's WORST-PARTNER containment
+       max_t |V_s ∩ V_t| / |V_s| discounts its tokens —
+       effective = ⌊tokens · (1 − containment)⌋ — so a crawl that is
+       mostly a copy of another source stops double-counting;
+    3. temperature weights over effective tokens
+       (w_s ∝ effective^{tau}, the mC4/XLM-R τ={tau} convention),
+       normalized with a pinned-order source fold so the shares are
+       bit-identical cross-engine.
+
+    Output per source: raw stats, vocabulary size, worst-overlap
+    partner + containment, effective tokens, and the final mix weight
+    (6dp, sums to 1).  Physical shape: everything after the two corpus
+    passes (per-source stats; distinct (shingle, source)) is
+    |sources|- or |sources|²-bounded."""
+    from .dedup import dedup_cross_source_matrix
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("tk")
+    )
+    stats = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("SUM(tk)").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)  # |sources| rows, read by 3 stages
+    )
+    m = dedup_cross_source_matrix(spark, sf)
+    directed = m.select(
+        F.col("source_a").alias("source"),
+        F.col("source_b").alias("partner"),
+        F.col("n_a").alias("n_vocab"),
+        F.expr("CAST(n_shared AS DOUBLE) / n_a").alias("containment"),
+    ).unionAll(
+        m.select(
+            F.col("source_b").alias("source"),
+            F.col("source_a").alias("partner"),
+            F.col("n_b").alias("n_vocab"),
+            F.expr("CAST(n_shared AS DOUBLE) / n_b").alias("containment"),
+        )
+    )
+    worst = directed.groupBy("source").agg(
+        F.max("n_vocab").cast("long").alias("n_vocab"),
+        F.max(F.struct(F.col("containment"), F.col("partner"))).alias("w"),
+    ).select(
+        "source",
+        "n_vocab",
+        F.col("w.partner").alias("top_overlap_source"),
+        F.expr("ROUND(w.containment, 6)").alias("top_overlap_containment"),
+    )
+    eff = (
+        stats.join(worst, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_vocab", F.lit(0)).cast("long").alias("n_vocab"),
+            "top_overlap_source",
+            F.coalesce("top_overlap_containment", F.lit(0.0)).alias(
+                "top_overlap_containment"
+            ),
+            F.expr(
+                "CAST(FLOOR(n_tokens * (1 - COALESCE(top_overlap_containment, 0.0)))"
+                " AS BIGINT)"
+            ).alias("effective_tokens"),
+        )
+        .withColumn(
+            "w_raw", F.expr(f"POW(CAST(effective_tokens AS DOUBLE), {_MIX_TAU})")
+        )
+    )
+    tot = eff.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, w_raw))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.w_raw)"
+        ).alias("w_tot")
+    )
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_vocab",
+        "top_overlap_source",
+        "top_overlap_containment",
+        "effective_tokens",
+        F.expr("ROUND(w_raw / w_tot, 6)").alias("mix_weight"),
+    )
+
+
+pipeline_mixture_plan.__doc__ = pipeline_mixture_plan.__doc__.format(tau=_MIX_TAU)
+
+
+def _mixture_plan_sql() -> str:
+    from .dedup import _CROSS_SOURCE_SQL
+
+    return f"""
+WITH m AS ({_CROSS_SOURCE_SQL}
+), d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+  FROM documents
+), stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tk) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+), directed AS (
+  SELECT source_a AS source, source_b AS partner, n_a AS n_vocab,
+         CAST(n_shared AS DOUBLE) / n_a AS containment
+  FROM m
+  UNION ALL
+  SELECT source_b, source_a, n_b,
+         CAST(n_shared AS DOUBLE) / n_b
+  FROM m
+), ranked AS (
+  SELECT source, partner, n_vocab, containment,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY containment DESC, partner DESC) AS rn
+  FROM directed
+), worst AS (
+  SELECT source, CAST(MAX(n_vocab) AS BIGINT) AS n_vocab,
+         MAX(CASE WHEN rn = 1 THEN partner END) AS top_overlap_source,
+         ROUND(MAX(CASE WHEN rn = 1 THEN containment END), 6)
+           AS top_overlap_containment
+  FROM ranked GROUP BY source
+), eff AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         CAST(COALESCE(w.n_vocab, 0) AS BIGINT) AS n_vocab,
+         w.top_overlap_source,
+         COALESCE(w.top_overlap_containment, 0.0) AS top_overlap_containment,
+         CAST(FLOOR(s.n_tokens
+              * (1 - COALESCE(w.top_overlap_containment, 0.0))) AS BIGINT)
+           AS effective_tokens,
+         POW(CAST(CAST(FLOOR(s.n_tokens
+              * (1 - COALESCE(w.top_overlap_containment, 0.0))) AS BIGINT)
+              AS DOUBLE), {_MIX_TAU}) AS w_raw
+  FROM stats s LEFT JOIN worst w USING (source)
+), tot AS (
+  SELECT list_reduce(list(w_raw ORDER BY source), (acc, v) -> acc + v)
+    AS w_tot
+  FROM eff
+)
+SELECT source, n_docs, n_tokens, n_vocab, top_overlap_source,
+       top_overlap_containment, effective_tokens,
+       ROUND(w_raw / w_tot, 6) AS mix_weight
+FROM eff, tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_mixture_plan": QuerySpec(
+        pipeline_mixture_plan,
+        _mixture_plan_sql(),
+        "beyond-reference: composed mixture plan (per-source size -> "
+        "worst-partner vocabulary-overlap discount -> temperature weights) "
+        "— the per-source sampling weights a training run ships",
+    ),
     "pipeline_dedup_funnel": QuerySpec(
         pipeline_dedup_funnel,
         _dedup_funnel_sql(),

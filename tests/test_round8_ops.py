@@ -42,3 +42,23 @@ def test_epoch_plan_budget_and_determinism(spark):
         for r in REG["sample_epoch_plan"].spark(spark, SF_SMOKE).collect()
     }
     assert again == {r.doc_id: r.n_copies for r in rows}
+
+
+def test_mixture_plan_invariants(spark):
+    rows = REG["pipeline_mixture_plan"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    # weights form a distribution (6dp rounding tolerance)
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.top_overlap_containment <= 1.0
+        assert 0 <= r.effective_tokens <= r.n_tokens
+        # the discount is exactly the stated floor expression
+        # (containment is rounded at 6dp for display only, so allow
+        # one-token slack from the rounding)
+        assert (
+            abs(
+                r.effective_tokens
+                - int(r.n_tokens * (1 - r.top_overlap_containment))
+            )
+            <= max(1, int(r.n_tokens * 1e-5))
+        )
