@@ -861,6 +861,9 @@ def pipeline_diff_abundance(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "feature_id", "g3", F.expr("CAST(y - mlg AS DECIMAL(19,9))").alias("clr")
         )
+        # |samples|×|features|-bounded; read by the rank grid, the class
+        # grid, and the moment branch — checkpoint so the plan states it
+        .localCheckpoint(eager=True)
     )
 
     # -- stage 2: per-feature KW via the two-phase bucketed mid-rank CDF --
