@@ -62,3 +62,64 @@ def test_mixture_plan_invariants(spark):
             )
             <= max(1, int(r.n_tokens * 1e-5))
         )
+
+
+def _parity(spark, duck_con, spec, sf):
+    df = spec.spark(spark, sf)
+    s_cols = [c.lower() for c in df.columns]
+    rel = duck_con.sql(spec.oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    assert sorted(s_cols) == sorted(d_cols)
+    os_ = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    od_ = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    sn = sorted((tuple(tuple(r)[i] for i in os_) for r in df.collect()), key=repr)
+    dn = sorted((tuple(r[i] for i in od_) for r in rel.fetchall()), key=repr)
+    assert sn == dn
+    return sn
+
+
+def test_mixture_plan_single_source_degenerate(spark, tmp_path):
+    """One source: no overlap pairs exist — both engines must emit one
+    row with a NULL partner, zero containment, and weight 1.0."""
+    import duckdb
+
+    d = tmp_path / "onesrc"
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2}", "xx", "only", 10) for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    sn = _parity(spark, con, REG["pipeline_mixture_plan"], str(d))
+    assert len(sn) == 1
+    row = dict(zip(sorted(c.lower() for c in ["source","n_docs","n_tokens","n_vocab","top_overlap_source","top_overlap_containment","effective_tokens","mix_weight"]), sn[0]))
+    assert row["mix_weight"] == 1.0
+    assert row["top_overlap_source"] is None
+    assert row["top_overlap_containment"] == 0.0
+
+
+def test_diff_abundance_single_event_type(spark, tmp_path):
+    """One feature, one class-constant value stream: KW is degenerate
+    (all CLR values tie at 0) — both engines must agree on the NULL-H
+    row instead of dividing by the zero tie denominator."""
+    import duckdb
+
+    d = tmp_path / "oneev"
+    rows = [
+        (i, f"2024-01-01 0{i % 10}:00:00", i % 6, "click", 1.0, "{}")
+        for i in range(24)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    sn = _parity(spark, con, REG["pipeline_diff_abundance"], str(d))
+    assert len(sn) == 1  # the single feature reports exactly once
