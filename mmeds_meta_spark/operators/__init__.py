@@ -372,6 +372,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # SUBSET of the gated text_gopher_full (which recomputes the shape
     # half verbatim before AND-ing the repetition half):
     "text_gopher_quality",
+    # displaced by the new w19_position_attribution so text_bpe_train
+    # keeps its slot: driver-r07 green; its count-of-counts CDF walk
+    # stays gated via sketch_hist_quantile and the event family keeps
+    # w5/w15/w16-19 gated:
+    "a24_skew_profile",
 )
 
 

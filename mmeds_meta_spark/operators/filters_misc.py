@@ -1827,7 +1827,141 @@ FROM per_band GROUP BY c_nationkey, c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# w19 — U-shaped (position-based) attribution
+# ---------------------------------------------------------------------------
+
+
+def w19_position_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """U-SHAPED (position-based) attribution — the rule-based companion
+    of the Markov pair (w17 solves the chain, w18 computes removal
+    effects; this is the 40/20/40 convention ad platforms publish): for
+    every user whose journey reaches '{target}', the touches BEFORE the
+    first conversion are credited 40% to the first touch, 40% to the
+    last, and 20% split across the middles; 1-touch journeys get 100%,
+    2-touch journeys 50/50.
+
+    EXACT-integer discipline: credits are micro-units (1e6 per
+    journey), the middle split is ``200000 DIV (n−2)`` with the
+    remainder assigned to the EARLIEST middle touch — so per-channel
+    sums are BIGINT-exact on both engines, with no order-dependent
+    double folds and no per-channel collect (the anti-pattern a
+    floating 0.2/(n−2) would force at 100 TB).
+
+    Physical shape: one lag-free pass — the first-conversion cutoff is
+    a per-user MIN (partial agg), touch ranks are windows PARTITIONED
+    BY user (bounded by journey length), and the report is one
+    |channels|-row agg."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        event_time_us(raw.schema).alias("ts_us"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == _ABS_STATE)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_us", "event_id")).alias("cut"))
+    )
+    touches = (
+        ev.join(F.broadcast(conv), "user_id")
+        .filter(F.struct("ts_us", "event_id") < F.col("cut"))
+        .select("user_id", "event_id", "event_type", "ts_us")
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    wn = Window.partitionBy("user_id")
+    credited = (
+        touches.withColumn("rn", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn(
+            "micro",
+            F.expr(
+                "CASE WHEN n = 1 THEN 1000000"
+                " WHEN n = 2 THEN 500000"
+                " WHEN rn = 1 THEN 400000"
+                " WHEN rd = 1 THEN 400000"
+                " ELSE 200000 DIV (n - 2)"
+                " + CASE WHEN rn = 2 THEN 200000 % (n - 2) ELSE 0 END END"
+            ).cast("long"),
+        )
+    )
+    tot = credited.agg(F.expr("SUM(micro)").cast("long").alias("t_micro"))
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.expr("CAST(SUM(micro) AS BIGINT)").alias("micro_credit"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            F.expr("ROUND(micro_credit / 1e6, 6)").alias("credit"),
+            F.expr(
+                "ROUND(CAST(micro_credit AS DOUBLE) / t_micro, 6)"
+            ).alias("credit_share"),
+        )
+    )
+
+
+w19_position_attribution.__doc__ = w19_position_attribution.__doc__.format(
+    target=_ABS_STATE
+)
+
+_W19_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), conv AS (
+  SELECT user_id, MIN(ROW(ts_us, event_id)) AS cut
+  FROM ev WHERE event_type = '{_ABS_STATE}' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_id, e.event_type, e.ts_us
+  FROM ev e JOIN conv c USING (user_id)
+  WHERE ROW(e.ts_us, e.event_id) < c.cut
+), ranked AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rd,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+), credited AS (
+  SELECT event_type,
+         CAST(CASE WHEN n = 1 THEN 1000000
+                   WHEN n = 2 THEN 500000
+                   WHEN rn = 1 THEN 400000
+                   WHEN rd = 1 THEN 400000
+                   ELSE 200000 // (n - 2)
+                        + CASE WHEN rn = 2 THEN 200000 % (n - 2)
+                               ELSE 0 END END AS BIGINT) AS micro
+  FROM ranked
+), tot AS (
+  SELECT CAST(SUM(micro) AS BIGINT) AS t_micro FROM credited
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(micro) AS BIGINT) / 1e6, 6) AS credit,
+       ROUND(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / t_micro, 6)
+         AS credit_share
+FROM credited, tot
+GROUP BY event_type, t_micro
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "w19_position_attribution": QuerySpec(
+        w19_position_attribution,
+        _W19_SQL,
+        "beyond-reference: U-shaped position-based attribution (40/20/40) "
+        "with exact integer micro-credits — completes the attribution suite "
+        "(w7 chain fit, w17 absorption, w18 removal effects)",
+    ),
     "w17_markov_absorption": QuerySpec(
         w17_markov_absorption,
         _absorption_sql(),
