@@ -377,6 +377,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # stays gated via sketch_hist_quantile and the event family keeps
     # w5/w15/w16-19 gated:
     "a24_skew_profile",
+    # displaced by the new w20_time_decay_attribution: driver-r07 green;
+    # the bounded-grid drift shape stays gated via text_length_ks_drift
+    # (the same capped-class CDF family):
+    "text_vocab_kl_drift",
 )
 
 

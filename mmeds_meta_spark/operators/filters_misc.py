@@ -1954,7 +1954,162 @@ GROUP BY event_type, t_micro
 """
 
 
+# ---------------------------------------------------------------------------
+# w20 — time-decay attribution
+# ---------------------------------------------------------------------------
+
+_W20_HALFLIFE_US = 7 * 24 * 3_600_000_000  # 7-day half-life (the ad-platform default)
+
+
+def w20_time_decay_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-DECAY attribution — the fourth and last published
+    attribution convention (w7 chain fit, w17 absorption, w18 removal
+    effects, w19 position credit): each pre-conversion touch is
+    weighted 2^(−Δt/halflife) by its distance to the journey's first
+    '{target}' (halflife = 7 days), normalized per journey.
+
+    Exactness: the decayed weights are doubles (identical POW
+    expression trees both engines), but per-channel sums of raw double
+    shares would be ORDER-DEPENDENT — so each journey's shares are
+    quantized to integer micro-units (ROUND at 1e6) with the LAST touch
+    (the largest weight) taking the rounding remainder, making every
+    journey total exactly 1e6 and every channel sum BIGINT-exact.
+
+    Physical shape: the w19 plan with one extra per-user window (the
+    journey weight total) — no collects, no order-dependent folds."""
+    from ..functions.event_time import event_time_us
+
+    raw = _t(spark, sf, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        event_time_us(raw.schema).alias("ts_us"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == _ABS_STATE)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_us", "event_id")).alias("cut"))
+    )
+    touches = (
+        ev.join(F.broadcast(conv), "user_id")
+        .filter(F.struct("ts_us", "event_id") < F.col("cut"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_us",
+            (F.col("cut.ts_us") - F.col("ts_us")).alias("dt_us"),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"POW(CAST(2 AS DOUBLE),"
+                f" -(CAST(dt_us AS DOUBLE) / {_W20_HALFLIFE_US}))"
+            ),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wrest = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    credited = (
+        touches.withColumn("wsum", F.sum("w").over(wu))
+        .withColumn("rd", F.row_number().over(wd))
+        # micro share, rounded; the last touch is reconstructed as the
+        # journey remainder so totals are exactly 1e6
+        .withColumn(
+            "m_raw", F.expr("CAST(ROUND(1e6 * w / wsum) AS BIGINT)")
+        )
+        .withColumn("m_cum", F.sum("m_raw").over(wrest))
+        .withColumn(
+            "micro",
+            F.expr(
+                "CASE WHEN rd = 1 THEN 1000000 - (m_cum - m_raw)"
+                " ELSE m_raw END"
+            ).cast("long"),
+        )
+    )
+    tot = credited.agg(F.expr("SUM(micro)").cast("long").alias("t_micro"))
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.expr("CAST(SUM(micro) AS BIGINT)").alias("micro_credit"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            F.expr("ROUND(micro_credit / 1e6, 6)").alias("credit"),
+            F.expr(
+                "ROUND(CAST(micro_credit AS DOUBLE) / t_micro, 6)"
+            ).alias("credit_share"),
+        )
+    )
+
+
+w20_time_decay_attribution.__doc__ = w20_time_decay_attribution.__doc__.format(
+    target=_ABS_STATE
+)
+
+_W20_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), conv AS (
+  -- the min (ts_us, event_id) tuple's ts component IS min(ts_us)
+  SELECT user_id, MIN(ROW(ts_us, event_id)) AS cut, MIN(ts_us) AS cut_ts
+  FROM ev WHERE event_type = '{_ABS_STATE}' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_id, e.event_type, e.ts_us,
+         POW(CAST(2 AS DOUBLE),
+             -(CAST(c.cut_ts - e.ts_us AS DOUBLE) / {_W20_HALFLIFE_US})) AS w
+  FROM ev e JOIN conv c USING (user_id)
+  WHERE ROW(e.ts_us, e.event_id) < c.cut
+), shared AS (
+  SELECT user_id, event_id, event_type, ts_us, w,
+         SUM(w) OVER (PARTITION BY user_id) AS wsum,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rd
+  FROM touches
+), quantized AS (
+  SELECT user_id, event_id, event_type, rd,
+         CAST(ROUND(1e6 * w / wsum) AS BIGINT) AS m_raw,
+         SUM(CAST(ROUND(1e6 * w / wsum) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_cum
+  FROM shared
+), credited AS (
+  SELECT event_type,
+         CAST(CASE WHEN rd = 1 THEN 1000000 - (m_cum - m_raw)
+                   ELSE m_raw END AS BIGINT) AS micro
+  FROM quantized
+), tot AS (
+  SELECT CAST(SUM(micro) AS BIGINT) AS t_micro FROM credited
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(micro) AS BIGINT) / 1e6, 6) AS credit,
+       ROUND(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / t_micro, 6)
+         AS credit_share
+FROM credited, tot
+GROUP BY event_type, t_micro
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "w20_time_decay_attribution": QuerySpec(
+        w20_time_decay_attribution,
+        _W20_SQL,
+        "beyond-reference: time-decay attribution (7-day half-life, "
+        "per-journey micro-unit quantization with the remainder on the last "
+        "touch — BIGINT-exact channel sums)",
+    ),
     "w19_position_attribution": QuerySpec(
         w19_position_attribution,
         _W19_SQL,
