@@ -761,7 +761,10 @@ def pipeline_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # |sources| rows, read by 3 stages
     )
-    m = dedup_cross_source_matrix(spark, sf)
+    # |sources|²-bounded; the directed view reads it TWICE (both pair
+    # orientations) — checkpoint so the plan states the reuse instead of
+    # restating the whole shingle machinery per union branch
+    m = dedup_cross_source_matrix(spark, sf).localCheckpoint(eager=True)
     directed = m.select(
         F.col("source_a").alias("source"),
         F.col("source_b").alias("partner"),
@@ -785,7 +788,7 @@ def pipeline_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("ROUND(w.containment, 6)").alias("top_overlap_containment"),
     )
     eff = (
-        stats.join(worst, "source", "left")
+        stats.join(F.broadcast(worst), "source", "left")
         .select(
             "source",
             "n_docs",
