@@ -381,6 +381,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # the bounded-grid drift shape stays gated via text_length_ks_drift
     # (the same capped-class CDF family):
     "text_vocab_kl_drift",
+    # displaced by the new sample_cluster_split: driver-r07 green; the
+    # fixed-order projection dot folds stay gated via ann_srp_lsh_topk
+    # (SRP is the sign of the same random projection):
+    "embed_random_projection",
 )
 
 

@@ -1052,7 +1052,80 @@ FROM cum, plan
 """
 
 
+# ---------------------------------------------------------------------------
+# cluster-aware split — near-dup clusters never straddle train/eval
+# ---------------------------------------------------------------------------
+
+
+def sample_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the md5 hash split keyed by the
+    near-dup CLUSTER instead of the document — a plain random/hash split
+    puts a document in train and its near-duplicate in eval, and the
+    eval score silently measures memorization.  Composition: SimHash
+    pair generation → connected components (dedup_cluster_components
+    verbatim) → every doc inherits its component's min-id as the split
+    key (unclustered docs key by themselves) → the sample_hash_split
+    rule on the key.  All members of a cluster land on the SAME side by
+    construction.
+
+    Physical shape: the CC fixpoint (contraction + O(log d) pointer
+    jumping) plus one broadcast-right left join of docs against the
+    cluster relation (pair-participating docs only — a small fraction
+    of the corpus) and a narrow md5 map.  Nothing new shuffles the
+    corpus."""
+    from .dedup import dedup_cluster_components
+
+    cc = dedup_cluster_components(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id")
+    keyed = (
+        d.join(F.broadcast(cc), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("split_key"),
+            F.col("cluster_id").isNotNull().alias("is_clustered"),
+        )
+    )
+    bucket = F.expr(f"{_bucket_expr('spark', 'CAST(split_key AS STRING)')} % 100")
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        "is_clustered",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < _EVAL_PCT, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _cluster_split_sql() -> str:
+    from .dedup import _components_sql
+
+    return f"""
+WITH cc AS ({_components_sql()}
+), keyed AS (
+  SELECT d.doc_id,
+         COALESCE(cc.cluster_id, d.doc_id) AS split_key,
+         cc.cluster_id IS NOT NULL AS is_clustered
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, split_key, is_clustered,
+       CAST({_bucket_expr('duck', 'CAST(split_key AS VARCHAR)')} % 100 AS INTEGER)
+         AS bucket,
+       CASE WHEN {_bucket_expr('duck', 'CAST(split_key AS VARCHAR)')} % 100
+                 < {_EVAL_PCT}
+            THEN 'eval' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_cluster_split": QuerySpec(
+        sample_cluster_split,
+        _cluster_split_sql(),
+        "LLM-pipeline leakage-safe split: the hash split keyed by the "
+        "near-dup CLUSTER (CC fixpoint verbatim), so a doc and its "
+        "near-duplicates always land on the same side",
+    ),
     "sample_epoch_plan": QuerySpec(
         sample_epoch_plan,
         _EPOCH_PLAN_SQL,

@@ -123,3 +123,28 @@ def test_diff_abundance_single_event_type(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
     sn = _parity(spark, con, REG["pipeline_diff_abundance"], str(d))
     assert len(sn) == 1  # the single feature reports exactly once
+
+
+def test_cluster_split_never_straddles(spark):
+    """The leakage-safety contract itself: every near-dup cluster's
+    members land on ONE side, and the plain hash split on the same
+    corpus demonstrably violates this (the reason the operator exists)."""
+    rows = REG["sample_cluster_split"].spark(spark, SF_SMOKE).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_key.values())
+    clustered = [r for r in rows if r.is_clustered]
+    assert clustered, "fixture has near-dup clusters"
+    # the naive per-doc split puts at least one cluster on both sides
+    naive = {
+        r.doc_id: r.split
+        for r in REG["sample_hash_split"].spark(spark, SF_SMOKE).collect()
+    }
+    naive_by_cluster = {}
+    for r in clustered:
+        naive_by_cluster.setdefault(r.split_key, set()).add(naive[r.doc_id])
+    assert any(len(v) > 1 for v in naive_by_cluster.values()), (
+        "if the naive split never straddles, this corpus cannot "
+        "demonstrate the operator's value"
+    )
