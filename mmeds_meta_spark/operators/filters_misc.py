@@ -1867,7 +1867,10 @@ def w19_position_attribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min(F.struct("ts_us", "event_id")).alias("cut"))
     )
     touches = (
-        ev.join(F.broadcast(conv), "user_id")
+        # conv is one row per CONVERTING USER — unbounded at corpus
+        # scale, so no broadcast hint; the join is user_id-keyed and
+        # AQE broadcast-converts when the cutoff relation actually fits
+        ev.join(conv, "user_id")
         .filter(F.struct("ts_us", "event_id") < F.col("cut"))
         .select("user_id", "event_id", "event_type", "ts_us")
     )
@@ -1992,7 +1995,10 @@ def w20_time_decay_attribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min(F.struct("ts_us", "event_id")).alias("cut"))
     )
     touches = (
-        ev.join(F.broadcast(conv), "user_id")
+        # conv is one row per CONVERTING USER — unbounded at corpus
+        # scale, so no broadcast hint; the join is user_id-keyed and
+        # AQE broadcast-converts when the cutoff relation actually fits
+        ev.join(conv, "user_id")
         .filter(F.struct("ts_us", "event_id") < F.col("cut"))
         .select(
             "user_id",

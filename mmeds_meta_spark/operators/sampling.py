@@ -1069,16 +1069,18 @@ def sample_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
     construction.
 
     Physical shape: the CC fixpoint (contraction + O(log d) pointer
-    jumping) plus one broadcast-right left join of docs against the
-    cluster relation (pair-participating docs only — a small fraction
-    of the corpus) and a narrow md5 map.  Nothing new shuffles the
-    corpus."""
+    jumping) plus one doc_id-keyed left join of docs against the
+    cluster relation and a narrow md5 map.  The cluster side is NOT
+    broadcast-hinted on purpose: pair participation is usually a small
+    fraction of the corpus, but on a heavily duplicated corpus (the
+    very case this operator guards against) it approaches the corpus
+    itself — AQE picks broadcast at runtime when it actually fits."""
     from .dedup import dedup_cluster_components
 
     cc = dedup_cluster_components(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id")
     keyed = (
-        d.join(F.broadcast(cc), "doc_id", "left")
+        d.join(cc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("cluster_id", "doc_id").alias("split_key"),
