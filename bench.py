@@ -107,6 +107,12 @@ HEAVY = [
     "w17_markov_absorption",
     "w18_markov_removal",
     "pipeline_diff_abundance",
+    # round-8 session-2: the micro-unit attribution pair, the composed
+    # mixture plan, and the leakage-safe split (composes the CC fixpoint)
+    "w19_position_attribution",
+    "w20_time_decay_attribution",
+    "pipeline_mixture_plan",
+    "sample_cluster_split",
 ]
 
 
