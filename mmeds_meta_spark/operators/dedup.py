@@ -173,7 +173,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     inverted-index join on df-capped shingles (no cross join); |A|,|B| are
     full (uncapped) shingle-set sizes so the statistic stays honest.
     """
-    sh = _doc_shingles(spark, sf).cache()
+    sh = _doc_shingles(spark, sf).localCheckpoint(eager=True)
     n_docs = _t(spark, sf, "documents").count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_ok = (
@@ -247,7 +247,7 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     uncapped and honest); containment is an integer ratio →
     bit-identical double.  Output: (doc_a, doc_b, inter, n_small,
     containment), doc_a < doc_b."""
-    sh = _doc_shingles(spark, sf).cache()
+    sh = _doc_shingles(spark, sf).localCheckpoint(eager=True)
     n_docs = _t(spark, sf, "documents").count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_ok = (

@@ -203,8 +203,42 @@ def d2_bray_curtis(
     index; no dense matrix ever exists."""
     if counts is None:
         ev = _t(spark, sf, "events").filter(F.col("user_id") < block)
-        # block-bounded; read by totals + both join sides (different prunings)
-        counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c")).cache()
+        # block-bounded; read by totals + both join sides (different
+        # prunings).  localCheckpoint, not .cache(): a cached plan is
+        # never unpersisted here, so repeated invocations in a
+        # long-lived session (bench passes, pipeline_core_metrics with
+        # counts=None) would accumulate orphaned storage blocks — the
+        # sibling d2_jaccard_beta's checkpoint convention (round-8
+        # ADVICE) sidesteps the leak and cuts the reuse subtree too.
+        counts = (
+            ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return bray_curtis_pairs(counts)
+
+
+def bray_curtis_pairs(
+    counts: DataFrame,
+    *,
+    id_col: str = "user_id",
+    feat_col: str = "event_type",
+    val_col: str = "c",
+    out_col: str = "bray_curtis",
+) -> DataFrame:
+    """The shared Bray-Curtis pair kernel: given a (sample, feature,
+    count) relation, emit (ua, ub, distance) via the inverted-index
+    decomposition — only co-occurring features join, the pair space is
+    bounded by the caller's sample block, and no dense matrix exists.
+    Both :func:`d2_bray_curtis` (the gated registry entry) and the
+    analysis pipeline's beta stage (plans/analysis.py) call this, so
+    the pipeline inherits the blocked, shuffle-hash-hinted shape
+    instead of restating an uncapped crossJoin (round-8 verdict)."""
+    counts = counts.select(
+        F.col(id_col).alias("user_id"),
+        F.col(feat_col).alias("event_type"),
+        F.col(val_col).alias("c"),
+    )
     totals = counts.groupBy("user_id").agg(F.expr("SUM(c)").alias("s"))
     a = counts.select(F.col("user_id").alias("ua"), "event_type", F.col("c").alias("xa"))
     # shuffle-hash: event_type has 5 fat keys — SMJ sorts the full pair
@@ -236,7 +270,7 @@ def d2_bray_curtis(
         "ub",
         F.expr(
             "CAST(d_common + (sa - ca) + (sb - cb) AS DOUBLE) / (sa + sb)"
-        ).alias("bray_curtis"),
+        ).alias(out_col),
     )
 
 
@@ -1037,9 +1071,11 @@ def _diff_abundance_sql() -> str:
     mid-ranks by the per-feature cumulative window (value-identical to
     the engine's two-phase bucketed form by construction), lexicographic
     best-split selection, and the ANCOM-BC oracle embedded verbatim."""
+    from ..functions.diff_abundance import _CHI2_05
+
     crit = "CASE " + " ".join(
         f"WHEN k - 1 = {df} THEN CAST({v} AS DOUBLE)"
-        for df, v in {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070}.items()
+        for df, v in _CHI2_05.items()
     ) + " ELSE CAST('inf' AS DOUBLE) END"
     return f"""
 WITH counts AS (

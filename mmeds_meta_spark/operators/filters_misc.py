@@ -2036,8 +2036,12 @@ def w20_time_decay_attribution(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "micro",
             F.expr(
-                "CASE WHEN rd = 1 THEN 1000000 - (m_cum - m_raw)"
-                " ELSE m_raw END"
+                # GREATEST(0, ...) (round-9 ADVICE): on journeys long
+                # enough (~>1400 touches) the other touches' ROUND()
+                # overshoot can exceed the last touch's share; clamp so
+                # no channel ever reports a negative credit.
+                "CASE WHEN rd = 1 THEN GREATEST(CAST(0 AS BIGINT),"
+                " 1000000 - (m_cum - m_raw)) ELSE m_raw END"
             ).cast("long"),
         )
     )
@@ -2092,7 +2096,8 @@ WITH ev AS (
   FROM shared
 ), credited AS (
   SELECT event_type,
-         CAST(CASE WHEN rd = 1 THEN 1000000 - (m_cum - m_raw)
+         CAST(CASE WHEN rd = 1 THEN GREATEST(CAST(0 AS BIGINT),
+                                             1000000 - (m_cum - m_raw))
                    ELSE m_raw END AS BIGINT) AS micro
   FROM quantized
 ), tot AS (

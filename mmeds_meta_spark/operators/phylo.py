@@ -147,14 +147,14 @@ def d2_unifrac_unweighted(
     (branch-inverted index); unshared mass comes from the per-sample
     totals — integers throughout, one exact final division.
 
-    cov is cached: it is block-bounded (≤ block × branches rows) and
-    consumed by differently-pruned subplans that would otherwise each
-    re-scan events (no exchange reuse across pruned copies).  When a
-    shared ``counts`` relation is supplied (the core-metrics bundle),
-    cov is eagerly checkpointed instead so the composed plan STATES the
-    reuse rather than restating the subtree per consumer."""
+    cov is eagerly checkpointed: it is block-bounded (≤ block × branches
+    rows) and consumed by differently-pruned subplans that would
+    otherwise each re-scan events (no exchange reuse across pruned
+    copies); the composed plan STATES the reuse rather than restating
+    the subtree per consumer, and — unlike .cache() — a long-lived
+    session never accumulates orphaned storage blocks."""
     cov = _cov(spark, sf, block=block, counts=counts)
-    cov = cov.localCheckpoint(eager=True) if counts is not None else cov.cache()
+    cov = cov.localCheckpoint(eager=True)
     tot = cov.groupBy("user_id").agg(F.expr("SUM(len)").alias("t"))
     a = cov.select(F.col("user_id").alias("ua"), "branch", F.col("len").alias("la"))
     # shuffle-hash: branch keys are few and fat (every sample covers most
@@ -216,10 +216,10 @@ def d2_unifrac_weighted(
 ) -> DataFrame:
     """Σ_b len·|c_a/N_a − c_b/N_b| with the rationals cleared: every term
     is an integer until the single final division by N_a·N_b.  cov
-    handling mirrors the unweighted variant: cached standalone, eagerly
-    checkpointed when composed over a shared ``counts`` relation."""
+    handling mirrors the unweighted variant: eagerly checkpointed (never
+    .cache() — a long-lived session would leak the storage blocks)."""
     cov = _cov(spark, sf, block=block, counts=counts)
-    cov = cov.localCheckpoint(eager=True) if counts is not None else cov.cache()
+    cov = cov.localCheckpoint(eager=True)
     # N = total abundance per sample; W = Σ len·cb (the branch-weighted mass)
     nt = cov.filter(F.col("branch").startswith("L")).groupBy("user_id").agg(
         F.expr("SUM(cb)").alias("n")
@@ -372,10 +372,10 @@ def d2_unifrac_weighted_newick(
     from ..sources.newick import read_newick
 
     # cov is block-bounded and read by 5 differently-pruned consumers
-    # (nt/wt/a/b/common) — cache it or each re-scans events
+    # (nt/wt/a/b/common) — checkpoint it or each re-scans events
     cov = tree_cov(
         _demo_feats(spark, sf, block=block), read_newick(spark, _NEWICK_DEMO)
-    ).cache()
+    ).localCheckpoint(eager=True)
     return unifrac_weighted(cov).select(
         F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_w"
     )
@@ -391,11 +391,11 @@ def d2_unifrac_unweighted_newick(
     from ..functions.tree_metrics import tree_cov, unifrac_unweighted
     from ..sources.newick import read_newick
 
-    # cov feeds tot + both sides of the shared-branch join — cache the
-    # block-bounded relation or each consumer re-scans events
+    # cov feeds tot + both sides of the shared-branch join — checkpoint
+    # the block-bounded relation or each consumer re-scans events
     cov = tree_cov(
         _demo_feats(spark, sf, block=block), read_newick(spark, _NEWICK_DEMO)
-    ).cache()
+    ).localCheckpoint(eager=True)
     return unifrac_unweighted(cov).select(
         F.col("sa").alias("ua"), F.col("sb").alias("ub"), "unifrac_u"
     )
@@ -656,13 +656,13 @@ def d9_mantel_test(spark: SparkSession, sf: str) -> DataFrame:
 
     # ONE events scan feeds both metrics (qiime core-metrics: one feature
     # table -> every distance): the block-bounded counts relation is
-    # cached and shared, saving a full corpus scan per metric
+    # checkpointed and shared, saving a full corpus scan per metric
     counts = (
         _t(spark, sf, "events")
         .filter(F.col("user_id") < _BLOCK)
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bc = d2_bray_curtis(spark, sf, counts=counts).select(
         "ua", "ub", F.col("bray_curtis").alias("x")
@@ -1742,7 +1742,7 @@ def d13_procrustes(spark: SparkSession, sf: str, *, n_iter: int | None = None) -
         .filter(F.col("user_id") < _BC_BLOCK)
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bc = (
         d2_bray_curtis(spark, sf, counts=counts)

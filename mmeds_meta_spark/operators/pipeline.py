@@ -821,7 +821,13 @@ def pipeline_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
         "top_overlap_source",
         "top_overlap_containment",
         "effective_tokens",
-        F.expr("ROUND(w_raw / w_tot, 6)").alias("mix_weight"),
+        # Degenerate guard (round-9 ADVICE): if every source is fully
+        # contained by a partner (mirrored crawls), effective_tokens are
+        # all 0 and w_tot is 0 — 0/0 is NaN on Spark vs NULL on DuckDB.
+        # Emit NULL on both engines instead.
+        F.expr(
+            "CASE WHEN w_tot > 0 THEN ROUND(w_raw / w_tot, 6) END"
+        ).alias("mix_weight"),
     )
 
 
@@ -879,7 +885,7 @@ WITH m AS ({_CROSS_SOURCE_SQL}
 )
 SELECT source, n_docs, n_tokens, n_vocab, top_overlap_source,
        top_overlap_containment, effective_tokens,
-       ROUND(w_raw / w_tot, 6) AS mix_weight
+       CASE WHEN w_tot > 0 THEN ROUND(w_raw / w_tot, 6) END AS mix_weight
 FROM eff, tot
 """
 

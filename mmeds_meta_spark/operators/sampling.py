@@ -557,14 +557,14 @@ def _dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
     bexpr = _bucket_expr("spark", "f")
     # ONE corpus pass: (doc_id, b, c) is consumed three ways (target LM,
-    # raw LM, candidate scoring) — cache so the explode+agg runs once
+    # raw LM, candidate scoring) — checkpoint so the explode+agg runs once
     # (at cluster scale: persist(DISK_ONLY) or a checkpoint table)
     cnt = (
         uni.unionByName(big)
         .select("doc_id", "source", F.expr(bexpr).alias("b"))
         .groupBy("doc_id", "source", "b")
         .agg(F.count("*").cast("long").alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     tgt = (
         cnt.filter(F.col("source") == _DSIR_TARGET)

@@ -1258,8 +1258,8 @@ def text_nb_classifier(spark: SparkSession, sf: str, *, vocab_k: int = _NB_VOCAB
             F.posexplode(F.split("text", " ")).alias("pos", "tok"),
         )
         # consumed by vocab, the sym mapping, train counts, and apply —
-        # cache so the corpus explode runs once (cluster: DISK_ONLY)
-        .cache()
+        # checkpoint so the corpus explode runs once (cluster: DISK_ONLY)
+        .localCheckpoint(eager=True)
     )
     train = tok.filter(F.col("is_train"))
     vocab = (

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.diff_abundance import differential_abundance
+from ..operators.diversity import bray_curtis_pairs
 from ..functions.pcoa import PcoaResult, pcoa
 from ..functions.permanova import PermanovaResult, permanova
 from ..sources.feature_table import (
@@ -95,36 +96,20 @@ def run_core_analysis(
         )
     results["alpha"] = _materialize(alpha, out_dir, "alpha", spark)
 
-    # D2 — Bray-Curtis on relative abundances of the filtered table
-    counts = filtered.groupBy("sample_id", "feature_id").agg(F.sum("count").alias("c"))
-    totals = counts.groupBy("sample_id").agg(F.sum("c").alias("s"))
-    a = counts.select(F.col("sample_id").alias("ua"), "feature_id", F.col("c").alias("xa"))
-    b = counts.select(F.col("sample_id").alias("ub"), "feature_id", F.col("c").alias("xb"))
-    common = (
-        a.join(b, "feature_id")
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy("ua", "ub")
-        .agg(
-            F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("d_common"),
-            F.sum("xa").alias("ca"),
-            F.sum("xb").alias("cb"),
-        )
+    # D2 — Bray-Curtis via the shared registry kernel
+    # (operators/diversity.py:bray_curtis_pairs): the pipeline inherits
+    # the blocked, shuffle-hash-hinted, broadcast-common pair shape the
+    # gated d2_bray_curtis uses, instead of restating an uncapped
+    # crossJoin (round-8 verdict item).  The pair space stays bounded by
+    # the per-study sample count (10¹-10³ per BASELINE.md); the counts
+    # relation is checkpointed because totals + both join sides read it.
+    counts = (
+        filtered.groupBy("sample_id", "feature_id")
+        .agg(F.sum("count").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    ta = totals.select(F.col("sample_id").alias("ua"), F.col("s").alias("sa"))
-    tb = totals.select(F.col("sample_id").alias("ub"), F.col("s").alias("sb"))
-    beta = (
-        ta.crossJoin(tb)
-        .filter(F.col("ua") < F.col("ub"))
-        .join(F.broadcast(common), ["ua", "ub"], "left")
-        .fillna(0, subset=["d_common", "ca", "cb"])
-        .select(
-            "ua",
-            "ub",
-            (
-                (F.col("d_common") + (F.col("sa") - F.col("ca")) + (F.col("sb") - F.col("cb")))
-                / (F.col("sa") + F.col("sb"))
-            ).alias("distance"),
-        )
+    beta = bray_curtis_pairs(
+        counts, id_col="sample_id", feat_col="feature_id", out_col="distance"
     )
     beta = _materialize(beta, out_dir, "beta_braycurtis", spark)
     results["beta"] = beta

@@ -13,12 +13,35 @@ schema when no committed batch partition exists yet.
 
 from __future__ import annotations
 
-import glob
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _store_has_batches(spark: SparkSession, store_dir: str) -> bool:
+    """True iff ``store_dir`` contains at least one committed
+    ``batch_id=N`` partition directory.
+
+    Round-9 ADVICE fix: the previous implementation probed with local
+    ``glob.glob``, which always misses on a non-local filesystem
+    (HDFS/S3 URIs that Spark's own writers/readers support) — a fed
+    remote store silently read back as empty.  Probe through Spark's
+    Hadoop ``FileSystem`` API instead, so the check resolves against
+    whatever filesystem the URI names.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        if status.isDirectory() and status.getPath().getName().startswith(
+            "batch_id="
+        ):
+            return True
+    return False
 
 
 def read_store(spark: SparkSession, store_dir: str, ddl: str) -> DataFrame:
@@ -32,9 +55,14 @@ def read_store(spark: SparkSession, store_dir: str, ddl: str) -> DataFrame:
       declared columns, so both branches are schema-identical.
     """
     schema = StructType.fromDDL(ddl)
-    if not glob.glob(os.path.join(store_dir, "batch_id=*")):
+    if not _store_has_batches(spark, store_dir):
         return spark.createDataFrame([], schema)
-    df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    try:
+        df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    except AnalysisException:
+        # Partition dirs exist but hold no committed parquet footers yet
+        # (e.g. a crash between mkdir and commit): same monoid identity.
+        return spark.createDataFrame([], schema)
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
