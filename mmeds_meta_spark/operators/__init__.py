@@ -404,10 +404,11 @@ def registry() -> dict[str, QuerySpec]:
         sketches,
         stats,
         text,
+        web,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe, web):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}

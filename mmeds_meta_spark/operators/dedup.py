@@ -1297,7 +1297,9 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
 # ---------------------------------------------------------------------------
 
 
-def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_cluster_components(
+    spark: SparkSession, sf: str, *, pairs: DataFrame | None = None
+) -> DataFrame:
     """Connected components over the SimHash near-dup pair graph:
     cluster_id = MIN(doc_id) in the component — the "keep one per
     cluster" step every corpus-scale dedup pipeline runs after pair
@@ -1317,8 +1319,14 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     """
     # Materialize pairs BEFORE the symmetrizing union: union(pairs,
     # swapped) otherwise executes the salted band-join subplan twice
-    # inside the one edges materialization.
-    pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    # inside the one edges materialization.  ``pairs=`` lets a session
+    # share ONE pair relation across the CC consumers (cluster stats,
+    # dedup funnel, cluster split) — the counts-passthrough convention
+    # the diversity family uses; the caller owns its materialization.
+    if pairs is None:
+        pairs = dedup_simhash(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    else:
+        pairs = pairs.select("doc_a", "doc_b")
     # edges/l1 stay LAZY: both are cheap projections/aggs over the
     # checkpointed pairs blocks, and re-evaluating them inside the one
     # contraction plan is faster than materializing each (measured 3.75 s
@@ -1430,7 +1438,9 @@ SELECT node AS doc_id, MIN(lab) AS cluster_id FROM comp GROUP BY node
 # ---------------------------------------------------------------------------
 
 
-def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_keep_best(
+    spark: SparkSession, sf: str, *, clusters: DataFrame | None = None
+) -> DataFrame:
     """The end step of every corpus dedup pipeline: after pair generation
     (SimHash) and clustering (connected components), keep ONE canonical
     document per cluster — the one with the highest type-token ratio
@@ -1441,8 +1451,13 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     (max over a (ratio, doc_id) struct), NOT a window — a boilerplate-
     heavy corpus with one giant near-dup cluster produces a hot GROUP
     key, which map-side combine absorbs, where a rank window would
-    funnel the whole cluster through one task."""
-    comp = dedup_cluster_components(spark, sf)
+    funnel the whole cluster through one task.  ``clusters=`` shares a
+    precomputed (doc_id, cluster_id) relation across CC consumers."""
+    comp = (
+        clusters
+        if clusters is not None
+        else dedup_cluster_components(spark, sf)
+    )
     d = _t(spark, sf, "documents")
     full = (
         d.select("doc_id")
@@ -2308,7 +2323,9 @@ FROM agg WHERE CAST(n_bloom_hits AS DOUBLE) / n_shingles >= {_BLOOM_TAU}
 # ---------------------------------------------------------------------------
 
 
-def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_cluster_stats(
+    spark: SparkSession, sf: str, *, clusters: DataFrame | None = None
+) -> DataFrame:
     """Near-dup cluster size histogram: for each component size, how many
     clusters exist, how many documents they hold, and how many are
     REMOVABLE (all but one keeper per cluster) — the "what will this
@@ -2319,8 +2336,9 @@ def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     the CC fixpoint, the per-cluster count, and this histogram fuse into
     one job chain.  Beyond the pair-covered docs, the report is two
     matrix-sized aggregations (cluster → size, size → histogram) — free
-    at any corpus size once CC has run."""
-    cc = dedup_cluster_components(spark, sf)
+    at any corpus size once CC has run.  ``clusters=`` shares a
+    precomputed (doc_id, cluster_id) relation across CC consumers."""
+    cc = clusters if clusters is not None else dedup_cluster_components(spark, sf)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")

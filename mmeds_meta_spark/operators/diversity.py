@@ -1791,7 +1791,81 @@ FROM (
     return " UNION ALL ".join(branches)
 
 
+# ---------------------------------------------------------------------------
+# D1 — deterministic rarefaction (the oracle-checkable draw)
+# ---------------------------------------------------------------------------
+
+_RD_BLOCK = 40
+_RD_DEPTH = 50
+_RD_ITERS = 3
+_RD_SEED = 42
+
+
+def d1_rarefaction_det(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic rarefaction over the demo feature table
+    (rules/diversity_analysis.smk:42-75 rarefies before every alpha
+    metric): integer proportional quotas + md5-greedy remainder — the
+    one D1 stage that was previously outside the oracle gate (the
+    multinomial pandas_udf draw; round-8 verdict #2).  Exact integer
+    arithmetic end to end, so the emitted counts are bit-identical
+    cross-engine.  Output: (sample_id, iteration, feature_id, count)."""
+    from ..sources.feature_table import rarefy_deterministic
+
+    counts = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < _RD_BLOCK)
+        .groupBy(
+            F.col("user_id").alias("sample_id"),
+            F.col("event_type").alias("feature_id"),
+        )
+        .agg(F.count("*").alias("count"))
+    )
+    return rarefy_deterministic(
+        counts, depth=_RD_DEPTH, iterations=_RD_ITERS, seed=_RD_SEED
+    )
+
+
+_D1RD_SQL = f"""
+WITH counts AS (
+  SELECT user_id AS sample_id, event_type AS feature_id,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE user_id < {_RD_BLOCK} GROUP BY 1, 2
+), tot AS (
+  SELECT sample_id, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1
+), base AS (
+  SELECT c.sample_id, c.feature_id, c.c, t.t, i.iteration
+  FROM counts c JOIN tot t USING (sample_id),
+       (SELECT unnest(range(0, {_RD_ITERS})) AS iteration) i
+  WHERE t.t >= {_RD_DEPTH}
+), q AS (
+  SELECT sample_id, feature_id, CAST(iteration AS BIGINT) AS iteration,
+         ({_RD_DEPTH} * c) // t AS quota,
+         md5(CAST(sample_id AS VARCHAR) || '|' || CAST(iteration AS VARCHAR)
+             || '|' || CAST(feature_id AS VARCHAR) || '|' || '{_RD_SEED}') AS k
+  FROM base
+), ranked AS (
+  SELECT sample_id, feature_id, iteration, quota,
+         ROW_NUMBER() OVER (PARTITION BY sample_id, iteration
+                            ORDER BY k, feature_id) AS rk,
+         {_RD_DEPTH} - SUM(quota) OVER (PARTITION BY sample_id, iteration) AS r
+  FROM q
+)
+SELECT sample_id, iteration, feature_id,
+       CAST(quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS count
+FROM ranked
+WHERE quota + CASE WHEN rk <= r THEN 1 ELSE 0 END > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d1_rarefaction_det": QuerySpec(
+        d1_rarefaction_det,
+        _D1RD_SQL,
+        "D1 rules/diversity_analysis.smk:42-75 (rarefaction draw): integer "
+        "quotas + md5-greedy remainder (sample_epoch_plan's allocation "
+        "technique) — the deterministic, oracle-checkable twin of the "
+        "multinomial pandas_udf in sources/feature_table.py",
+    ),
     "d12_feature_table_summarize": QuerySpec(
         d12_feature_table_summarize,
         _fts_sql(),

@@ -24,21 +24,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..testdata import table as _t
 from . import QuerySpec
 
-_MIN_TOK = 20  # stage-2 floor (Gopher-style minimum length)
-_MIN_TTR = 0.40  # stage-2 type-token-ratio floor (Gopher-style richness)
-_SPAN_K = 8  # stage-3 span width (matches dedup_span_exact)
-_MAX_DUP = 0.5  # stage-3 ceiling on corpus-duplicated span fraction
+_MIN_TOK = 20  # stage-3 floor (Gopher-style minimum length)
+_MIN_TTR = 0.40  # stage-3 type-token-ratio floor (Gopher-style richness)
+_SPAN_K = 8  # stage-4 span width (matches dedup_span_exact)
+_MAX_DUP = 0.5  # stage-4 ceiling on corpus-duplicated span fraction
 
-_STAGES = ("raw", "exact_dedup", "quality", "span_dedup")
+_STAGES = ("raw", "url_dedup", "exact_dedup", "quality", "span_dedup")
 
 
 def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative curation funnel over the documents corpus:
 
     * stage 0 ``raw``        — every document
-    * stage 1 ``exact_dedup``— md5(text) keepers only (min doc_id per group)
-    * stage 2 ``quality``    — + ≥{mt} tokens and type-token ratio ≥ {ttr}
-    * stage 3 ``span_dedup`` — + < {md:.0%} of {k}-token spans duplicated
+    * stage 1 ``url_dedup``  — canonical-URL keepers only (C4's FIRST
+      stage: min doc_id per canonicalized URL; operators/web.py)
+    * stage 2 ``exact_dedup``— + md5(text) keepers (min doc_id per group)
+    * stage 3 ``quality``    — + ≥{mt} tokens and type-token ratio ≥ {ttr}
+    * stage 4 ``span_dedup`` — + < {md:.0%} of {k}-token spans duplicated
       elsewhere in the corpus
 
     Output: one row per stage with surviving doc/token counts and the
@@ -46,8 +48,20 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     ships.  Thresholds are deliberately simple published heuristics
     (Gopher/C4 family); the value here is the COMPOSITION: one plan,
     shared scans, no inter-stage materialization."""
+    from ..functions.urls import url_canonical
+    from .web import _synth_url_expr
+
     d = _t(spark, sf, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+
+    # stage 1 — URL-level exact dedup (one shuffle on the canonical URL)
+    cu = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_synth_url_expr("doc_id", "source")).alias("url")
+    ).select("doc_id", url_canonical("url").alias("cu"))
+    ukeep = cu.groupBy("cu").agg(F.min("doc_id").alias("ukeeper"))
+    url_keeper = cu.join(ukeep, "cu").select(
+        "doc_id", (F.col("doc_id") == F.col("ukeeper")).alias("is_url_keeper")
     )
 
     fp = d.select("doc_id", F.md5("text").alias("f"))
@@ -92,14 +106,17 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    flags = keeper.join(qual, "doc_id").join(span_ok, "doc_id")
+    flags = (
+        url_keeper.join(keeper, "doc_id").join(qual, "doc_id").join(span_ok, "doc_id")
+    )
     tall = flags.selectExpr(
         "n_tok",
-        "stack(4, "
+        "stack(5, "
         f"0L, '{_STAGES[0]}', true, "
-        f"1L, '{_STAGES[1]}', is_keeper, "
-        f"2L, '{_STAGES[2]}', is_keeper AND is_quality, "
-        f"3L, '{_STAGES[3]}', is_keeper AND is_quality AND span_ok"
+        f"1L, '{_STAGES[1]}', is_url_keeper, "
+        f"2L, '{_STAGES[2]}', is_url_keeper AND is_keeper, "
+        f"3L, '{_STAGES[3]}', is_url_keeper AND is_keeper AND is_quality, "
+        f"4L, '{_STAGES[4]}', is_url_keeper AND is_keeper AND is_quality AND span_ok"
         ") AS (stage, stage_name, alive)"
     )
     agg = tall.groupBy("stage", "stage_name").agg(
@@ -123,10 +140,27 @@ pipeline_curation_funnel.__doc__ = pipeline_curation_funnel.__doc__.format(
     mt=_MIN_TOK, ttr=_MIN_TTR, md=_MAX_DUP, k=_SPAN_K
 )
 
+def _funnel_url_ctes() -> str:
+    """The url_dedup stage's CTEs — built from the SAME synth + canonical
+    builders the gated dedup_url_canonical uses (one source of truth)."""
+    from ..functions.urls import canonical_sql
+    from .web import _synth_url_expr
+
+    url = _synth_url_expr("doc_id", "source")
+    return f"""cu AS (
+  SELECT doc_id, {canonical_sql(url)} AS cu FROM documents
+), ukeep AS (
+  SELECT cu, MIN(doc_id) AS ukeeper FROM cu GROUP BY 1
+), url_keeper AS (
+  SELECT c.doc_id, c.doc_id = u.ukeeper AS is_url_keeper
+  FROM cu c JOIN ukeep u USING (cu)
+)"""
+
+
 _FUNNEL_SQL = f"""
 WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
-), keep AS (
+), {_funnel_url_ctes()}, keep AS (
   SELECT md5(text) AS f, MIN(doc_id) AS keeper FROM d GROUP BY 1
 ), keeper AS (
   SELECT d.doc_id, d.doc_id = k.keeper AS is_keeper
@@ -148,16 +182,20 @@ WITH d AS (
            < {_MAX_DUP} AS span_ok
   FROM spans s JOIN occ o USING (h) GROUP BY s.doc_id
 ), flags AS (
-  SELECT k.doc_id, q.n_tok, k.is_keeper, q.is_quality, s.span_ok
-  FROM keeper k JOIN qual q USING (doc_id) JOIN span_ok s USING (doc_id)
+  SELECT k.doc_id, q.n_tok, u.is_url_keeper, k.is_keeper, q.is_quality, s.span_ok
+  FROM url_keeper u JOIN keeper k USING (doc_id)
+       JOIN qual q USING (doc_id) JOIN span_ok s USING (doc_id)
 ), tall AS (
   SELECT 0 AS stage, '{_STAGES[0]}' AS stage_name, TRUE AS alive, n_tok FROM flags
   UNION ALL
-  SELECT 1, '{_STAGES[1]}', is_keeper, n_tok FROM flags
+  SELECT 1, '{_STAGES[1]}', is_url_keeper, n_tok FROM flags
   UNION ALL
-  SELECT 2, '{_STAGES[2]}', is_keeper AND is_quality, n_tok FROM flags
+  SELECT 2, '{_STAGES[2]}', is_url_keeper AND is_keeper, n_tok FROM flags
   UNION ALL
-  SELECT 3, '{_STAGES[3]}', is_keeper AND is_quality AND span_ok, n_tok FROM flags
+  SELECT 3, '{_STAGES[3]}', is_url_keeper AND is_keeper AND is_quality, n_tok FROM flags
+  UNION ALL
+  SELECT 4, '{_STAGES[4]}', is_url_keeper AND is_keeper AND is_quality AND span_ok,
+         n_tok FROM flags
 ), agg AS (
   SELECT stage, stage_name,
          CAST(SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
@@ -592,7 +630,9 @@ FROM u GROUP BY doc_id
 _DD_STAGES = ("raw", "exact", "normalized", "semantic_cluster")
 
 
-def pipeline_dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
+def pipeline_dedup_funnel(
+    spark: SparkSession, sf: str, *, clusters: DataFrame | None = None
+) -> DataFrame:
     """Dedup-ESCALATION funnel: how many documents (and tokens) survive
     each successively stronger dedup level —
 
@@ -612,7 +652,10 @@ def pipeline_dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
     Physical shape: two md5 groupBy keepers (uniform keys), the CC
     fixpoint on the contracted quotient graph (dedup_cluster_components'
-    pointer jumping, bounded checkpoints), and one 4-row rollup."""
+    pointer jumping, bounded checkpoints), and one 4-row rollup.
+    ``clusters=`` shares a precomputed (doc_id, cluster_id) relation
+    across the CC consumers (the diversity family's counts= convention),
+    so a session runs the SimHash pair generation + fixpoint once."""
     from .dedup import _norm_expr, dedup_cluster_components
 
     d = _t(spark, sf, "documents").select(
@@ -628,7 +671,7 @@ def pipeline_dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
     norm = nf.join(nf.groupBy("nf").agg(F.min("doc_id").alias("k")), "nf").select(
         "doc_id", (F.col("doc_id") == F.col("k")).alias("norm_keep")
     )
-    comp = dedup_cluster_components(spark, sf)
+    comp = clusters if clusters is not None else dedup_cluster_components(spark, sf)
     cmin = (
         comp.groupBy("cluster_id")
         .agg(F.min("doc_id").alias("k"))

@@ -1057,7 +1057,9 @@ FROM cum, plan
 # ---------------------------------------------------------------------------
 
 
-def sample_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+def sample_cluster_split(
+    spark: SparkSession, sf: str, *, clusters: DataFrame | None = None
+) -> DataFrame:
     """LEAKAGE-SAFE train/eval split: the md5 hash split keyed by the
     near-dup CLUSTER instead of the document — a plain random/hash split
     puts a document in train and its near-duplicate in eval, and the
@@ -1074,10 +1076,12 @@ def sample_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-hinted on purpose: pair participation is usually a small
     fraction of the corpus, but on a heavily duplicated corpus (the
     very case this operator guards against) it approaches the corpus
-    itself — AQE picks broadcast at runtime when it actually fits."""
+    itself — AQE picks broadcast at runtime when it actually fits.
+    ``clusters=`` shares a precomputed (doc_id, cluster_id) relation
+    across the CC consumers, so a session runs the fixpoint once."""
     from .dedup import dedup_cluster_components
 
-    cc = dedup_cluster_components(spark, sf)
+    cc = clusters if clusters is not None else dedup_cluster_components(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id")
     keyed = (
         d.join(cc, "doc_id", "left")

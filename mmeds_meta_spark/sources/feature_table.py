@@ -10,7 +10,7 @@ groupBy/join, never a row-wise matrix walk.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 # ---------------------------------------------------------------------------
 # wide TSV ↔ long  (extract_feature_table_tsv, rules/file_manipulation.smk)
@@ -221,6 +221,72 @@ def rarefy(
         .applyInPandas(
             draw, "sample_id string, iteration long, feature_id string, count double"
         )
+    )
+
+
+def rarefy_deterministic(
+    long_df: DataFrame, *, depth: int, iterations: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic rarefaction — the oracle-checkable twin of
+    :func:`rarefy` (round-8 verdict #2): instead of a seeded multinomial
+    draw, allocate ``depth`` reads per (sample, iteration) by integer
+    proportional quotas plus an md5-greedy remainder — the exact
+    technique ``sample_epoch_plan`` (operators/sampling.py) ships for
+    data-constrained epoch planning:
+
+    * quota_f = (depth * c_f) DIV total  — exact integer arithmetic,
+      identical on both engines; quota_f < c_f whenever depth < total,
+      so the allocation never over-draws a feature;
+    * the remainder R = depth − Σ quota (R ≤ n_features − 1) goes +1 to
+      the R features ranked first by md5(sample|iter|feature|seed).
+
+    Every (sample, iteration) hits ``depth`` exactly; samples shallower
+    than ``depth`` are dropped (as qiime does).  Pure DataFrame ops —
+    one shuffle on (sample_id, iteration) for the two windows; no UDF,
+    no RNG — so the draw itself is cross-engine gate-able
+    (d1_rarefaction_det), unlike the multinomial pandas_udf."""
+    tot = long_df.groupBy("sample_id").agg(
+        F.expr("CAST(SUM(count) AS BIGINT)").alias("t")
+    )
+    base = (
+        long_df.join(tot, "sample_id")
+        .filter(F.col("t") >= depth)
+        .select(
+            "sample_id",
+            "feature_id",
+            F.col("count").cast("long").alias("c"),
+            "t",
+            F.explode(F.expr(f"sequence(0, {iterations - 1})")).alias("iteration"),
+        )
+    )
+    q = base.select(
+        "sample_id",
+        "feature_id",
+        F.col("iteration").cast("long").alias("iteration"),
+        F.expr(f"CAST({depth} * c AS BIGINT) DIV t").alias("quota"),
+        F.expr(
+            "md5(concat(CAST(sample_id AS STRING), '|',"
+            " CAST(iteration AS STRING), '|', CAST(feature_id AS STRING),"
+            f" '|', '{seed}'))"
+        ).alias("k"),
+    )
+    wrk = Window.partitionBy("sample_id", "iteration").orderBy("k", "feature_id")
+    wall = Window.partitionBy("sample_id", "iteration")
+    return (
+        q.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("r", F.lit(depth) - F.sum("quota").over(wall))
+        .select(
+            "sample_id",
+            "iteration",
+            "feature_id",
+            (
+                F.col("quota")
+                + F.when(F.col("rk") <= F.col("r"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("count"),
+        )
+        .filter(F.col("count") > 0)
     )
 
 

@@ -1,0 +1,124 @@
+"""URL canonicalization + per-domain cap (operators/web.py) — the
+WET-path domain stage.  Covers the canonicalization rules one by one on
+hand-crafted URLs (the real API: ``urls=`` override), the registrable-
+domain suffix walk, and the domain cap's two-phase routing on skewed
+synthetic data (under-cap domains must pass through, over-cap domains
+must keep exactly ``cap`` documents chosen by the md5 rank).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mmeds_meta_spark.functions.urls import (
+    canonical_sql,
+    registrable_domain,
+    url_canonical,
+)
+from mmeds_meta_spark.operators.web import dedup_url_canonical, sample_domain_cap
+
+CASES = [
+    # (raw, canonical)
+    ("http://example.com/a", "http://example.com/a"),
+    ("HTTP://EXAMPLE.COM/a", "http://example.com/a"),  # scheme+host case
+    ("http://www.example.com/a", "http://example.com/a"),  # www.
+    ("http://example.com:80/a", "http://example.com/a"),  # default port
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # kept
+    ("http://example.com/a/", "http://example.com/a"),  # trailing slash
+    ("http://example.com/", "http://example.com"),  # root path folds
+    ("http://example.com", "http://example.com"),
+    ("http://example.com/a#sec", "http://example.com/a"),  # fragment
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),  # sort
+    (
+        "http://example.com/a?utm_source=x&id=4&fbclid=zz",
+        "http://example.com/a?id=4",
+    ),  # tracking params
+    ("http://example.com/a?utm_source=x", "http://example.com/a"),  # all dropped
+    ("http://example.com/A", "http://example.com/A"),  # path case KEPT
+]
+
+
+def test_url_canonical_rules(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", url_canonical("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, raw
+
+
+def test_canonical_sql_matches_spark(spark):
+    import duckdb
+
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    s = [r["c"] for r in df.select(url_canonical("url").alias("c")).collect()]
+    d = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT "
+            + canonical_sql("url")
+            + " FROM (SELECT unnest(?) AS url)",
+            params=[[u for u, _ in CASES]],
+        ).fetchall()
+    ]
+    assert s == d
+
+
+def test_registrable_domain_suffix_walk(spark):
+    hosts = [
+        ("a.b.site.co.uk", "site.co.uk"),  # 2-label suffix wins over 'uk'
+        ("x.site.example.com", "site.example.com"),  # longest suffix first
+        ("deep.sub.site.com", "site.com"),
+        ("site.org", "site.org"),
+        ("localhost", "localhost"),  # no suffix match -> host itself
+    ]
+    df = spark.createDataFrame(hosts, "host string, want string")
+    bad = df.select(
+        "host", "want", registrable_domain("host").alias("got")
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.collect() == []
+
+
+def _urls_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+
+
+def test_dedup_url_canonical_real_api(spark):
+    urls = _urls_df(
+        spark,
+        [
+            (1, "http://www.example.com/a?utm_source=x", 10),
+            (2, "HTTP://EXAMPLE.COM:80/a", 10),  # same canonical as 1
+            (3, "https://example.com/a", 10),  # scheme differs -> distinct
+            (4, "http://example.com/b", 10),
+        ],
+    )
+    got = {
+        r["url_canonical"]: (r["n_docs"], r["keeper_doc_id"])
+        for r in dedup_url_canonical(spark, "unused", urls=urls).collect()
+    }
+    assert got == {"http://example.com/a": (2, 1)}
+
+
+def test_domain_cap_two_phase_routing(spark):
+    # mega.com: 8 docs (over cap 3); tail.org: 2 docs (under cap)
+    rows = [(i, f"http://sub{i % 2}.mega.com/p/{i}", 5) for i in range(8)] + [
+        (100, "http://tail.org/x", 5),
+        (101, "http://tail.org/y", 5),
+    ]
+    out = sample_domain_cap(spark, "unused", cap=3, urls=_urls_df(spark, rows)).collect()
+    by_domain: dict[str, list] = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], []).append(r)
+    assert sorted(by_domain) == ["mega.com", "tail.org"]
+    assert len(by_domain["tail.org"]) == 2
+    assert all(r["kept"] for r in by_domain["tail.org"])
+    assert len(by_domain["mega.com"]) == 8
+    assert sum(r["kept"] for r in by_domain["mega.com"]) == 3
+    # deterministic: same inputs -> same kept set
+    again = sample_domain_cap(spark, "unused", cap=3, urls=_urls_df(spark, rows))
+    kept1 = sorted(r["doc_id"] for r in out if r["kept"])
+    kept2 = sorted(r["doc_id"] for r in again.collect() if r["kept"])
+    assert kept1 == kept2
