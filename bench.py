@@ -14,11 +14,21 @@ Two query sets:
   w1 0.623 → 0.276 — so two passes under-warm; five interleaved passes
   reach the same steady state the isolated series shows.  All raw
   passes are emitted for spread analysis.
-* HEAVY — the round-4/5 operators whose 100-TB claims previously rested
+* HEAVY — the round-4+ operators whose 100-TB claims previously rested
   on plan audits alone (span-granular exact dedup, AllPairs prefix
   similarity join, Mantel with 199 in-plan permutations, the curation
-  funnel composition).  Min of two passes; reported separately as
-  ``heavy_queries``/``heavy_total`` so the legacy total stays comparable.
+  funnel composition).  Min of THREE interleaved passes (round-8 verdict
+  #5: two rounds in a row produced phantom heavy-set "regressions" that
+  same-commit diagnosis traced to host sampling — min-of-2 cannot
+  separate a real regression from one stalled pass, min-of-3 with the
+  per-query min/median/max spread in BENCH_DETAIL.json can: a REAL
+  regression moves the MIN with a tight spread, host noise shows a wide
+  spread around an unmoved min).  Regression triage threshold (also
+  stated in SCALE_NOTES.md): a heavy query is flagged code-vs-host ONLY
+  if its min rises >25% over its anchor AND its spread (max/min) is
+  <1.5; otherwise re-measure before concluding.  Reported separately as
+  ``heavy_queries``/``heavy_total`` so the legacy total stays
+  comparable.
 
 Each query is materialized with the no-op sink (full execution, no driver
 collect overhead).  A warm-up run of the first query absorbs JVM/codegen
@@ -113,6 +123,12 @@ HEAVY = [
     "w20_time_decay_attribution",
     "pipeline_mixture_plan",
     "sample_cluster_split",
+    # round-9: the WET-path domain stage (canonicalization is ~25 string
+    # expressions per row — tracked so the narrow-map claim carries a
+    # measured time) and the deterministic rarefaction draw
+    "dedup_url_canonical",
+    "sample_domain_cap",
+    "d1_rarefaction_det",
 ]
 
 
@@ -129,9 +145,10 @@ def main() -> None:
         t0 = time.time()
         reg[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        # operators that .cache() block-bounded intermediates (phylo cov,
-        # jaccard shingles) get their blocks released here — scoped cache,
-        # no accumulation across a long-lived session
+        # belt-and-braces: operators now localCheckpoint their shared
+        # intermediates (blocks are GC-released with the DataFrame), but
+        # clearing the cache manager here keeps the harness honest if a
+        # future operator reintroduces .cache()
         spark.catalog.clearCache()
         return dt
 
@@ -145,7 +162,7 @@ def main() -> None:
         name: round(min(p[name] for p in passes), 3) for name in HEADLINE
     }
     total = round(sum(times.values()), 3)
-    heavy_passes = [{name: run(name) for name in HEAVY} for _ in range(2)]
+    heavy_passes = [{name: run(name) for name in HEAVY} for _ in range(3)]
     heavy = {
         name: round(min(p[name] for p in heavy_passes), 3) for name in HEAVY
     }
@@ -153,10 +170,26 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    def spread(pss: list[dict], names: list[str]) -> dict:
+        out = {}
+        for n in names:
+            xs = sorted(p[n] for p in pss)
+            out[n] = {
+                "min": round(xs[0], 3),
+                "median": round(xs[len(xs) // 2], 3),
+                "max": round(xs[-1], 3),
+                "max_over_min": round(xs[-1] / xs[0], 2) if xs[0] > 0 else None,
+            }
+        return out
+
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "sf": sf,
+                "regression_rule": (
+                    "flag code-regression only if min > 1.25x anchor AND "
+                    "max_over_min < 1.5; wide spread = host sampling, re-measure"
+                ),
                 "passes": {
                     f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
                     for i, p in enumerate(passes)
@@ -165,6 +198,8 @@ def main() -> None:
                     f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
                     for i, p in enumerate(heavy_passes)
                 },
+                "spread": spread(passes, HEADLINE),
+                "heavy_spread": spread(heavy_passes, HEAVY),
             },
             fh,
             indent=1,

@@ -47,27 +47,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # shape-twin): j2 ⊂ j3's chained dim joins; d2_bray_curtis = the
     # pairwise decomposition of the gated d2_unifrac_*; balanced_topk =
     # w1's partitioned-window shape
-    "j2_snowflake_join",
-    "d2_bray_curtis",
-    "sample_balanced_topk",
-    "a10_grouped_mean_of_means",  # two-stage groupBy-avg: a11/a13 shape
-    "f9_date_range_check",  # row filter: p3/p9's gated filter shape
-    "text_fingerprint_bag",  # token-bag agg: text_token_stats' gated shape
-    "j7_semi_join_probe",  # left-semi: j9's gated anti-join twin
-    "a6_zscore_outliers",  # exact-moment agg+filter: a5/d3's gated shape
-    "a12_stepwise_retention",  # column arithmetic + unpivot: r1's gated shape
-    "a2_count_per_parent",
-    "a4_group_collect",
-    "a9_distinct_runs",
-    "a11_grouped_mean_sem",
-    "a15_pairwise_splits",
-    "a16_ordered_distinct",
-    "a17_stats_counters",
-    "w2_uniquify_rows",
-    "s7_projection_pushdown",
-    "p8_two_class_filter",
-    "f10_alphabet_check",
-    "f16_levenshtein_match",
     # displaced round 4 (driver-green in r01–r03; gated shape-twins keep
     # the evidence): faith_pd over the synthetic tree model is superseded
     # by the gated d1_faith_pd_newick over a REAL parsed tree; langid's
@@ -79,7 +58,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # the synthetic tree model, now evidenced by d2_unifrac_weighted_newick
     # over a REAL parsed tree; d5_ancombc = the alternating estimator that
     # runs verbatim inside the gated d5_ancombc_em before its E-M refinement
-    "d2_unifrac_weighted",
     "d5_ancombc",
     # ann_ivf_topk's broadcast-centroid bucket search is evidenced by the
     # gated dedup_embedding_ivf (learned k-means buckets, same assignment
@@ -117,7 +95,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # entries driver-green in every round r01-r04 whose shapes keep gated
     # twins or strict supersets:
     "dedup_exact_hash",  # md5 groupBy: dedup_span_exact gates the same hashing at span granularity
-    "dedup_ngram_jaccard",  # inverted-index jaccard: simjoin_prefix_jaccard gates the exact form
     "dedup_embedding_cosine",  # blocked cosine pairs: dedup_embedding_ivf/ann_cosine_topk gated
     "text_token_stats",  # narrow tokenize+agg: text_quality_score/chunk_documents gated
     "sketch_kmv_distinct",  # bottom-k estimator: sketch_kmv_setops is its strict superset
@@ -137,7 +114,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # presence/absence specialization of the gated
     # d2_unifrac_weighted_newick (same branch-inverted-index pair shape;
     # driver-green r03-r04); its slot funds the RANGE-frame window
-    "d2_unifrac_unweighted",
     # blocked self-join + partitioned rank (driver-green r02-r04): the
     # gated ANN family keeps the blocked search shapes and
     # sample_stratified_exact the partitioned rank; its slot funds the
@@ -246,7 +222,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # simjoin_prefix_jaccard + decon_ngram_overlap keep the
     # inverted-index pair-generation family.  Its slot funds
     # dedup_semdedup (SemDeDup cluster-prefix pruning).
-    "dedup_containment",
     # multimodal metadata/feature extraction (driver-green r05): the gated
     # multimodal_frame_dedup keeps the Arrow-batched mapInPandas shape.
     # Its slot funds d12_feature_table_summarize (qiime feature-table
@@ -305,7 +280,6 @@ _GATE_TAIL: tuple[str, ...] = (
     "d5_ancombc_em",  # alternating estimator: d4_permanova keeps the exact-moment iterative family gated
     "d6_lefse_lda",  # rank + LDA moments: d10_anosim's distributed mid-ranks stay gated
     "d1_faith_pd_newick",  # Newick branch walk: d15_chao1_coverage gates D1 alpha; d2_unifrac_unweighted_newick keeps the parsed tree
-    "d2_unifrac_weighted_newick",  # branch-index pair shape: d2_unifrac_unweighted_newick stays gated
     "d11_alpha_group_significance",  # alpha KW: d10_anosim keeps the rank-stat family gated
     "dedup_span_exact",  # span md5 groupBy: dedup_span_topk + dedup_substring_islands gate its supersets
     "decon_bloom_filter",  # broadcast-structure probe: decon_fuzzy_minhash gates the decontamination family
@@ -331,7 +305,6 @@ _GATE_TAIL: tuple[str, ...] = (
     "d12_feature_table_summarize",  # dual-axis CDF quantiles: same gated family
     "w6_funnel_conversion",  # ordered funnel: w5_range_join_bucketed keeps the event family
     "text_bm25_topk",  # broadcast IDF scoring: the BPE/vocab text family is heavily gated
-    "text_nb_classifier",  # broadcast NB model: text_ccnet_buckets keeps train+apply gated
     "d14_alpha_correlation",  # mid-rank Spearman + perm p: d16_permdisp gates the perm family
     "d4_permanova_pairwise",  # per-pair PERMANOVA: d4_permanova stays gated
     "d10_anosim",  # rank-R perm test: d4_permanova + d16_permdisp keep the surface
@@ -365,8 +338,6 @@ _GATE_TAIL: tuple[str, ...] = (
     # are driver-r07 green and every stage they compose stays gated as a
     # single (quality/gopher/DSIR signals; the decontam and export
     # funnels keep the composition shape gated):
-    "pipeline_selection_funnel",
-    "pipeline_curation_funnel",
     # displaced by the new pipeline_mixture_plan composition so
     # text_bpe_train keeps its slot: driver-green since r1 and a STRICT
     # SUBSET of the gated text_gopher_full (which recomputes the shape
@@ -385,6 +356,55 @@ _GATE_TAIL: tuple[str, ...] = (
     # fixed-order projection dot folds stay gated via ann_srp_lsh_topk
     # (SRP is the sign of the same random projection):
     "embed_random_projection",
+    # ---- round-9 rotation (per the round-8 verdict's #3 ask: driver-gate
+    # freshness is rotation-bound — rotate oldest-first).  IN this round:
+    # (a) the three NEW round-9 ops (dedup_url_canonical,
+    # sample_domain_cap, d1_rarefaction_det) gate immediately; (b) every
+    # entry whose PLAN changed this round re-gates (the cache ->
+    # localCheckpoint conversions, the shared bray_curtis_pairs kernel,
+    # the url_dedup funnel stage, the dsir_scores checkpoint):
+    # pipeline_curation_funnel, pipeline_selection_funnel, d2_bray_curtis,
+    # dedup_ngram_jaccard, dedup_containment, d2_unifrac_weighted,
+    # d2_unifrac_unweighted, d2_unifrac_weighted_newick,
+    # text_nb_classifier; (c) the 20 entries whose ONLY driver rows date
+    # from rounds 1-4 (s7, a2, a4, a6, a9-a12, a15-a17, w2, p8, f9, f10,
+    # f16, j2, j7, sample_balanced_topk, text_fingerprint_bag,
+    # a10_grouped_mean_of_means) return for fresh evidence.  OUT: 32
+    # entries driver-green in CORRECTNESS_r08 whose physical shapes keep
+    # gated twins (the freshest evidence yields first — every one below
+    # has a green r8 row and an oracle-exact sweep this session):
+    "p3_rls_filter",  # RLS filter: p8_two_class_filter re-gated keeps the filter shape
+    "w19_position_attribution",  # journey micro-units: w20 (changed: clamp) stays gated
+    "w17_markov_absorption",  # dense one-row folds: w18's twin machinery displaced with it
+    "w18_markov_removal",  # the K+1-fold removal variant of w17
+    "p11_k_anonymity",  # two-level agg: a2/a4 re-gated keep the grouped-count family
+    "w5_range_join_bucketed",  # bucketed range join: the event family keeps many gated rows
+    "a25_rollup_cube",  # Expand + partial agg: a17_stats_counters re-gated keeps counters
+    "w15_seasonal_anomaly",  # 3-sigma micro-moments: a6_zscore re-gated keeps the z family
+    "d2_pcoa_power",  # in-plan power iteration: d13_procrustes (changed) stays gated
+    "d2_jaccard_beta",  # presence/absence pairs: d2_bray_curtis re-gates the kernel
+    "dedup_cross_source_matrix",  # shingle-vocab matrix: mixture plan (changed) stays gated
+    "dedup_exact_normalized",  # normalized md5 keeper: the funnel re-gates both keeper stages
+    "decon_fuzzy_minhash",  # banded decon: decon modalities keep pytest + sweep evidence
+    "dedup_lsh_tuning_curve",  # S-curve advisor over the jaccard histogram: ngram_jaccard re-gated
+    "decon_span_islands",  # island redaction: dedup_substring_islands' machinery, swept
+    "dedup_substring_islands",  # stride-1 islands: span family swept + pytest-covered
+    "dedup_span_topk",  # span diagnostics: same uniform-hash shuffle family
+    "dedup_semdedup",  # kmeans prefix prune: ann family keeps bucket-local search gated
+    "decon_embedding_cosine",  # broadcast bench embeddings: decon report swept
+    "ann_srp_lsh_topk",  # SRP banding: recall floors pytest-measured every run
+    "text_bigram_lm_score",  # bounded bigram grid: text_nb_classifier re-gated keeps LM apply
+    "text_length_ks_drift",  # histogram-CDF KS: bounded-grid family swept
+    "text_gopher_full",  # shape AND repetition: both halves swept + pytest golden
+    "text_ccnet_buckets",  # perplexity terciles: text_nb_classifier re-gated keeps train+apply
+    "multimodal_frame_dedup",  # Arrow mapInPandas: multimodal pytest suite keeps the seam
+    "d16_permdisp",  # dispersion ANOVA: d4_permanova keeps the permutation family gated
+    "sample_epoch_plan",  # quota+md5 remainder: d1_rarefaction_det gates the SAME allocation
+    "sample_epoch_shuffle",  # (epoch,shard) shuffle: export funnel keeps the shard stage gated
+    "sample_quality_quota",  # histogram-threshold best-k: hist_quantile's CDF walk stays gated
+    "sketch_kmv_overlap_matrix",  # bottom-k matrix: sketch family swept; hist_quantile stays
+    "w16_sliding_distinct_hll",  # register-MAX merging: sketch family swept + streaming pytest
+    "pipeline_decontam_report",  # defense-in-depth verdict: every modality swept individually
 )
 
 
