@@ -122,3 +122,37 @@ def test_domain_cap_two_phase_routing(spark):
     kept1 = sorted(r["doc_id"] for r in out if r["kept"])
     kept2 = sorted(r["doc_id"] for r in again.collect() if r["kept"])
     assert kept1 == kept2
+
+
+def test_wet_target_uri_feeds_url_ops(spark, tmp_path):
+    """The REAL producer path: WET records' target_uri drives the URL
+    dedup and the domain cap directly (no synthetic workload)."""
+    from mmeds_meta_spark.sources.wet import register_wet_source, write_wet
+
+    d = tmp_path / "dump_url"
+    d.mkdir()
+    recs = [
+        {"uri": "http://www.site-a.example.com/page?utm_source=x", "text": "one two"},
+        {"uri": "HTTP://SITE-A.EXAMPLE.COM:80/page", "text": "three four"},  # dup of ^
+        {"uri": "https://site-b.co.uk/p/1", "text": "five six"},
+        {"uri": "https://site-b.co.uk/p/2", "text": "seven eight"},
+        {"uri": "https://site-b.co.uk/p/3", "text": "nine ten"},
+    ]
+    write_wet(recs, str(d / "seg.wet.gz"))
+    register_wet_source(spark)
+    wet = spark.read.format("wet").load(str(d))
+    urls = wet.selectExpr(
+        "record_id AS doc_id", "target_uri AS url", "n_chars"
+    )
+    groups = dedup_url_canonical(spark, "unused", urls=urls).collect()
+    assert len(groups) == 1
+    assert groups[0]["url_canonical"] == "http://site-a.example.com/page"
+    assert groups[0]["n_docs"] == 2
+
+    capped = sample_domain_cap(spark, "unused", cap=2, urls=urls).collect()
+    by_domain = {}
+    for r in capped:
+        by_domain.setdefault(r["domain"], []).append(r["kept"])
+    assert sorted(by_domain) == ["site-a.example.com", "site-b.co.uk"]
+    assert sum(by_domain["site-b.co.uk"]) == 2  # capped at 2 of 3
+    assert all(by_domain["site-a.example.com"])  # under cap -> all kept
