@@ -405,6 +405,13 @@ _GATE_TAIL: tuple[str, ...] = (
     "sketch_kmv_overlap_matrix",  # bottom-k matrix: sketch family swept; hist_quantile stays
     "w16_sliding_distinct_hll",  # register-MAX merging: sketch family swept + streaming pytest
     "pipeline_decontam_report",  # defense-in-depth verdict: every modality swept individually
+    # ---- round-9 session-2: the new web_host_pagerank gates immediately
+    # (novel shape: integer micro-unit rank iterations on the bounded
+    # host quotient graph).  OUT: the synthetic-tree unweighted UniFrac —
+    # it re-entered the head only because the shared branch-pair kernel
+    # changed this round, and BOTH Newick variants (weighted +
+    # unweighted) re-gate that exact kernel over a REAL parsed tree:
+    "d2_unifrac_unweighted",
 )
 
 

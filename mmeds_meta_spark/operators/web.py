@@ -217,6 +217,202 @@ SELECT doc_id, domain, rn <= {cap} AS kept FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# host-level link-graph PageRank
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5  # fixed iteration count (both engines unroll the same chain)
+_PR_SCALE = 1_000_000  # micro-unit scale: ranks/probabilities are BIGINTs
+_PR_TELEPORT = 150_000  # (1 - d) in micro-units
+_PR_DAMP = 850  # damping numerator per mille (d = 0.85)
+
+
+def _synth_host_expr(k: str, s: str) -> str:
+    """Canonical host for link-target key ``k`` of source ``s`` — the
+    same host shape :func:`_synth_url_expr` produces AFTER
+    canonicalization (lowercase, no www., no port), so link targets and
+    link sources live in one host namespace on both engines."""
+    suffix = f"CASE WHEN ({k} % 20) % 3 = 1 THEN 'co.uk' ELSE 'example.com' END"
+    return f"concat('s', {k} % 3, '.', {s}, '.', {suffix})"
+
+
+# Deterministic outlink model over the documents table: every document
+# emits two host-level links — one to a shifted sibling host within its
+# source (key 7·d+1 moves the subdomain class, 5·d+11 the suffix class)
+# and, for 30% of documents, one to a single global hub host
+# ('hub.example.com', which hosts no documents itself).  The hub gives
+# the graph the real web's inlink skew: a node with ~0.3·|docs| inlinks
+# and NO outlinks (dangling — its mass is dropped each iteration, the
+# "remove dangling" PageRank variant used by public webgraph tools).
+_HUB = "hub.example.com"
+
+
+def _dst2_expr(d: str, s: str) -> str:
+    return (
+        f"CASE WHEN {d} % 10 < 3 THEN '{_HUB}'"
+        f" ELSE {_synth_host_expr(f'({d} * 5 + 11)', s)} END"
+    )
+
+
+def web_host_pagerank(
+    spark: SparkSession, sf: str, *, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Host-level webgraph PageRank — the Common Crawl host-ranking
+    stage (cc's host-level webgraph + centrality releases; CCNet-style
+    pipelines re-weight by host reputation).  Beyond-reference.
+
+    Exact integer micro-unit arithmetic end-to-end so the DuckDB oracle
+    matches bit-for-bit: edge probabilities are ``(w·1e6) div W(u)``
+    micro-probs, each iteration is ``r'(v) = 150000 + (850 ·
+    Σ_u (r(u)·p(u,v)) div 1e6) div 1000`` — BIGINT sums are exact and
+    order-free, so no double ever enters an aggregation.
+
+    Scale shape at 100 TB: the ONLY corpus-scale work is the edge
+    extraction (a narrow 2-links-per-doc projection) and ONE
+    pre-aggregated shuffle to the weighted host-pair edge list; hosts
+    are web-bounded (~10⁸ globally — millions of times smaller than the
+    corpus), so the five rank iterations run on the bounded quotient
+    graph with the rank vector broadcast into each join.  Intra-host
+    links are excluded (host-graph convention) and the edge relation is
+    checkpointed once so iterations never re-scan the corpus."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_synth_url_expr("doc_id", "source")).alias("url"),
+    )
+    canon = docs.select(
+        "doc_id", "source", url_canonical("url").alias("cu")
+    )
+    hosts = canon.select(
+        F.expr("split_part(split_part(cu, '://', 2), '/', 1)").alias("src_host"),
+        F.expr(_synth_host_expr("(doc_id * 7 + 1)", "source")).alias("dst1"),
+        F.expr(_dst2_expr("doc_id", "source")).alias("dst2"),
+    )
+    links = hosts.select(
+        "src_host", F.explode(F.array("dst1", "dst2")).alias("dst_host")
+    ).filter("src_host <> dst_host")
+    edges = links.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    outw = edges.groupBy("src_host").agg(
+        F.sum("w").cast("long").alias("w_out"),
+        F.count("*").cast("long").alias("n_out"),
+    )
+    # the corpus never enters the loop: edge micro-probs + the node set
+    # are |hosts|-bounded — checkpoint both so each iteration joins two
+    # tiny materialized relations instead of replaying the corpus scan
+    p = (
+        edges.join(outw, "src_host")
+        .select(
+            "src_host",
+            "dst_host",
+            F.expr(f"(w * {_PR_SCALE}) div w_out").alias("p_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        p.select(F.col("src_host").alias("host"))
+        .union(p.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "host", F.lit(_PR_SCALE).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contrib = (
+            p.join(
+                F.broadcast(ranks.withColumnRenamed("host", "src_host")),
+                "src_host",
+            )
+            .groupBy("dst_host")
+            .agg(
+                F.sum(
+                    F.expr(f"(rank_micro * p_micro) div {_PR_SCALE}")
+                ).alias("c")
+            )
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib.withColumnRenamed("dst_host", "host")),
+            "host",
+            "left",
+        ).select(
+            "host",
+            F.expr(
+                f"CAST({_PR_TELEPORT} +"
+                f" ({_PR_DAMP} * coalesce(c, 0)) div 1000 AS BIGINT)"
+            ).alias("rank_micro"),
+        )
+    return ranks.join(
+        outw.withColumnRenamed("src_host", "host"), "host", "left"
+    ).select(
+        "host",
+        "rank_micro",
+        F.coalesce("w_out", F.lit(0)).cast("long").alias("w_out"),
+        F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+    )
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled transcription of :func:`web_host_pagerank` — same synth,
+    same canonicalization builder, same integer micro-unit chain."""
+    synth = (
+        "SELECT doc_id, source, "
+        + _synth_url_expr("doc_id", "source")
+        + " AS url FROM documents"
+    )
+    host = "split_part(split_part(cu, '://', 2), '/', 1)"
+    parts = [
+        f"u AS ({synth})",
+        f"canon AS (SELECT doc_id, source, {canonical_sql('url')} AS cu FROM u)",
+        (
+            f"hosts AS (SELECT {host} AS src_host, "
+            f"{_synth_host_expr('(doc_id * 7 + 1)', 'source')} AS dst1, "
+            f"{_dst2_expr('doc_id', 'source')} AS dst2 FROM canon)"
+        ),
+        (
+            "links AS (SELECT src_host, dst1 AS dst_host FROM hosts "
+            "UNION ALL SELECT src_host, dst2 FROM hosts)"
+        ),
+        (
+            "edges AS (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM links WHERE src_host <> dst_host GROUP BY 1, 2)"
+        ),
+        (
+            "outw AS (SELECT src_host, CAST(SUM(w) AS BIGINT) AS w_out, "
+            "CAST(COUNT(*) AS BIGINT) AS n_out FROM edges GROUP BY 1)"
+        ),
+        (
+            f"p AS (SELECT e.src_host, e.dst_host, "
+            f"(e.w * {_PR_SCALE}) // o.w_out AS p_micro "
+            f"FROM edges e JOIN outw o USING (src_host))"
+        ),
+        (
+            "nodes AS (SELECT src_host AS host FROM edges "
+            "UNION SELECT dst_host FROM edges)"
+        ),
+        f"r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS rank_micro FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i + 1} AS (SELECT p.dst_host AS host, "
+            f"SUM((r.rank_micro * p.p_micro) // {_PR_SCALE}) AS c "
+            f"FROM p JOIN r{i} r ON r.host = p.src_host GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.host, CAST({_PR_TELEPORT} + "
+            f"({_PR_DAMP} * COALESCE(c.c, 0)) // 1000 AS BIGINT) AS rank_micro "
+            f"FROM nodes n LEFT JOIN c{i + 1} c USING (host))"
+        )
+    final = (
+        f"SELECT r.host, r.rank_micro, "
+        f"CAST(COALESCE(o.w_out, 0) AS BIGINT) AS w_out, "
+        f"CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out "
+        f"FROM r{iters} r LEFT JOIN outw o ON o.src_host = r.host"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -233,5 +429,15 @@ QUERIES: dict[str, QuerySpec] = {
         "document cap (public-suffix+1 extraction, md5-rank selection) — "
         "two-phase skew-aware plan: the long tail passes through uncounted, "
         "only over-cap domains enter the rank window",
+    ),
+    "web_host_pagerank": QuerySpec(
+        web_host_pagerank,
+        _pagerank_sql(),
+        "beyond-reference: host-level webgraph PageRank (Common Crawl "
+        "host-ranking stage) — corpus touched once (narrow 2-links/doc "
+        "projection + ONE pre-aggregated shuffle to the weighted edge "
+        "list), then 5 exact integer micro-unit iterations on the "
+        "checkpointed |hosts|-bounded quotient graph with the rank "
+        "vector broadcast; dangling mass dropped (hub host)",
     ),
 }

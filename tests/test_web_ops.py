@@ -156,3 +156,95 @@ def test_wet_target_uri_feeds_url_ops(spark, tmp_path):
     assert sorted(by_domain) == ["site-a.example.com", "site-b.co.uk"]
     assert sum(by_domain["site-b.co.uk"]) == 2  # capped at 2 of 3
     assert all(by_domain["site-a.example.com"])  # under cap -> all kept
+
+
+# ---------------------------------------------------------------------------
+# host-level PageRank
+# ---------------------------------------------------------------------------
+
+
+def _python_pagerank_twin(sf_dir: str):
+    """Third-engine twin: rebuild the synthetic host graph and run the
+    IDENTICAL integer micro-unit recurrence in pure Python ints."""
+    import duckdb
+
+    from mmeds_meta_spark.operators.web import (
+        _HUB,
+        _PR_DAMP,
+        _PR_ITERS,
+        _PR_SCALE,
+        _PR_TELEPORT,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def host(k: int, s: str) -> str:
+        suffix = "co.uk" if (k % 20) % 3 == 1 else "example.com"
+        return f"s{k % 3}.{s}.{suffix}"
+
+    edges: dict[tuple[str, str], int] = {}
+    for d, s in rows:
+        src = host(d, s)  # == the canonicalized synthetic URL's host
+        for dst in (
+            host(d * 7 + 1, s),
+            _HUB if d % 10 < 3 else host(d * 5 + 11, s),
+        ):
+            if dst != src:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    w_out: dict[str, int] = {}
+    n_out: dict[str, int] = {}
+    for (src, _), w in edges.items():
+        w_out[src] = w_out.get(src, 0) + w
+        n_out[src] = n_out.get(src, 0) + 1
+    p = {e: (w * _PR_SCALE) // w_out[e[0]] for e, w in edges.items()}
+    nodes = {h for e in edges for h in e}
+    rank = {h: _PR_SCALE for h in nodes}
+    for _ in range(_PR_ITERS):
+        contrib = {h: 0 for h in nodes}
+        for (src, dst), pm in p.items():
+            contrib[dst] += (rank[src] * pm) // _PR_SCALE
+        rank = {
+            h: _PR_TELEPORT + (_PR_DAMP * contrib[h]) // 1000 for h in nodes
+        }
+    return rank, w_out, n_out
+
+
+def test_pagerank_matches_python_twin(spark):
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import web_host_pagerank
+
+    got = {
+        r["host"]: (r["rank_micro"], r["w_out"], r["n_out"])
+        for r in web_host_pagerank(spark, SF_SMOKE).collect()
+    }
+    rank, w_out, n_out = _python_pagerank_twin(SF_SMOKE)
+    want = {
+        h: (rank[h], w_out.get(h, 0), n_out.get(h, 0)) for h in rank
+    }
+    assert got == want
+
+
+def test_pagerank_hub_and_mass_properties(spark):
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        _HUB,
+        _PR_SCALE,
+        _PR_TELEPORT,
+        web_host_pagerank,
+    )
+
+    out = web_host_pagerank(spark, SF_SMOKE).collect()
+    by_host = {r["host"]: r for r in out}
+    hub = by_host[_HUB]
+    # the hub is dangling: inlinks only
+    assert hub["w_out"] == 0 and hub["n_out"] == 0
+    # the hub's inlink skew puts it at the top of the ranking
+    assert hub["rank_micro"] == max(r["rank_micro"] for r in out)
+    # every rank >= teleport floor; floors + dangling leak keep total
+    # mass at or below the initial |nodes| * SCALE
+    assert all(r["rank_micro"] >= _PR_TELEPORT for r in out)
+    assert sum(r["rank_micro"] for r in out) <= len(out) * _PR_SCALE

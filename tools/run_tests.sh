@@ -34,7 +34,9 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_pcoa_block.py tests/test_ann_recall.py tests/test_ks_drift.py
          tests/test_dedup_recall.py
          tests/test_advice_r07.py tests/test_advice_r08.py
-         tests/test_decon_recall.py tests/test_round8_ops.py)
+         tests/test_decon_recall.py tests/test_round8_ops.py
+         tests/test_advice_r09.py tests/test_cluster_sharing.py
+         tests/test_web_ops.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
@@ -49,7 +51,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_observe.py tests/test_export_funnel.py
          tests/test_streaming_export.py tests/test_permdisp.py
          tests/test_streaming_decon.py tests/test_streaming_diversity.py
-         tests/test_markov_absorption.py tests/test_streaming_cross_source.py)
+         tests/test_markov_absorption.py tests/test_streaming_cross_source.py
+         tests/test_rarefaction_det.py tests/test_streaming_url_dedup.py)
 
 run_shard() {
     local n=$1; shift
