@@ -129,6 +129,9 @@ HEAVY = [
     "dedup_url_canonical",
     "sample_domain_cap",
     "d1_rarefaction_det",
+    # round-9 session-2: host-graph PageRank — tracked so the
+    # one-corpus-pass + bounded-iterations claim carries a measured time
+    "web_host_pagerank",
 ]
 
 

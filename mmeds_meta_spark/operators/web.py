@@ -291,16 +291,19 @@ def web_host_pagerank(
     links = hosts.select(
         "src_host", F.explode(F.array("dst1", "dst2")).alias("dst_host")
     ).filter("src_host <> dst_host")
-    edges = links.groupBy("src_host", "dst_host").agg(
-        F.count("*").cast("long").alias("w")
+    # the corpus is scanned exactly ONCE — materializing the
+    # |hosts|²-bounded weighted edge list; everything downstream (out
+    # weights, micro-probs, the node set, five iterations, the final
+    # report join) derives from this checkpoint, never from the scan
+    edges = (
+        links.groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src_host").agg(
         F.sum("w").cast("long").alias("w_out"),
         F.count("*").cast("long").alias("n_out"),
     )
-    # the corpus never enters the loop: edge micro-probs + the node set
-    # are |hosts|-bounded — checkpoint both so each iteration joins two
-    # tiny materialized relations instead of replaying the corpus scan
     p = (
         edges.join(outw, "src_host")
         .select(

@@ -45,7 +45,7 @@ EVENT_OPS = [
     "d1_rarefaction_det",
 ]
 EVENT_SCALES = (1, 4, 8, 16)
-DOC_OPS = ["dedup_url_canonical", "sample_domain_cap"]
+DOC_OPS = ["dedup_url_canonical", "sample_domain_cap", "web_host_pagerank"]
 DOC_SCALES = (1, 4, 16)
 
 TABLES = (
@@ -95,8 +95,12 @@ def build_scaled_docs(spark, mult: int, out: str) -> None:
 
 
 def main() -> None:
-    owns_out_root = len(sys.argv) <= 1
-    out_root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="scaler09_")
+    # --docs-only reruns just the documents section (used when a new web
+    # op lands mid-round and the 8x/16x events rows are already recorded)
+    docs_only = "--docs-only" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    owns_out_root = not args
+    out_root = args[0] if args else tempfile.mkdtemp(prefix="scaler09_")
     spark = get_spark("scale-probe-r09")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
@@ -119,7 +123,7 @@ def main() -> None:
 
     ev_dirs: dict[int, str] = {1: SRC}
     for m in EVENT_SCALES:
-        if m == 1:
+        if m == 1 or docs_only:
             continue
         d = os.path.join(out_root, f"ev_x{m}")
         build_scaled_events(spark, m, d)
@@ -132,12 +136,13 @@ def main() -> None:
         build_scaled_docs(spark, m, d)
         doc_dirs[m] = d
 
-    run(EVENT_OPS[0], SRC, 1)  # warm-up
-    print("| op | " + " | ".join(f"{m}x" for m in EVENT_SCALES) + " |")
-    print("|---|" + "---|" * len(EVENT_SCALES))
-    for name in EVENT_OPS:
-        ts = [run(name, ev_dirs[m], m) for m in EVENT_SCALES]
-        print(f"| {name} | " + " | ".join(f"{t:.2f} s" for t in ts) + " |", flush=True)
+    run((DOC_OPS if docs_only else EVENT_OPS)[0], SRC, 1)  # warm-up
+    if not docs_only:
+        print("| op | " + " | ".join(f"{m}x" for m in EVENT_SCALES) + " |")
+        print("|---|" + "---|" * len(EVENT_SCALES))
+        for name in EVENT_OPS:
+            ts = [run(name, ev_dirs[m], m) for m in EVENT_SCALES]
+            print(f"| {name} | " + " | ".join(f"{t:.2f} s" for t in ts) + " |", flush=True)
 
     print("\n| op | " + " | ".join(f"{m}x" for m in DOC_SCALES) + " |")
     print("|---|" + "---|" * len(DOC_SCALES))
