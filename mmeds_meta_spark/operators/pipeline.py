@@ -29,7 +29,14 @@ _MIN_TTR = 0.40  # stage-3 type-token-ratio floor (Gopher-style richness)
 _SPAN_K = 8  # stage-4 span width (matches dedup_span_exact)
 _MAX_DUP = 0.5  # stage-4 ceiling on corpus-duplicated span fraction
 
-_STAGES = ("raw", "url_dedup", "exact_dedup", "quality", "span_dedup")
+_STAGES = (
+    "raw",
+    "url_dedup",
+    "domain_cap",
+    "exact_dedup",
+    "quality",
+    "span_dedup",
+)
 
 
 def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -38,9 +45,12 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     * stage 0 ``raw``        — every document
     * stage 1 ``url_dedup``  — canonical-URL keepers only (C4's FIRST
       stage: min doc_id per canonicalized URL; operators/web.py)
-    * stage 2 ``exact_dedup``— + md5(text) keepers (min doc_id per group)
-    * stage 3 ``quality``    — + ≥{mt} tokens and type-token ratio ≥ {ttr}
-    * stage 4 ``span_dedup`` — + < {md:.0%} of {k}-token spans duplicated
+    * stage 2 ``domain_cap`` — + within the per-registrable-domain cap
+      among URL keepers (RefinedWeb/Dolma guard; the shared
+      ``domain_cap_kernel``'s two-phase md5-rank routing)
+    * stage 3 ``exact_dedup``— + md5(text) keepers (min doc_id per group)
+    * stage 4 ``quality``    — + ≥{mt} tokens and type-token ratio ≥ {ttr}
+    * stage 5 ``span_dedup`` — + < {md:.0%} of {k}-token spans duplicated
       elsewhere in the corpus
 
     Output: one row per stage with surviving doc/token counts and the
@@ -48,8 +58,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     ships.  Thresholds are deliberately simple published heuristics
     (Gopher/C4 family); the value here is the COMPOSITION: one plan,
     shared scans, no inter-stage materialization."""
-    from ..functions.urls import url_canonical
-    from .web import _synth_url_expr
+    from ..functions.urls import registrable_domain, url_canonical
+    from .web import _DOMAIN_CAP, _synth_url_expr, domain_cap_kernel
 
     d = _t(spark, sf, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("toks")
@@ -62,6 +72,21 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     ukeep = cu.groupBy("cu").agg(F.min("doc_id").alias("ukeeper"))
     url_keeper = cu.join(ukeep, "cu").select(
         "doc_id", (F.col("doc_id") == F.col("ukeeper")).alias("is_url_keeper")
+    )
+
+    # stage 2 — per-domain cap AMONG the URL keepers (the real pipeline
+    # order: caps apply after URL dedup).  One keeper per canonical URL
+    # means ukeep IS the keeper relation; the kernel's three consumers
+    # read this |keepers|-bounded checkpoint, never the corpus
+    cap_docs = ukeep.select(
+        F.col("ukeeper").alias("doc_id"),
+        F.col("cu").alias("url_canonical"),
+        registrable_domain(
+            "split_part(split_part(cu, '://', 2), '/', 1)"
+        ).alias("domain"),
+    ).localCheckpoint(eager=True)
+    cap_flag = domain_cap_kernel(cap_docs, _DOMAIN_CAP).select(
+        "doc_id", F.col("kept").alias("in_cap")
     )
 
     fp = d.select("doc_id", F.md5("text").alias("f"))
@@ -107,16 +132,23 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     flags = (
-        url_keeper.join(keeper, "doc_id").join(qual, "doc_id").join(span_ok, "doc_id")
+        url_keeper.join(keeper, "doc_id")
+        .join(qual, "doc_id")
+        .join(span_ok, "doc_id")
+        .join(cap_flag, "doc_id", "left")
+        .withColumn("in_cap", F.coalesce("in_cap", F.lit(False)))
     )
     tall = flags.selectExpr(
         "n_tok",
-        "stack(5, "
+        "stack(6, "
         f"0L, '{_STAGES[0]}', true, "
         f"1L, '{_STAGES[1]}', is_url_keeper, "
-        f"2L, '{_STAGES[2]}', is_url_keeper AND is_keeper, "
-        f"3L, '{_STAGES[3]}', is_url_keeper AND is_keeper AND is_quality, "
-        f"4L, '{_STAGES[4]}', is_url_keeper AND is_keeper AND is_quality AND span_ok"
+        f"2L, '{_STAGES[2]}', is_url_keeper AND in_cap, "
+        f"3L, '{_STAGES[3]}', is_url_keeper AND in_cap AND is_keeper, "
+        f"4L, '{_STAGES[4]}', is_url_keeper AND in_cap AND is_keeper"
+        " AND is_quality, "
+        f"5L, '{_STAGES[5]}', is_url_keeper AND in_cap AND is_keeper"
+        " AND is_quality AND span_ok"
         ") AS (stage, stage_name, alive)"
     )
     agg = tall.groupBy("stage", "stage_name").agg(
@@ -141,12 +173,17 @@ pipeline_curation_funnel.__doc__ = pipeline_curation_funnel.__doc__.format(
 )
 
 def _funnel_url_ctes() -> str:
-    """The url_dedup stage's CTEs — built from the SAME synth + canonical
-    builders the gated dedup_url_canonical uses (one source of truth)."""
-    from ..functions.urls import canonical_sql
-    from .web import _synth_url_expr
+    """The url_dedup + domain_cap stages' CTEs — built from the SAME
+    synth / canonical / registrable-domain / cap builders the gated
+    dedup_url_canonical and sample_domain_cap use (one source of
+    truth).  The oracle ranks every keeper (DuckDB needs no skew
+    routing); the Spark side's two-phase kernel computes the identical
+    kept set because under-cap domains are kept unconditionally."""
+    from ..functions.urls import canonical_sql, registrable_domain_sql
+    from .web import _DOMAIN_CAP, _synth_url_expr
 
     url = _synth_url_expr("doc_id", "source")
+    host = "split_part(split_part(cu, '://', 2), '/', 1)"
     return f"""cu AS (
   SELECT doc_id, {canonical_sql(url)} AS cu FROM documents
 ), ukeep AS (
@@ -154,6 +191,17 @@ def _funnel_url_ctes() -> str:
 ), url_keeper AS (
   SELECT c.doc_id, c.doc_id = u.ukeeper AS is_url_keeper
   FROM cu c JOIN ukeep u USING (cu)
+), dom AS (
+  SELECT ukeeper AS doc_id, cu,
+         {registrable_domain_sql(host)} AS domain
+  FROM ukeep
+), cap_flag AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY md5(cu || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) <= {_DOMAIN_CAP} AS in_cap
+  FROM dom
 )"""
 
 
@@ -182,19 +230,25 @@ WITH d AS (
            < {_MAX_DUP} AS span_ok
   FROM spans s JOIN occ o USING (h) GROUP BY s.doc_id
 ), flags AS (
-  SELECT k.doc_id, q.n_tok, u.is_url_keeper, k.is_keeper, q.is_quality, s.span_ok
+  SELECT k.doc_id, q.n_tok, u.is_url_keeper, k.is_keeper, q.is_quality, s.span_ok,
+         COALESCE(c.in_cap, FALSE) AS in_cap
   FROM url_keeper u JOIN keeper k USING (doc_id)
        JOIN qual q USING (doc_id) JOIN span_ok s USING (doc_id)
+       LEFT JOIN cap_flag c USING (doc_id)
 ), tall AS (
   SELECT 0 AS stage, '{_STAGES[0]}' AS stage_name, TRUE AS alive, n_tok FROM flags
   UNION ALL
   SELECT 1, '{_STAGES[1]}', is_url_keeper, n_tok FROM flags
   UNION ALL
-  SELECT 2, '{_STAGES[2]}', is_url_keeper AND is_keeper, n_tok FROM flags
+  SELECT 2, '{_STAGES[2]}', is_url_keeper AND in_cap, n_tok FROM flags
   UNION ALL
-  SELECT 3, '{_STAGES[3]}', is_url_keeper AND is_keeper AND is_quality, n_tok FROM flags
+  SELECT 3, '{_STAGES[3]}', is_url_keeper AND in_cap AND is_keeper, n_tok FROM flags
   UNION ALL
-  SELECT 4, '{_STAGES[4]}', is_url_keeper AND is_keeper AND is_quality AND span_ok,
+  SELECT 4, '{_STAGES[4]}', is_url_keeper AND in_cap AND is_keeper AND is_quality,
+         n_tok FROM flags
+  UNION ALL
+  SELECT 5, '{_STAGES[5]}',
+         is_url_keeper AND in_cap AND is_keeper AND is_quality AND span_ok,
          n_tok FROM flags
 ), agg AS (
   SELECT stage, stage_name,
@@ -970,7 +1024,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation_funnel": QuerySpec(
         pipeline_curation_funnel,
         _FUNNEL_SQL,
-        "beyond-reference: composed curation funnel (exact-dedup → quality → "
-        "span-dedup) as ONE Catalyst plan with a per-stage survivor report",
+        "beyond-reference: composed curation funnel (url-dedup → domain-cap "
+        "→ exact-dedup → quality → span-dedup) as ONE Catalyst plan with a "
+        "per-stage survivor report — the full C4/RefinedWeb-order chain",
     ),
 }

@@ -139,6 +139,34 @@ FROM canon GROUP BY url_canonical HAVING COUNT(*) > 1
 # ---------------------------------------------------------------------------
 
 
+def domain_cap_kernel(docs: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
+    """Two-phase skew-aware per-domain cap over a ``(doc_id,
+    url_canonical, domain)`` relation (already checkpointed by the
+    caller): under-cap domains pass through un-ranked; only over-cap
+    domains' documents enter the md5-rank window.  Returns (doc_id,
+    domain, kept).  Shared by :func:`sample_domain_cap` and
+    ``pipeline_curation_funnel``'s domain_cap stage (one source of
+    truth for the routing AND the rank expression)."""
+    counts = docs.groupBy("domain").agg(F.count("*").alias("n_docs"))
+    small = counts.filter(F.col("n_docs") <= cap).select("domain")
+    big = counts.filter(F.col("n_docs") > cap).select("domain")
+    # long tail: every doc kept, NO ranking work
+    pass_through = docs.join(F.broadcast(small), "domain", "left_semi").select(
+        "doc_id", "domain", F.lit(True).alias("kept")
+    )
+    # mega-domains only: bounded rank-window input
+    w = Window.partitionBy("domain").orderBy(
+        F.expr("md5(concat(url_canonical, '|', CAST(doc_id AS STRING)))"),
+        "doc_id",
+    )
+    capped = (
+        docs.join(F.broadcast(big), "domain", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "domain", (F.col("rn") <= cap).alias("kept"))
+    )
+    return pass_through.unionByName(capped)
+
+
 def sample_domain_cap(
     spark: SparkSession,
     sf: str,
@@ -175,24 +203,7 @@ def sample_domain_cap(
         )
         .localCheckpoint(eager=True)
     )
-    counts = docs.groupBy("domain").agg(F.count("*").alias("n_docs"))
-    small = counts.filter(F.col("n_docs") <= cap).select("domain")
-    big = counts.filter(F.col("n_docs") > cap).select("domain")
-    # long tail: every doc kept, NO ranking work
-    pass_through = docs.join(F.broadcast(small), "domain", "left_semi").select(
-        "doc_id", "domain", F.lit(True).alias("kept")
-    )
-    # mega-domains only: bounded rank-window input
-    w = Window.partitionBy("domain").orderBy(
-        F.expr("md5(concat(url_canonical, '|', CAST(doc_id AS STRING)))"),
-        "doc_id",
-    )
-    capped = (
-        docs.join(F.broadcast(big), "domain", "left_semi")
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", "domain", (F.col("rn") <= cap).alias("kept"))
-    )
-    return pass_through.unionByName(capped)
+    return domain_cap_kernel(docs, cap)
 
 
 def _domain_cap_sql(cap: int = _DOMAIN_CAP) -> str:
