@@ -412,6 +412,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # changed this round, and BOTH Newick variants (weighted +
     # unweighted) re-gate that exact kernel over a REAL parsed tree:
     "d2_unifrac_unweighted",
+    # web_host_harmonic starts in the tail: it consumes the SAME shared
+    # host_edges checkpoint as the gated web_host_pagerank and has the
+    # same bounded-iterations-on-the-quotient-graph shape (min-plus vs
+    # mass propagation); the sweep + the pure-Python BFS twin in
+    # tests/test_web_ops.py carry its evidence until a future rotation:
+    "web_host_harmonic",
 )
 
 

@@ -265,8 +265,40 @@ def _dst2_expr(d: str, s: str) -> str:
     )
 
 
+def host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The weighted host-pair edge list — the ONE corpus-scale pass
+    shared by :func:`web_host_pagerank` and :func:`web_host_harmonic`
+    (the ``counts=``/``pairs=`` passthrough convention: compute the
+    graph once per session, rank it many ways).  Checkpointed: every
+    consumer reads the |hosts|²-bounded materialization, never the
+    scan."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_synth_url_expr("doc_id", "source")).alias("url"),
+    )
+    canon = docs.select("doc_id", "source", url_canonical("url").alias("cu"))
+    hosts = canon.select(
+        F.expr("split_part(split_part(cu, '://', 2), '/', 1)").alias("src_host"),
+        F.expr(_synth_host_expr("(doc_id * 7 + 1)", "source")).alias("dst1"),
+        F.expr(_dst2_expr("doc_id", "source")).alias("dst2"),
+    )
+    links = hosts.select(
+        "src_host", F.explode(F.array("dst1", "dst2")).alias("dst_host")
+    ).filter("src_host <> dst_host")
+    return (
+        links.groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def web_host_pagerank(
-    spark: SparkSession, sf: str, *, iters: int = _PR_ITERS
+    spark: SparkSession,
+    sf: str,
+    *,
+    iters: int = _PR_ITERS,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Host-level webgraph PageRank — the Common Crawl host-ranking
     stage (cc's host-level webgraph + centrality releases; CCNet-style
@@ -285,32 +317,14 @@ def web_host_pagerank(
     corpus), so the five rank iterations run on the bounded quotient
     graph with the rank vector broadcast into each join.  Intra-host
     links are excluded (host-graph convention) and the edge relation is
-    checkpointed once so iterations never re-scan the corpus."""
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        "source",
-        F.expr(_synth_url_expr("doc_id", "source")).alias("url"),
-    )
-    canon = docs.select(
-        "doc_id", "source", url_canonical("url").alias("cu")
-    )
-    hosts = canon.select(
-        F.expr("split_part(split_part(cu, '://', 2), '/', 1)").alias("src_host"),
-        F.expr(_synth_host_expr("(doc_id * 7 + 1)", "source")).alias("dst1"),
-        F.expr(_dst2_expr("doc_id", "source")).alias("dst2"),
-    )
-    links = hosts.select(
-        "src_host", F.explode(F.array("dst1", "dst2")).alias("dst_host")
-    ).filter("src_host <> dst_host")
+    checkpointed once so iterations never re-scan the corpus
+    (``edges=`` accepts a precomputed :func:`host_edges` relation)."""
     # the corpus is scanned exactly ONCE — materializing the
     # |hosts|²-bounded weighted edge list; everything downstream (out
     # weights, micro-probs, the node set, five iterations, the final
     # report join) derives from this checkpoint, never from the scan
-    edges = (
-        links.groupBy("src_host", "dst_host")
-        .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    if edges is None:
+        edges = host_edges(spark, sf)
     outw = edges.groupBy("src_host").agg(
         F.sum("w").cast("long").alias("w_out"),
         F.count("*").cast("long").alias("n_out"),
@@ -367,16 +381,16 @@ def web_host_pagerank(
     )
 
 
-def _pagerank_sql(iters: int = _PR_ITERS) -> str:
-    """Unrolled transcription of :func:`web_host_pagerank` — same synth,
-    same canonicalization builder, same integer micro-unit chain."""
+def _edge_ctes() -> list[str]:
+    """The shared host-graph CTE prefix (synth → canonicalize → link →
+    weighted edges) — one source of truth for every graph oracle."""
     synth = (
         "SELECT doc_id, source, "
         + _synth_url_expr("doc_id", "source")
         + " AS url FROM documents"
     )
     host = "split_part(split_part(cu, '://', 2), '/', 1)"
-    parts = [
+    return [
         f"u AS ({synth})",
         f"canon AS (SELECT doc_id, source, {canonical_sql('url')} AS cu FROM u)",
         (
@@ -392,6 +406,13 @@ def _pagerank_sql(iters: int = _PR_ITERS) -> str:
             "edges AS (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w "
             "FROM links WHERE src_host <> dst_host GROUP BY 1, 2)"
         ),
+    ]
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled transcription of :func:`web_host_pagerank` — same synth,
+    same canonicalization builder, same integer micro-unit chain."""
+    parts = _edge_ctes() + [
         (
             "outw AS (SELECT src_host, CAST(SUM(w) AS BIGINT) AS w_out, "
             "CAST(COUNT(*) AS BIGINT) AS n_out FROM edges GROUP BY 1)"
@@ -427,6 +448,107 @@ def _pagerank_sql(iters: int = _PR_ITERS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+# ---------------------------------------------------------------------------
+# host-level harmonic centrality (hop-bounded)
+# ---------------------------------------------------------------------------
+
+_HC_HOPS = 4  # distance horizon; hosts beyond it contribute < SCALE/5 each
+
+
+def web_host_harmonic(
+    spark: SparkSession,
+    sf: str,
+    *,
+    hops: int = _HC_HOPS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Hop-bounded harmonic centrality over the host graph —
+    ``h(v) = Σ_{u≠v, d(u→v) ≤ hops} 1/d(u→v)`` — the centrality Common
+    Crawl actually ranks its host-level webgraph by (harmonic beats
+    PageRank on spam resistance in the published cc rankings).
+    Beyond-reference; the truncated-horizon variant is the standard
+    bounded form (a 4-hop neighbourhood already dominates the sum since
+    farther hosts add < 1/5 each).
+
+    Exact integer micro-units: contributions are ``1e6 div d`` summed as
+    BIGINTs, so the DuckDB oracle (the same min-plus chain unrolled)
+    matches bit-for-bit.  Scale shape: the corpus contributes only the
+    shared :func:`host_edges` checkpoint (ONE pass); the ``hops-1``
+    min-plus expansions join |hosts|²-bounded distance relations against
+    the broadcast edge list — the frontier never touches the corpus."""
+    if edges is None:
+        edges = host_edges(spark, sf)
+    e = edges.select("src_host", "dst_host")
+    dist = e.withColumn("d", F.lit(1).cast("long"))
+    for _ in range(hops - 1):
+        cand = (
+            dist.alias("p")
+            .join(
+                F.broadcast(e.alias("q")),
+                F.col("p.dst_host") == F.col("q.src_host"),
+            )
+            .filter(F.col("p.src_host") != F.col("q.dst_host"))
+            .select(
+                F.col("p.src_host").alias("src_host"),
+                F.col("q.dst_host").alias("dst_host"),
+                (F.col("p.d") + 1).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("src_host", "dst_host")
+            .agg(F.min("d").alias("d"))
+        )
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select("dst_host"))
+        .distinct()
+    )
+    hc = dist.groupBy("dst_host").agg(
+        F.sum(F.expr(f"{_PR_SCALE} div d")).alias("h"),
+        F.count("*").cast("long").alias("nr"),
+    )
+    return nodes.join(
+        F.broadcast(hc.withColumnRenamed("dst_host", "host")), "host", "left"
+    ).select(
+        "host",
+        F.coalesce("h", F.lit(0)).cast("long").alias("harmonic_micro"),
+        F.coalesce("nr", F.lit(0)).cast("long").alias("n_reach"),
+    )
+
+
+def _harmonic_sql(hops: int = _HC_HOPS) -> str:
+    """Unrolled transcription of :func:`web_host_harmonic` — the same
+    edge CTEs and the same min-plus expansion chain."""
+    parts = _edge_ctes() + [
+        "d1 AS (SELECT src_host, dst_host, CAST(1 AS BIGINT) AS d FROM edges)",
+    ]
+    for k in range(2, hops + 1):
+        parts.append(
+            f"d{k} AS (SELECT src_host, dst_host, MIN(d) AS d FROM ("
+            f"SELECT src_host, dst_host, d FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT p.src_host, e.dst_host, p.d + 1 FROM d{k - 1} p "
+            f"JOIN edges e ON p.dst_host = e.src_host "
+            f"WHERE p.src_host <> e.dst_host"
+            f") GROUP BY 1, 2)"
+        )
+    parts.append(
+        "nodes AS (SELECT src_host AS host FROM edges "
+        "UNION SELECT dst_host FROM edges)"
+    )
+    parts.append(
+        f"hc AS (SELECT dst_host AS host, SUM({_PR_SCALE} // d) AS h, "
+        f"CAST(COUNT(*) AS BIGINT) AS nr FROM d{hops} GROUP BY 1)"
+    )
+    final = (
+        "SELECT n.host, CAST(COALESCE(hc.h, 0) AS BIGINT) AS harmonic_micro, "
+        "CAST(COALESCE(hc.nr, 0) AS BIGINT) AS n_reach "
+        "FROM nodes n LEFT JOIN hc USING (host)"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -453,5 +575,14 @@ QUERIES: dict[str, QuerySpec] = {
         "list), then 5 exact integer micro-unit iterations on the "
         "checkpointed |hosts|-bounded quotient graph with the rank "
         "vector broadcast; dangling mass dropped (hub host)",
+    ),
+    "web_host_harmonic": QuerySpec(
+        web_host_harmonic,
+        _harmonic_sql(),
+        "beyond-reference: hop-bounded harmonic centrality over the host "
+        "graph (the centrality Common Crawl ranks its host webgraph by) — "
+        "shares the ONE-corpus-pass host_edges checkpoint with pagerank; "
+        "3 min-plus expansions on |hosts|²-bounded distance relations, "
+        "exact 1e6-div-d integer contributions",
     ),
 }

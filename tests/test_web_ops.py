@@ -248,3 +248,63 @@ def test_pagerank_hub_and_mass_properties(spark):
     # mass at or below the initial |nodes| * SCALE
     assert all(r["rank_micro"] >= _PR_TELEPORT for r in out)
     assert sum(r["rank_micro"] for r in out) <= len(out) * _PR_SCALE
+
+
+def test_harmonic_matches_python_bfs_twin(spark):
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        _HC_HOPS,
+        _PR_SCALE,
+        web_host_harmonic,
+    )
+
+    # rebuild the edge set exactly as the pagerank twin does, then run a
+    # hop-bounded BFS from every node in pure Python ints
+    _, w_out, _ = _python_pagerank_twin(SF_SMOKE)
+    import duckdb
+
+    from mmeds_meta_spark.operators.web import _HUB
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+    def host(k: int, s: str) -> str:
+        suffix = "co.uk" if (k % 20) % 3 == 1 else "example.com"
+        return f"s{k % 3}.{s}.{suffix}"
+
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for d, s in rows:
+        src = host(d, s)
+        for dst in (
+            host(d * 7 + 1, s),
+            _HUB if d % 10 < 3 else host(d * 5 + 11, s),
+        ):
+            if dst != src:
+                adj.setdefault(src, set()).add(dst)
+                nodes.update((src, dst))
+    harmonic = {v: 0 for v in nodes}
+    n_reach = {v: 0 for v in nodes}
+    for u in nodes:
+        seen = {u: 0}
+        frontier = [u]
+        for depth in range(1, _HC_HOPS + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen[y] = depth
+                        nxt.append(y)
+            frontier = nxt
+        for v, d in seen.items():
+            if v != u:
+                harmonic[v] += _PR_SCALE // d
+                n_reach[v] += 1
+
+    got = {
+        r["host"]: (r["harmonic_micro"], r["n_reach"])
+        for r in web_host_harmonic(spark, SF_SMOKE).collect()
+    }
+    assert got == {v: (harmonic[v], n_reach[v]) for v in nodes}
