@@ -308,3 +308,30 @@ def test_harmonic_matches_python_bfs_twin(spark):
         for r in web_host_harmonic(spark, SF_SMOKE).collect()
     }
     assert got == {v: (harmonic[v], n_reach[v]) for v in nodes}
+
+
+def test_graph_ops_share_one_edges_relation(spark):
+    # the CC-relation sharing convention: host_edges computed ONCE feeds
+    # both rankings, and the passthrough output is identical to the
+    # standalone path (same relation, same results)
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        host_edges,
+        web_host_harmonic,
+        web_host_pagerank,
+    )
+
+    shared = host_edges(spark, SF_SMOKE)
+    pr_shared = sorted(
+        tuple(r) for r in web_host_pagerank(spark, SF_SMOKE, edges=shared).collect()
+    )
+    hc_shared = sorted(
+        tuple(r) for r in web_host_harmonic(spark, SF_SMOKE, edges=shared).collect()
+    )
+    assert pr_shared == sorted(
+        tuple(r) for r in web_host_pagerank(spark, SF_SMOKE).collect()
+    )
+    assert hc_shared == sorted(
+        tuple(r) for r in web_host_harmonic(spark, SF_SMOKE).collect()
+    )
