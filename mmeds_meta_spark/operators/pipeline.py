@@ -65,48 +65,60 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "text", F.split("text", " ").alias("toks")
     )
 
+    # Every per-group flag below is a window aggregate, NOT a
+    # groupBy-then-join-back: the window computes min/count inside the
+    # one shuffle the grouping needs anyway, so each stage costs ONE
+    # corpus scan and ONE exchange (the join-back form scans the corpus
+    # twice per stage — the pipeline_core_metrics shared-scan lesson).
+
     # stage 1 — URL-level exact dedup (one shuffle on the canonical URL)
     cu = _t(spark, sf, "documents").select(
         "doc_id", F.expr(_synth_url_expr("doc_id", "source")).alias("url")
     ).select("doc_id", url_canonical("url").alias("cu"))
-    ukeep = cu.groupBy("cu").agg(F.min("doc_id").alias("ukeeper"))
-    url_keeper = cu.join(ukeep, "cu").select(
+    w_cu = Window.partitionBy("cu")
+    uk = cu.withColumn("ukeeper", F.min("doc_id").over(w_cu))
+    url_keeper = uk.select(
         "doc_id", (F.col("doc_id") == F.col("ukeeper")).alias("is_url_keeper")
     )
 
     # stage 2 — per-domain cap AMONG the URL keepers (the real pipeline
     # order: caps apply after URL dedup).  One keeper per canonical URL
-    # means ukeep IS the keeper relation; the kernel's three consumers
-    # read this |keepers|-bounded checkpoint, never the corpus
-    cap_docs = ukeep.select(
-        F.col("ukeeper").alias("doc_id"),
-        F.col("cu").alias("url_canonical"),
-        registrable_domain(
-            "split_part(split_part(cu, '://', 2), '/', 1)"
-        ).alias("domain"),
-    ).localCheckpoint(eager=True)
+    # means the windowed keeper filter IS the keeper relation; the
+    # kernel's three consumers read this |keepers|-bounded checkpoint,
+    # never the corpus
+    cap_docs = (
+        uk.filter(F.col("doc_id") == F.col("ukeeper"))
+        .select(
+            "doc_id",
+            F.col("cu").alias("url_canonical"),
+            registrable_domain(
+                "split_part(split_part(cu, '://', 2), '/', 1)"
+            ).alias("domain"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cap_flag = domain_cap_kernel(cap_docs, _DOMAIN_CAP).select(
         "doc_id", F.col("kept").alias("in_cap")
     )
 
-    fp = d.select("doc_id", F.md5("text").alias("f"))
-    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
-    keeper = fp.join(keep, "f").select(
-        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("is_keeper")
-    )
-
-    qual = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_types"))
-        .select(
-            "doc_id",
-            "n_tok",
-            (
-                (F.col("n_tok") >= _MIN_TOK)
-                & (F.col("n_types").cast("double") / F.col("n_tok") >= _MIN_TTR)
-            ).alias("is_quality"),
-        )
+    # exact_dedup + quality share ONE text scan: the quality counters
+    # are pure narrow expressions (size / array_distinct — no token
+    # explosion, no shuffle), so they ride along on the md5 window's
+    # projection instead of paying their own corpus-expanded groupBy
+    w_f = Window.partitionBy(F.md5("text"))
+    kq = d.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tok"),
+        F.expr("size(array_distinct(toks))").alias("n_types"),
+        (F.col("doc_id") == F.min("doc_id").over(w_f)).alias("is_keeper"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "is_keeper",
+        (
+            (F.col("n_tok") >= _MIN_TOK)
+            & (F.col("n_types").cast("double") / F.col("n_tok") >= _MIN_TTR)
+        ).alias("is_quality"),
     )
 
     spans = d.select(
@@ -118,9 +130,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    occ = spans.groupBy("h").agg(F.count("*").alias("n_occ"))
     span_ok = (
-        spans.join(occ, "h")
+        spans.withColumn("n_occ", F.count("*").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             (
@@ -132,8 +143,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     flags = (
-        url_keeper.join(keeper, "doc_id")
-        .join(qual, "doc_id")
+        url_keeper.join(kq, "doc_id")
         .join(span_ok, "doc_id")
         .join(cap_flag, "doc_id", "left")
         .withColumn("in_cap", F.coalesce("in_cap", F.lit(False)))
