@@ -132,6 +132,10 @@ HEAVY = [
     # round-9 session-2: host-graph PageRank — tracked so the
     # one-corpus-pass + bounded-iterations claim carries a measured time
     "web_host_pagerank",
+    # round-9 session-2: both composition funnels' plans changed (window
+    # flags + narrow quality + checkpointed selection flags) — tracked
+    # so the refactors carry measured anchors
+    "pipeline_selection_funnel",
 ]
 
 

@@ -305,26 +305,26 @@ def pipeline_selection_funnel(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
-    qual = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_types"))
-    )
-    base = (
-        d.select("doc_id", "lang")
-        .join(qual, "doc_id")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.expr("lang = 'en'").alias("is_en"),
-            F.expr(
-                f"n_tok >= {_MIN_TOK} AND CAST(n_types AS DOUBLE) / n_tok >= {_MIN_TTR}"
-            ).alias("is_quality"),
-        )
+    # language/quality flags are pure NARROW expressions (size /
+    # array_distinct — no token explosion, no shuffle, no join-back);
+    # the whole per-doc flag relation is then checkpointed because TWO
+    # consumers read it (the threshold probe and the report) — without
+    # the checkpoint each consumer replays the scan AND the DSIR scoring
+    # (the pipeline_core_metrics shared-relation lesson; this is also
+    # the selection-candidate table a real run materializes anyway)
+    base = d.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tok"),
+        F.expr("lang = 'en'").alias("is_en"),
+        F.expr(
+            f"size(toks) >= {_MIN_TOK} AND"
+            f" CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
+            f" >= {_MIN_TTR}"
+        ).alias("is_quality"),
     )
     flags = base.join(
         dsir_scores(spark, sf).select("doc_id", "sel_key"), "doc_id", "left"
-    )
+    ).localCheckpoint(eager=True)
     elig = flags.filter(F.expr("is_en AND is_quality AND sel_key IS NOT NULL"))
     thr = (
         elig.orderBy(F.col("sel_key").desc(), "doc_id")
