@@ -491,7 +491,13 @@ def _median100(vals: DataFrame) -> DataFrame:
     column ``v`` — the a18 CDF construction at p = 50, where the
     interpolation fraction is always 0 or 50, so 100·median is exact
     integer arithmetic end to end."""
-    vc = vals.groupBy("v").agg(F.count("*").alias("c"))
+    return _median100_counts(vals.groupBy("v").agg(F.count("*").alias("c")))
+
+
+def _median100_counts(vc: DataFrame) -> DataFrame:
+    """:func:`_median100` over a pre-aggregated (v, c) counts relation —
+    the value-cardinality-bounded form a caller reuses when several
+    medians derive from one counted distribution."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cdf = vc.withColumn("cum", F.sum("c").over(w))
     n = vc.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n"))
@@ -536,23 +542,33 @@ def a22_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events").select(
         "event_id", "value", F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("v")
     )
-    m1 = _median100(ev.select("v"))
-    dev = ev.crossJoin(F.broadcast(m1)).select(
-        "event_id",
-        "value",
-        F.expr("100 * v - m").alias("x2"),
-        F.expr("ABS(100 * v - m)").alias("dv"),
+    # ONE corpus pass: the value-bounded counts checkpoint feeds BOTH
+    # medians — the deviation distribution is derivable from the value
+    # distribution (|100v − m| with summed counts), so the second median
+    # never re-reads events; the final plan scans events exactly once
+    vc = (
+        ev.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    m2 = _median100(dev.select(F.col("dv").alias("v"))).select(
-        F.col("m").alias("m4")
+    m1 = _median100_counts(vc)
+    dv_counts = (
+        vc.crossJoin(F.broadcast(m1))
+        .select(F.expr("ABS(100 * v - m)").alias("v"), "c")
+        .groupBy("v")
+        .agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("c"))
     )
+    m2 = _median100_counts(dv_counts).select(F.col("m").alias("m4"))
     return (
-        dev.crossJoin(F.broadcast(m2))
-        .filter(F.expr("m4 > 0 AND 1349 * ABS(x2) > 70 * m4"))
+        ev.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .filter(F.expr("m4 > 0 AND 1349 * ABS(100 * v - m) > 70 * m4"))
         .select(
             "event_id",
             "value",
-            F.expr("ROUND(67.45 * CAST(x2 AS DOUBLE) / m4, 6)").alias("robust_z"),
+            F.expr(
+                "ROUND(67.45 * CAST(100 * v - m AS DOUBLE) / m4, 6)"
+            ).alias("robust_z"),
         )
     )
 
