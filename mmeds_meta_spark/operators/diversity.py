@@ -738,11 +738,21 @@ def d6_lefse_lda(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.diff_abundance import lefse_lda
 
     ev = _t(spark, sf, "events")
-    long_df = ev.groupBy(
-        F.col("user_id").alias("sample_id"), F.col("event_type").alias("feature_id")
-    ).agg(F.count("*").alias("count"))
+    # the aggregated feature table is the relation a real run
+    # materializes anyway; checkpointing it here means the CLR / moment
+    # / pairwise-split consumers inside lefse_lda never replay the
+    # events scan (the pipeline_diff_abundance shared-scan convention),
+    # and the sample metadata derives from the same materialization
+    long_df = (
+        ev.groupBy(
+            F.col("user_id").alias("sample_id"),
+            F.col("event_type").alias("feature_id"),
+        )
+        .agg(F.count("*").alias("count"))
+        .localCheckpoint(eager=True)
+    )
     smeta = (
-        ev.select(F.col("user_id").alias("sample_id"))
+        long_df.select("sample_id")
         .distinct()
         .withColumn("g3", F.expr("sample_id % 3"))
     )

@@ -104,13 +104,22 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # exact_dedup + quality share ONE text scan: the quality counters
     # are pure narrow expressions (size / array_distinct — no token
     # explosion, no shuffle), so they ride along on the md5 window's
-    # projection instead of paying their own corpus-expanded groupBy
-    w_f = Window.partitionBy(F.md5("text"))
+    # projection instead of paying their own corpus-expanded groupBy.
+    # The hash is projected FIRST so the window's exchange carries
+    # (doc_id, n_tok, n_types, f) — partitioning by the md5 EXPRESSION
+    # would drag the text itself through the shuffle
     kq = d.select(
         "doc_id",
         F.expr("size(toks)").alias("n_tok"),
         F.expr("size(array_distinct(toks))").alias("n_types"),
-        (F.col("doc_id") == F.min("doc_id").over(w_f)).alias("is_keeper"),
+        F.md5("text").alias("f"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("f"))
+        ).alias("is_keeper"),
     ).select(
         "doc_id",
         "n_tok",
@@ -725,34 +734,41 @@ def pipeline_dedup_funnel(
     d = _t(spark, sf, "documents").select(
         "doc_id", "text", F.expr("size(split(text, ' '))").alias("n_tok")
     )
-    fp = d.select("doc_id", F.md5("text").alias("f"))
-    exact = fp.join(fp.groupBy("f").agg(F.min("doc_id").alias("k")), "f").select(
-        "doc_id", (F.col("doc_id") == F.col("k")).alias("exact_keep")
+    # BOTH md5 keeper flags come from min-over-window on ONE corpus
+    # scan (chained windows: two exchanges — the same two shuffles the
+    # groupBys needed — but no join-backs and no re-scans).  The hashes
+    # are projected FIRST so the exchanges carry (doc_id, n_tok, f, nf),
+    # never the document text: partitioning by the md5 EXPRESSION would
+    # drag text through both shuffles
+    hashed = d.select(
+        "doc_id",
+        "n_tok",
+        F.md5("text").alias("f"),
+        F.expr("md5(" + _norm_expr("spark", "text") + ")").alias("nf"),
     )
-    nf = d.select(
-        "doc_id", F.expr("md5(" + _norm_expr("spark", "text") + ")").alias("nf")
-    )
-    norm = nf.join(nf.groupBy("nf").agg(F.min("doc_id").alias("k")), "nf").select(
-        "doc_id", (F.col("doc_id") == F.col("k")).alias("norm_keep")
+    base = hashed.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("f"))
+        ).alias("exact_keep"),
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("nf"))
+        ).alias("norm_keep"),
     )
     comp = clusters if clusters is not None else dedup_cluster_components(spark, sf)
-    cmin = (
-        comp.groupBy("cluster_id")
-        .agg(F.min("doc_id").alias("k"))
-        .join(comp, "cluster_id")
-        .select("doc_id", (F.col("doc_id") == F.col("k")).alias("in_cluster_keep"))
+    cmin = comp.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("cluster_id"))
+        ).alias("in_cluster_keep"),
     )
-    flags = (
-        d.select("doc_id", "n_tok")
-        .join(exact, "doc_id")
-        .join(norm, "doc_id")
-        .join(cmin, "doc_id", "left")
-        .select(
-            "n_tok",
-            "exact_keep",
-            "norm_keep",
-            F.coalesce("in_cluster_keep", F.lit(True)).alias("cluster_keep"),
-        )
+    flags = base.join(cmin, "doc_id", "left").select(
+        "n_tok",
+        "exact_keep",
+        "norm_keep",
+        F.coalesce("in_cluster_keep", F.lit(True)).alias("cluster_keep"),
     )
     tall = flags.selectExpr(
         "n_tok",

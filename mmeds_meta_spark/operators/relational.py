@@ -481,8 +481,13 @@ def a21_taxa_barplot(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    per_taxon = joined.groupBy("n_name", "taxon_l3").agg(
-        F.count("*").alias("n_orders")
+    # the (group × taxon) matrix is bounded (|nations|·|segments| rows)
+    # but TWO consumers read it (the totals and the report join) — the
+    # checkpoint keeps the orders-fact subtree from running twice
+    per_taxon = (
+        joined.groupBy("n_name", "taxon_l3")
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=True)
     )
     totals = per_taxon.groupBy("n_name").agg(F.sum("n_orders").alias("tot"))
     return per_taxon.join(F.broadcast(totals), "n_name").select(
