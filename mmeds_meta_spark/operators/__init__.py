@@ -418,6 +418,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # mass propagation); the sweep + the pure-Python BFS twin in
     # tests/test_web_ops.py carry its evidence until a future rotation:
     "web_host_harmonic",
+    # d18_kaplan_meier starts in the tail: its two physical shapes are
+    # both gated elsewhere this round (per-user min/max agg = the event
+    # family; the pinned ascending-order product fold = d8/d9's rule-3
+    # fold family); the sweep + the pure-Python lifelines-style twin in
+    # tests/test_kaplan_meier.py carry its evidence until a rotation:
+    "d18_kaplan_meier",
 )
 
 

@@ -717,7 +717,135 @@ FROM stats, pcts, hot
 """
 
 
+# ---------------------------------------------------------------------------
+# d18 — Kaplan-Meier survival estimator
+# ---------------------------------------------------------------------------
+
+_KM_EVENT = "purchase"  # the terminal event; other users are right-censored
+_KM_HOUR_US = 3_600_000_000
+
+
+def d18_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user event histories — the
+    survival statistic a clinical metadata system (the reference's
+    domain) reports beside its diversity ANOVAs.  Beyond-reference.
+
+    Subjects = users; time zero = a user's first event; the terminal
+    event is their first '{ev}' (users without one are right-censored
+    at their last observation).  Durations land on integer HOURS
+    (integer division — exact on both engines), the risk table counts
+    are BIGINTs, and the survival product Π(1 − dᵢ/nᵢ) is a
+    PINNED-ORDER fold over the ascending-time risk table (the rule-3
+    discipline: both engines fold the identical sorted list
+    sequentially, so the doubles agree bit-for-bit).
+
+    Scale shape: ONE per-user shuffle builds the lifetimes; the risk
+    table is bounded by distinct durations (hours over the observation
+    window — a calendar-bounded vocabulary, not a corpus axis), so the
+    cumulative windows and the product fold run on a bounded relation."""
+    from ..functions.event_time import event_time_us
+
+    ev = _t(spark, sf, "events")
+    us = event_time_us(ev.schema)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tn"),
+        F.min(F.when(F.col("event_type") == _KM_EVENT, us)).alias("tp"),
+    )
+    life = per_user.select(
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END"
+            f" div {_KM_HOUR_US}"
+        ).alias("t"),
+        F.expr("tp IS NOT NULL").alias("observed"),
+    )
+    risk = life.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).cast("long").alias("n_censored"),
+    )
+    # bounded relation from here on: cumulative windows + the pinned
+    # product fold run over |distinct durations| rows
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = risk.agg(F.expr("CAST(SUM(n_events + n_censored) AS BIGINT)").alias("n_all"))
+    km = (
+        risk.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum(F.expr("n_events + n_censored")).over(w))
+        .withColumn(
+            "n_risk",
+            F.expr("CAST(n_all - cum + (n_events + n_censored) AS BIGINT)"),
+        )
+        .withColumn(
+            "term",
+            F.expr("1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)"),
+        )
+    )
+    return (
+        km.withColumn("terms", F.collect_list(F.struct("t", "term")).over(w))
+        .withColumn(
+            "survival",
+            F.expr(
+                "aggregate(sort_array(terms), CAST(1.0 AS DOUBLE),"
+                " (acc, x) -> acc * x.term)"
+            ),
+        )
+        .select("t", "n_risk", "n_events", "n_censored", "survival")
+    )
+
+
+d18_kaplan_meier.__doc__ = d18_kaplan_meier.__doc__.format(ev=_KM_EVENT)
+
+
+_KM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tn,
+         MIN(CASE WHEN event_type = '{_KM_EVENT}' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY 1
+), life AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END
+           // {_KM_HOUR_US} AS t,
+         tp IS NOT NULL AS observed
+  FROM per_user
+), risk AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+  FROM life GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n_all FROM risk
+), km AS (
+  SELECT t, n_events, n_censored,
+         n_all - SUM(n_events + n_censored) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + (n_events + n_censored) AS n_risk
+  FROM risk CROSS JOIN tot
+), terms AS (
+  SELECT t, n_risk, n_events, n_censored,
+         1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
+  FROM km
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(
+             list_sort(list(struct_pack(t := t, term := term)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             x -> x.term)),
+         (acc, x) -> acc * x) AS survival
+FROM terms
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d18_kaplan_meier": QuerySpec(
+        d18_kaplan_meier,
+        _KM_SQL,
+        "beyond-reference: Kaplan-Meier survival curve over user event "
+        "histories (first event → first terminal event, right-censored at "
+        "last observation) — one per-user shuffle, then cumulative windows "
+        "+ the pinned-order survival product on the duration-bounded risk "
+        "table",
+    ),
     "a24_skew_profile": QuerySpec(
         a24_skew_profile,
         _A24_SQL,

@@ -1,0 +1,65 @@
+"""d18 Kaplan-Meier: the Spark estimator must match a pure-Python
+lifelines-style implementation exactly (third engine beside the DuckDB
+oracle), and the curve must satisfy the estimator's invariants."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.stats import _KM_EVENT, d18_kaplan_meier
+
+
+def _python_km(sf_dir: str):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tn,
+               MIN(CASE WHEN event_type = '{_KM_EVENT}' THEN epoch_us(ts) END) AS tp
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    lives = [
+        (((tp - t0) if tp is not None else (tn - t0)) // 3_600_000_000, tp is not None)
+        for _, t0, tn, tp in rows
+    ]
+    risk: dict[int, list[int]] = {}
+    for t, observed in lives:
+        d, c = risk.setdefault(t, [0, 0])
+        risk[t][0 if observed else 1] += 1
+    total = len(lives)
+    out = {}
+    seen = 0
+    s = 1.0
+    for t in sorted(risk):
+        d, c = risk[t]
+        n_risk = total - seen
+        s = s * (1.0 - d / n_risk)  # same fold order as both engines
+        out[t] = (n_risk, d, c, s)
+        seen += d + c
+    return out
+
+
+def test_km_matches_python_twin(spark):
+    got = {
+        r["t"]: (r["n_risk"], r["n_events"], r["n_censored"], r["survival"])
+        for r in d18_kaplan_meier(spark, SF_SMOKE).collect()
+    }
+    assert got == _python_km(SF_SMOKE)
+
+
+def test_km_invariants(spark):
+    rows = sorted(
+        d18_kaplan_meier(spark, SF_SMOKE).collect(), key=lambda r: r["t"]
+    )
+    assert rows
+    # survival is non-increasing in t and stays within [0, 1]
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    # the at-risk count at the first time equals the full cohort and is
+    # strictly decreasing thereafter
+    n_risk = [r["n_risk"] for r in rows]
+    assert n_risk[0] == sum(r["n_events"] + r["n_censored"] for r in rows)
+    assert all(a > b for a, b in zip(n_risk, n_risk[1:]))

@@ -36,7 +36,7 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_advice_r07.py tests/test_advice_r08.py
          tests/test_decon_recall.py tests/test_round8_ops.py
          tests/test_advice_r09.py tests/test_cluster_sharing.py
-         tests/test_web_ops.py)
+         tests/test_web_ops.py tests/test_kaplan_meier.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
