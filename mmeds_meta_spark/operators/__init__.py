@@ -424,6 +424,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # fold family); the sweep + the pure-Python lifelines-style twin in
     # tests/test_kaplan_meier.py carry its evidence until a rotation:
     "d18_kaplan_meier",
+    # d19_logrank_test: the hypergeometric-moment + pinned-fold shape is
+    # d8/d9's gated family; same python-twin + sweep evidence as d18:
+    "d19_logrank_test",
 )
 
 

@@ -836,7 +836,173 @@ FROM terms
 """
 
 
+# ---------------------------------------------------------------------------
+# d19 — log-rank test (two-group survival comparison)
+# ---------------------------------------------------------------------------
+
+
+def d19_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-group log-rank test over the d18 lifetimes (groups =
+    ``user_id % 2``) — the statistic a clinician reads next to the
+    Kaplan-Meier curves: at each event time the observed group-1 events
+    are compared with their hypergeometric expectation
+    ``E₁ = d·n₁/n``, and ``χ² = (Σ(O₁−E₁))² / ΣV`` with the
+    hypergeometric variance ``V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1)``.
+
+    Exactness: every count entering E and V is a BIGINT from the
+    duration-bounded risk table; E and V are identical closed-form
+    double expressions; the two sums over event times are rule-3
+    PINNED-ORDER folds (ascending t), and the significance cut shares
+    the `_CHI2_05` table with the χ²/diff-abundance family (one source
+    of truth).  Scale shape: one per-user shuffle, then everything runs
+    on the |distinct durations|-bounded relation."""
+    from ..functions.diff_abundance import _CHI2_05
+    from ..functions.event_time import event_time_us
+
+    ev = _t(spark, sf, "events")
+    us = event_time_us(ev.schema)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tn"),
+        F.min(F.when(F.col("event_type") == _KM_EVENT, us)).alias("tp"),
+    )
+    life = per_user.select(
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END"
+            f" div {_KM_HOUR_US}"
+        ).alias("t"),
+        F.expr("tp IS NOT NULL").alias("observed"),
+        F.expr("user_id % 2 = 1").alias("g1"),
+    )
+    byt = life.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("observed") & F.col("g1"), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count("*").cast("long").alias("a"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("a1"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = byt.agg(
+        F.expr("CAST(SUM(a) AS BIGINT)").alias("n_all"),
+        F.expr("CAST(SUM(a1) AS BIGINT)").alias("n1_all"),
+    )
+    km = (
+        byt.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("a").over(w))
+        .withColumn("cum1", F.sum("a1").over(w))
+        .withColumn("n_risk", F.expr("CAST(n_all - cum + a AS BIGINT)"))
+        .withColumn("n1", F.expr("CAST(n1_all - cum1 + a1 AS BIGINT)"))
+        .filter("d > 0")
+        .select(
+            "t",
+            F.expr(
+                "CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)"
+                " / CAST(n_risk AS DOUBLE)"
+            ).alias("de"),
+            F.expr(
+                "CASE WHEN n_risk > 1 THEN"
+                " CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+                " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+                " * (CAST(n_risk - d AS DOUBLE) / CAST(n_risk - 1 AS DOUBLE))"
+                " ELSE 0.0 END"
+            ).alias("v"),
+        )
+    )
+    crit = _CHI2_05[1]
+    sums = km.agg(
+        F.expr("sort_array(collect_list(struct(t, de, v)))").alias("terms"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_times"),
+    ).select(
+        F.expr(
+            "aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.de)"
+        ).alias("sde"),
+        F.expr(
+            "aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)"
+        ).alias("sv"),
+        "n_times",
+    )
+    # x² by MULTIPLICATION, never POWER — pow's bit-portability is not
+    # guaranteed across libm implementations (rule 2)
+    return sums.select(
+        F.expr("ROUND(sde * sde / sv, 6)").alias("chi2"),
+        F.lit(1).cast("long").alias("df"),
+        "n_times",
+        F.expr(f"sde * sde / sv > CAST({crit} AS DOUBLE)").alias("reject_h0"),
+    )
+
+
+def _logrank_sql() -> str:
+    from ..functions.diff_abundance import _CHI2_05
+
+    crit = _CHI2_05[1]
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_sort(list(struct_pack(t := t, de := de, v := v))),"
+        " x -> x.{f})), (acc, x) -> acc + x)"
+    )
+    sde = fold.format(f="de")
+    sv = fold.format(f="v")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tn,
+         MIN(CASE WHEN event_type = '{_KM_EVENT}' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY 1
+), life AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END
+           // {_KM_HOUR_US} AS t,
+         tp IS NOT NULL AS observed,
+         user_id % 2 = 1 AS g1
+  FROM per_user
+), byt AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN observed AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+  FROM life GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_all, CAST(SUM(a1) AS BIGINT) AS n1_all
+  FROM byt
+), km AS (
+  SELECT t, d, d1,
+         n_all - SUM(a) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) + a AS n_risk,
+         n1_all - SUM(a1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) + a1 AS n1
+  FROM byt CROSS JOIN tot
+), terms AS (
+  SELECT t,
+         CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+           / CAST(n_risk AS DOUBLE) AS de,
+         CASE WHEN n_risk > 1 THEN
+           CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+           * (1.0 - CAST(n1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+           * (CAST(n_risk - d AS DOUBLE) / CAST(n_risk - 1 AS DOUBLE))
+         ELSE 0.0 END AS v
+  FROM km WHERE d > 0
+), sums AS (
+  SELECT {sde} AS sde, {sv} AS sv, CAST(COUNT(*) AS BIGINT) AS n_times
+  FROM terms
+)
+SELECT ROUND(sde * sde / sv, 6) AS chi2,
+       CAST(1 AS BIGINT) AS df,
+       n_times,
+       sde * sde / sv > CAST({crit} AS DOUBLE) AS reject_h0
+FROM sums
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "d19_logrank_test": QuerySpec(
+        d19_logrank_test,
+        _logrank_sql(),
+        "beyond-reference: two-group log-rank test over the d18 lifetimes "
+        "(hypergeometric E and V per event time, pinned-order sums, shared "
+        "_CHI2_05 cut) — one per-user shuffle, then a duration-bounded "
+        "relation end to end",
+    ),
     "d18_kaplan_meier": QuerySpec(
         d18_kaplan_meier,
         _KM_SQL,

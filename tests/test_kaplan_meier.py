@@ -63,3 +63,58 @@ def test_km_invariants(spark):
     n_risk = [r["n_risk"] for r in rows]
     assert n_risk[0] == sum(r["n_events"] + r["n_censored"] for r in rows)
     assert all(a > b for a, b in zip(n_risk, n_risk[1:]))
+
+
+def test_logrank_matches_python_twin(spark):
+    import duckdb
+
+    from mmeds_meta_spark.operators.stats import (
+        _KM_EVENT,
+        d19_logrank_test,
+    )
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tn,
+               MIN(CASE WHEN event_type = '{_KM_EVENT}' THEN epoch_us(ts) END) AS tp
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    lives = [
+        (
+            ((tp - t0) if tp is not None else (tn - t0)) // 3_600_000_000,
+            tp is not None,
+            u % 2 == 1,
+        )
+        for u, t0, tn, tp in rows
+    ]
+    byt: dict[int, list[int]] = {}
+    for t, obs, g1 in lives:
+        r = byt.setdefault(t, [0, 0, 0, 0])  # d, d1, a, a1
+        r[0] += obs
+        r[1] += obs and g1
+        r[2] += 1
+        r[3] += g1
+    n_all = len(lives)
+    n1_all = sum(1 for _, _, g1 in lives if g1)
+    seen = seen1 = 0
+    sde = sv = 0.0
+    n_times = 0
+    for t in sorted(byt):  # same ascending fold order as both engines
+        d, d1, a, a1 = byt[t]
+        n = n_all - seen
+        n1 = n1_all - seen1
+        if d > 0:
+            n_times += 1
+            sde += d1 - d * n1 / n
+            if n > 1:
+                sv += d * (n1 / n) * (1.0 - n1 / n) * ((n - d) / (n - 1))
+        seen += a
+        seen1 += a1
+    chi2 = sde * sde / sv
+
+    got = d19_logrank_test(spark, SF_SMOKE).collect()[0]
+    assert got["n_times"] == n_times and got["df"] == 1
+    assert got["chi2"] == round(chi2, 6)
+    assert got["reject_h0"] == (chi2 > 3.841)
