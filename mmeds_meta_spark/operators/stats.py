@@ -743,15 +743,27 @@ def d18_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     table is bounded by distinct durations (hours over the observation
     window — a calendar-bounded vocabulary, not a corpus axis), so the
     cumulative windows and the product fold run on a bounded relation."""
+    return km_from_lifetimes(km_lifetimes(spark, sf))
+
+
+def km_lifetimes(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-user (user_id, t0, tn, tp) lifetimes relation — the ONE
+    corpus-scale stage of the survival family, shared by d18/d19 and
+    re-foldable from streamed partials (t0/tn/tp are MIN/MAX/MIN
+    monoids; streaming/survival.py)."""
     from ..functions.event_time import event_time_us
 
     ev = _t(spark, sf, "events")
     us = event_time_us(ev.schema)
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.min(us).alias("t0"),
         F.max(us).alias("tn"),
         F.min(F.when(F.col("event_type") == _KM_EVENT, us)).alias("tp"),
     )
+
+
+def km_from_lifetimes(per_user: DataFrame) -> DataFrame:
+    """d18's duration-bounded tail over an arbitrary lifetimes relation."""
     life = per_user.select(
         F.expr(
             f"CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END"
@@ -856,16 +868,13 @@ def d19_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
     the `_CHI2_05` table with the χ²/diff-abundance family (one source
     of truth).  Scale shape: one per-user shuffle, then everything runs
     on the |distinct durations|-bounded relation."""
-    from ..functions.diff_abundance import _CHI2_05
-    from ..functions.event_time import event_time_us
+    return logrank_from_lifetimes(km_lifetimes(spark, sf))
 
-    ev = _t(spark, sf, "events")
-    us = event_time_us(ev.schema)
-    per_user = ev.groupBy("user_id").agg(
-        F.min(us).alias("t0"),
-        F.max(us).alias("tn"),
-        F.min(F.when(F.col("event_type") == _KM_EVENT, us)).alias("tp"),
-    )
+
+def logrank_from_lifetimes(per_user: DataFrame) -> DataFrame:
+    """d19's duration-bounded tail over an arbitrary lifetimes relation."""
+    from ..functions.diff_abundance import _CHI2_05
+
     life = per_user.select(
         F.expr(
             f"CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END"
