@@ -427,6 +427,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # d19_logrank_test: the hypergeometric-moment + pinned-fold shape is
     # d8/d9's gated family; same python-twin + sweep evidence as d18:
     "d19_logrank_test",
+    # d20_nelson_aalen: d18's risk-table construction with two pinned
+    # cumulative folds — the same shapes, same twin + sweep evidence:
+    "d20_nelson_aalen",
 )
 
 

@@ -849,6 +849,124 @@ FROM terms
 
 
 # ---------------------------------------------------------------------------
+# d20 — Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+
+def d20_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the d18 lifetimes —
+    ``H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ`` with the Poisson variance
+    ``Σ dᵢ/nᵢ²`` — the third member of the survival trio every package
+    ships (KM curve, NA hazard, log-rank comparison).  Same risk-table
+    construction as d18 (BIGINT counts on the duration-bounded
+    relation); both cumulative sums are rule-3 pinned ascending-order
+    folds, so the DuckDB oracle matches bit-for-bit."""
+    return nelson_aalen_from_lifetimes(km_lifetimes(spark, sf))
+
+
+def nelson_aalen_from_lifetimes(per_user: DataFrame) -> DataFrame:
+    """d20's duration-bounded tail over an arbitrary lifetimes relation."""
+    life = per_user.select(
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END"
+            f" div {_KM_HOUR_US}"
+        ).alias("t"),
+        F.expr("tp IS NOT NULL").alias("observed"),
+    )
+    risk = life.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = risk.agg(F.expr("CAST(SUM(n_events + n_censored) AS BIGINT)").alias("n_all"))
+    km = (
+        risk.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum(F.expr("n_events + n_censored")).over(w))
+        .withColumn(
+            "n_risk",
+            F.expr("CAST(n_all - cum + (n_events + n_censored) AS BIGINT)"),
+        )
+        .withColumn(
+            "h", F.expr("CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)")
+        )
+        .withColumn(
+            "vh",
+            F.expr(
+                "CAST(n_events AS DOUBLE)"
+                " / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))"
+            ),
+        )
+    )
+    return (
+        km.withColumn("terms", F.collect_list(F.struct("t", "h", "vh")).over(w))
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.expr(
+                "aggregate(sort_array(terms), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x.h)"
+            ).alias("cum_hazard"),
+            F.expr(
+                "aggregate(sort_array(terms), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x.vh)"
+            ).alias("hazard_var"),
+        )
+    )
+
+
+_NA_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tn,
+         MIN(CASE WHEN event_type = '{_KM_EVENT}' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY 1
+), life AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tn - t0) END
+           // {_KM_HOUR_US} AS t,
+         tp IS NOT NULL AS observed
+  FROM per_user
+), risk AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+  FROM life GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n_all FROM risk
+), km AS (
+  SELECT t, n_events, n_censored,
+         n_all - SUM(n_events + n_censored) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + (n_events + n_censored) AS n_risk
+  FROM risk CROSS JOIN tot
+), terms AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+         CAST(n_events AS DOUBLE)
+           / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS vh
+  FROM km
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list(struct_pack(t := t, h := h, vh := vh)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             x -> x.h)),
+         (acc, x) -> acc + x) AS cum_hazard,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list(struct_pack(t := t, h := h, vh := vh)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             x -> x.vh)),
+         (acc, x) -> acc + x) AS hazard_var
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # d19 — log-rank test (two-group survival comparison)
 # ---------------------------------------------------------------------------
 
@@ -1011,6 +1129,13 @@ QUERIES: dict[str, QuerySpec] = {
         "(hypergeometric E and V per event time, pinned-order sums, shared "
         "_CHI2_05 cut) — one per-user shuffle, then a duration-bounded "
         "relation end to end",
+    ),
+    "d20_nelson_aalen": QuerySpec(
+        d20_nelson_aalen,
+        _NA_SQL,
+        "beyond-reference: Nelson-Aalen cumulative hazard + Poisson "
+        "variance over the d18 lifetimes — same one-shuffle risk-table "
+        "construction, two pinned-order cumulative folds",
     ),
     "d18_kaplan_meier": QuerySpec(
         d18_kaplan_meier,

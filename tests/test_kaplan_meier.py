@@ -118,3 +118,32 @@ def test_logrank_matches_python_twin(spark):
     assert got["n_times"] == n_times and got["df"] == 1
     assert got["chi2"] == round(chi2, 6)
     assert got["reject_h0"] == (chi2 > 3.841)
+
+
+def test_nelson_aalen_matches_python_twin(spark):
+    from mmeds_meta_spark.operators.stats import d20_nelson_aalen
+
+    km = _python_km(SF_SMOKE)
+    # rebuild the cumulative hazard from the same risk table, folding in
+    # the same ascending order as both engines
+    h = vh = 0.0
+    want = {}
+    for t in sorted(km):
+        n_risk, d, c, _ = km[t]
+        h += d / n_risk
+        vh += d / (n_risk * n_risk)
+        want[t] = (n_risk, d, c, h, vh)
+    got = {
+        r["t"]: (
+            r["n_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["cum_hazard"],
+            r["hazard_var"],
+        )
+        for r in d20_nelson_aalen(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # hazard is non-decreasing; exp(-H) tracks below-or-near the KM curve
+    hs = [want[t][3] for t in sorted(want)]
+    assert all(a <= b for a, b in zip(hs, hs[1:]))
