@@ -45,7 +45,13 @@ EVENT_OPS = [
     "d1_rarefaction_det",
 ]
 EVENT_SCALES = (1, 4, 8, 16)
-DOC_OPS = ["dedup_url_canonical", "sample_domain_cap", "web_host_pagerank"]
+DOC_OPS = [
+    "dedup_url_canonical",
+    "sample_domain_cap",
+    "web_host_pagerank",
+    "web_host_harmonic",
+    "pipeline_curation_funnel",
+]
 DOC_SCALES = (1, 4, 16)
 
 TABLES = (
