@@ -136,6 +136,12 @@ HEAVY = [
     # flags + narrow quality + checkpointed selection flags) — tracked
     # so the refactors carry measured anchors
     "pipeline_selection_funnel",
+    # round-9 session-2: harmonic centrality (shared host_edges pass) and
+    # the survival pair — tracked so the bounded-iteration and
+    # duration-bounded-risk-table claims carry measured anchors
+    "web_host_harmonic",
+    "d18_kaplan_meier",
+    "d19_logrank_test",
 ]
 
 
