@@ -33,6 +33,9 @@ scan.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -40,10 +43,17 @@ from pyspark.sql import functions as F
 # Google gclid, Facebook fbclid, Mailchimp mc_*, generic ref)
 TRACKING_KEYS = ("fbclid", "gclid", "ref", "mc_cid", "mc_eid")
 
-# public-suffix table for registrable-domain extraction, longest suffix
-# first (a real deployment broadcasts the full Mozilla PSL; the rule —
-# longest matching suffix plus one label — is identical)
-PUBLIC_SUFFIXES = ("co.uk", "com.au", "example.com", "com", "org", "net", "uk")
+# Public Suffix List (publicsuffix.org format) shipped as a resource
+# relation, like resources/icd10cm_codes.txt.  Rule kinds: '0' plain
+# ("co.uk"), '1' wildcard parent ("*.ck" stored under key "ck"), '2'
+# exception ("!www.ck" stored under key "www.ck"), '3' a suffix that is
+# BOTH a plain rule and a wildcard parent ("platform.sh" +
+# "*.platform.sh" in the upstream list).
+PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "public_suffix_list.dat",
+)
 
 
 def _keep_param_pred(p: str) -> str:
@@ -129,27 +139,128 @@ def canonical_sql(u: str) -> str:
     return f"{scheme} || '://' || {host} || {port_part} || {path} || {query}"
 
 
-def _domain_cases(host: str, extract: str) -> list[tuple[str, str]]:
-    """(regex, per-suffix extraction expr) pairs, longest suffix first —
-    shared by both engine builders so the suffix walk is identical."""
-    out = []
-    for s in sorted(PUBLIC_SUFFIXES, key=lambda x: -x.count(".")):
-        esc = s.replace(".", r"\.")
-        out.append((s, extract.format(host=host, pat=f"([^.]+\\.{esc})$")))
-    return out
+@lru_cache(maxsize=1)
+def load_psl(path: str = PSL_PATH) -> dict[str, str]:
+    """Parse a publicsuffix.org-format file → {suffix: kind}.
+
+    Kinds (strings so both engines' map values stay VARCHAR): '0' plain
+    rule, '1' wildcard parent (``*.ck`` → key ``ck``), '2' exception
+    (``!www.ck`` → key ``www.ck``), '3' plain + wildcard parent.
+    Exceptions win over plain on key collision (PSL rule: exception
+    rules take priority over every other matching rule).
+    """
+    rules: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                rules[line[1:]] = "2"
+            elif line.startswith("*."):
+                key = line[2:]
+                rules[key] = "3" if rules.get(key) == "0" else "1"
+            else:
+                prev = rules.get(line)
+                rules[line] = "3" if prev == "1" else (prev or "0")
+    return rules
+
+
+@lru_cache(maxsize=1)
+def _psl_pairs() -> str:
+    """``suffix:kind,...`` — ONE string literal both engines fold into a
+    constant map (no per-row parse; no giant CreateMap expression)."""
+    rules = load_psl()
+    return ",".join(f"{s}:{k}" for s, k in sorted(rules.items()))
+
+
+def _psl_walk(host: str, *, spark_side: bool) -> str:
+    """The PSL longest-match walk as ONE SQL expression over ``host``,
+    transcribed for either engine from the SAME arithmetic.
+
+    Algorithm (publicsuffix.org): among all rules matching the host,
+    exception rules win, else the longest; public suffix = the prevailing
+    rule (wildcard: plus the matched label; exception: minus its leftmost
+    label); registrable domain = public suffix + one more label.  No rule
+    matches → default rule ``*`` (public suffix = the rightmost label).
+    Host IS a public suffix → no registrable domain; we return the host
+    itself (the cap/dedup consumers must group such rows, not drop them).
+
+    Scale shape: a pure narrow expression — the PSL rides along as one
+    constant-folded ``map`` literal (the expression-level equivalent of a
+    broadcast lookup table: shipped once per task, probed O(#labels) per
+    row, no shuffle, no join, no UDF).
+    """
+    pairs = _psl_pairs()
+    if spark_side:
+        labels = f"split({host}, '\\\\.')"
+        n = f"size({labels})"
+        # Spark transform index i is 0-based: position p = i + 1.
+        cand = f"array_join(slice({labels}, i + 1, {n} - i), '.')"
+        kind = f"try_element_at(str_to_map('{pairs}', ',', ':'), {cand})"
+        p = "(i + 1)"
+        score = (
+            f"CASE {kind}"
+            f" WHEN '2' THEN 1000 + {n} - {p}"
+            f" WHEN '0' THEN {n} - {p} + 1"
+            f" WHEN '1' THEN (CASE WHEN {p} >= 2 THEN {n} - {p} + 2 END)"
+            f" WHEN '3' THEN (CASE WHEN {p} >= 2 THEN {n} - {p} + 2"
+            f"                ELSE {n} - {p} + 1 END)"
+            f" END"
+        )
+        best = f"array_max(transform({labels}, (x, i) -> {score}))"
+        pub = (
+            f"CASE WHEN {best} IS NULL THEN 1"
+            f" WHEN {best} >= 1000 THEN {best} - 1000 ELSE {best} END"
+        )
+        reg = f"array_join(slice({labels}, {n} - ({pub}) , ({pub}) + 1), '.')"
+        return (
+            f"CASE WHEN {n} - ({pub}) >= 1 THEN {reg} ELSE {host} END"
+        )
+    labels = f"string_split({host}, '.')"
+    n = f"len({labels})"
+    # DuckDB lambda index p is 1-based already.
+    cand = f"array_to_string(list_slice({labels}, p, {n}), '.')"
+    # DuckDB evaluates a map() literal INSIDE a lambda per element (no
+    # constant-fold through lambdas — measured 38 s at sf0.01), so the
+    # lookup is a plain-VARCHAR-literal scan instead: find ",cand:" in
+    # ",suf:kind,suf:kind,...,"; the char after the colon is the kind.
+    # Labels never contain ',' or ':', so a needle can only match at an
+    # entry boundary.  One ~10 KB memchr scan per candidate — O(µs).
+    lit = "," + pairs + ","
+    needle = f"(',' || {cand} || ':')"
+    hit = f"strpos('{lit}', {needle})"
+    kind = (
+        f"CASE WHEN {hit} > 0"
+        f" THEN substr('{lit}', {hit} + length({cand}) + 2, 1) END"
+    )
+    score = (
+        f"CASE {kind}"
+        f" WHEN '2' THEN 1000 + {n} - p"
+        f" WHEN '0' THEN {n} - p + 1"
+        f" WHEN '1' THEN (CASE WHEN p >= 2 THEN {n} - p + 2 END)"
+        f" WHEN '3' THEN (CASE WHEN p >= 2 THEN {n} - p + 2"
+        f"                ELSE {n} - p + 1 END)"
+        f" END"
+    )
+    best = f"list_max(list_transform({labels}, (x, p) -> {score}))"
+    pub = (
+        f"CASE WHEN {best} IS NULL THEN 1"
+        f" WHEN {best} >= 1000 THEN {best} - 1000 ELSE {best} END"
+    )
+    reg = f"array_to_string(list_slice({labels}, {n} - ({pub}), {n}), '.')"
+    return f"CASE WHEN {n} - ({pub}) >= 1 THEN {reg} ELSE {host} END"
 
 
 def registrable_domain(host_col: str) -> Column:
-    """Registrable domain (public suffix + one label) of a host column."""
-    cases = _domain_cases(host_col, "regexp_extract({host}, '{pat}', 1)")
-    # regexp_extract returns '' on no match in BOTH engines; nullif('')
-    # folds misses so coalesce walks longest-suffix-first
-    walk = ", ".join("nullif(" + e + ", '')" for _, e in cases)
-    return F.expr(f"coalesce({walk}, {host_col})")
+    """Registrable domain of a host column under the real PSL rules
+    (longest matching rule + one label; wildcards and exceptions per
+    publicsuffix.org).  Pure Catalyst: the PSL is a constant-folded
+    ``str_to_map`` literal probed per candidate suffix."""
+    return F.expr(_psl_walk(host_col, spark_side=True))
 
 
 def registrable_domain_sql(host: str) -> str:
-    """DuckDB transcription of :func:`registrable_domain`."""
-    cases = _domain_cases(host, "regexp_extract({host}, '{pat}', 1)")
-    walk = ", ".join("nullif(" + e + ", '')" for _, e in cases)
-    return f"coalesce({walk}, {host})"
+    """DuckDB transcription of :func:`registrable_domain` — the same
+    walk arithmetic over ``map(suffixes, kinds)``."""
+    return _psl_walk(host, spark_side=False)

@@ -50,9 +50,12 @@ _DOMAIN_CAP = 10  # per-registrable-domain document cap (RefinedWeb-style)
 
 # The raw-URL synthesis exercises every canonicalization rule:
 # scheme case + identity (d%2), subdomain (d%3), public suffix
-# (source-keyed example.com vs co.uk), host case (d%5), www. prefix
-# (d%7), default port (d%4), path id (d%25), trailing slash + query
-# param order (d%2), tracking params (always), fragment (d%3).
+# ((d%20)%4-keyed: co.uk / com.br / co.jp ccTLD registrations that hit
+# the PSL's 2-label rules, plus flat example.com whose registrable
+# domain collapses to ONE mega-domain — the over-cap routing path),
+# host case (d%5), www. prefix (d%7), default port (d%4), path id
+# (d%25), trailing slash + query param order (d%2), tracking params
+# (always), fragment (d%3).
 # Canonical identity is therefore d mod lcm(2,3,20,25) = 300 within a
 # source — duplicate groups exist at every SF by construction.
 
@@ -60,7 +63,14 @@ _DOMAIN_CAP = 10  # per-registrable-domain document cap (RefinedWeb-style)
 def _synth_url_expr(d: str, s: str) -> str:
     """One SQL expression (valid on BOTH engines) building the raw URL
     for doc_id ``d`` of source ``s``."""
-    suffix = f"CASE WHEN ({d} % 20) % 3 = 1 THEN 'co.uk' ELSE 'example.com' END"
+    # real-PSL suffix variety (functions/urls.py load_psl): a 2-label
+    # ccTLD registration, a Latin-American one, an East-Asian one, and a
+    # flat gTLD — so the gate exercises the PSL longest-match walk on
+    # every document, not just one suffix family
+    suffix = (
+        f"CASE ({d} % 20) % 4 WHEN 1 THEN 'co.uk' WHEN 2 THEN 'com.br'"
+        f" WHEN 3 THEN 'co.jp' ELSE 'example.com' END"
+    )
     host_core = f"concat('s', {d} % 3, '.', {s}, '.', {suffix})"
     host_www = f"CASE WHEN {d} % 7 = 0 THEN concat('www.', {host_core}) ELSE {host_core} END"
     host = f"CASE WHEN {d} % 5 = 0 THEN upper({host_www}) ELSE {host_www} END"
@@ -243,7 +253,10 @@ def _synth_host_expr(k: str, s: str) -> str:
     same host shape :func:`_synth_url_expr` produces AFTER
     canonicalization (lowercase, no www., no port), so link targets and
     link sources live in one host namespace on both engines."""
-    suffix = f"CASE WHEN ({k} % 20) % 3 = 1 THEN 'co.uk' ELSE 'example.com' END"
+    suffix = (
+        f"CASE ({k} % 20) % 4 WHEN 1 THEN 'co.uk' WHEN 2 THEN 'com.br'"
+        f" WHEN 3 THEN 'co.jp' ELSE 'example.com' END"
+    )
     return f"concat('s', {k} % 3, '.', {s}, '.', {suffix})"
 
 
@@ -474,8 +487,18 @@ def web_host_harmonic(
     BIGINTs, so the DuckDB oracle (the same min-plus chain unrolled)
     matches bit-for-bit.  Scale shape: the corpus contributes only the
     shared :func:`host_edges` checkpoint (ONE pass); the ``hops-1``
-    min-plus expansions join |hosts|²-bounded distance relations against
-    the broadcast edge list — the frontier never touches the corpus."""
+    min-plus expansions never touch the corpus again.  The distance
+    relation they grow is |hosts|²-bounded only in the WORST case — on
+    a real web host graph, hub nodes reach most of the graph within 4
+    hops, so the closure approaches that bound rather than staying far
+    under it (hop-bounded frontier growth depends on the graph's
+    expansion, not just the hop count).  Practical at the |hosts|
+    vocabularies seen in the tests/benches and the host-vocabulary
+    scale probes (SCALE_NOTES); a deployment on a full crawl-scale host
+    graph (~1e8 hosts) needs frontier pruning (cap per-source frontier
+    size) or HyperBall-style HLL distance sketches in place of the
+    exact min-plus relation — unlike :func:`web_host_pagerank`, whose
+    per-iteration state stays |edges|-bounded by construction."""
     if edges is None:
         edges = host_edges(spark, sf)
     e = edges.select("src_host", "dst_host")

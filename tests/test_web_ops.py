@@ -67,18 +67,59 @@ def test_canonical_sql_matches_spark(spark):
 
 
 def test_registrable_domain_suffix_walk(spark):
+    # real-PSL semantics (resources/public_suffix_list.dat): longest
+    # matching rule + one label; wildcards (*.ck, *.kobe.jp), exceptions
+    # (!www.ck, !city.kobe.jp), private-section platform suffixes, and
+    # the default rule '*' for unlisted TLDs
     hosts = [
-        ("a.b.site.co.uk", "site.co.uk"),  # 2-label suffix wins over 'uk'
-        ("x.site.example.com", "site.example.com"),  # longest suffix first
+        ("a.b.site.co.uk", "site.co.uk"),  # 2-label rule wins over 'uk'
+        ("shop.vendas.com.br", "vendas.com.br"),
+        ("news.kabu.co.jp", "kabu.co.jp"),
         ("deep.sub.site.com", "site.com"),
         ("site.org", "site.org"),
-        ("localhost", "localhost"),  # no suffix match -> host itself
+        ("localhost", "localhost"),  # single label -> host itself
+        ("co.uk", "co.uk"),  # host IS a public suffix -> host itself
+        ("a.b.frobnitz", "b.frobnitz"),  # unlisted TLD -> default rule '*'
+        ("x.user.blogspot.com", "user.blogspot.com"),  # private section
+        ("foo.bar.ck", "foo.bar.ck"),  # wildcard *.ck
+        ("foo.www.ck", "www.ck"),  # exception !www.ck
+        ("shop.example.kobe.jp", "shop.example.kobe.jp"),  # *.kobe.jp
+        ("a.city.kobe.jp", "city.kobe.jp"),  # !city.kobe.jp
     ]
     df = spark.createDataFrame(hosts, "host string, want string")
     bad = df.select(
         "host", "want", registrable_domain("host").alias("got")
     ).filter(F.col("got") != F.col("want"))
     assert bad.collect() == []
+
+
+def test_registrable_domain_sql_matches_spark(spark):
+    # both engines derive the walk from the SAME load_psl() relation —
+    # this pins the DuckDB transcription to the Spark expression on a
+    # host set covering every rule kind
+    import duckdb
+
+    from mmeds_meta_spark.functions.urls import load_psl, registrable_domain_sql
+
+    assert len(load_psl()) > 500  # the resource relation, not a stub
+    hosts = [
+        "a.b.site.co.uk", "shop.vendas.com.br", "news.kabu.co.jp",
+        "deep.sub.site.com", "site.org", "localhost", "co.uk",
+        "a.b.frobnitz", "x.user.blogspot.com", "foo.bar.ck", "www.ck",
+        "foo.www.ck", "shop.example.kobe.jp", "a.city.kobe.jp",
+        "b.act.edu.au", "proj.github.io",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    s = [r[0] for r in df.select(registrable_domain("host")).collect()]
+    d = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + registrable_domain_sql("host")
+            + " FROM (SELECT unnest(?) AS host)",
+            params=[hosts],
+        ).fetchall()
+    ]
+    assert s == d
 
 
 def _urls_df(spark, rows):
@@ -153,9 +194,11 @@ def test_wet_target_uri_feeds_url_ops(spark, tmp_path):
     by_domain = {}
     for r in capped:
         by_domain.setdefault(r["domain"], []).append(r["kept"])
-    assert sorted(by_domain) == ["site-a.example.com", "site-b.co.uk"]
+    # real-PSL grouping: site-a.example.com registers under 'com', so its
+    # registrable domain is example.com; site-b.co.uk under the co.uk rule
+    assert sorted(by_domain) == ["example.com", "site-b.co.uk"]
     assert sum(by_domain["site-b.co.uk"]) == 2  # capped at 2 of 3
-    assert all(by_domain["site-a.example.com"])  # under cap -> all kept
+    assert all(by_domain["example.com"])  # under cap -> all kept
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +224,9 @@ def _python_pagerank_twin(sf_dir: str):
     ).fetchall()
 
     def host(k: int, s: str) -> str:
-        suffix = "co.uk" if (k % 20) % 3 == 1 else "example.com"
+        suffix = {1: "co.uk", 2: "com.br", 3: "co.jp"}.get(
+            (k % 20) % 4, "example.com"
+        )
         return f"s{k % 3}.{s}.{suffix}"
 
     edges: dict[tuple[str, str], int] = {}
@@ -271,7 +316,9 @@ def test_harmonic_matches_python_bfs_twin(spark):
     ).fetchall()
 
     def host(k: int, s: str) -> str:
-        suffix = "co.uk" if (k % 20) % 3 == 1 else "example.com"
+        suffix = {1: "co.uk", 2: "com.br", 3: "co.jp"}.get(
+            (k % 20) % 4, "example.com"
+        )
         return f"s{k % 3}.{s}.{suffix}"
 
     adj: dict[str, set[str]] = {}
