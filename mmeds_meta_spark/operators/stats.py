@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.prefix_fold import prefix_fold_sql as _pfold_sql
 from ..testdata import table as _t
 from . import QuerySpec
 
@@ -735,9 +736,11 @@ def d18_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     at their last observation).  Durations land on integer HOURS
     (integer division — exact on both engines), the risk table counts
     are BIGINTs, and the survival product Π(1 − dᵢ/nᵢ) is a
-    PINNED-ORDER fold over the ascending-time risk table (the rule-3
-    discipline: both engines fold the identical sorted list
-    sequentially, so the doubles agree bit-for-bit).
+    PINNED-ORDER blocked fold over the ascending-time risk table
+    (functions/prefix_fold.py: both engines multiply in the identical
+    association order, so the doubles agree bit-for-bit — and the fold
+    is LINEAR in distinct durations, so a years×hourly observation
+    window costs T·B ops, not T²).
 
     Scale shape: ONE per-user shuffle builds the lifetimes; the risk
     table is bounded by distinct durations (hours over the observation
@@ -791,17 +794,18 @@ def km_from_lifetimes(per_user: DataFrame) -> DataFrame:
             F.expr("1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)"),
         )
     )
-    return (
-        km.withColumn("terms", F.collect_list(F.struct("t", "term")).over(w))
-        .withColumn(
-            "survival",
-            F.expr(
-                "aggregate(sort_array(terms), CAST(1.0 AS DOUBLE),"
-                " (acc, x) -> acc * x.term)"
-            ),
-        )
-        .select("t", "n_risk", "n_events", "n_censored", "survival")
-    )
+    # LINEAR pinned-order product (round-9 verdict #4): the blocked
+    # prefix fold replaces the O(T²) per-row collect_list re-fold; the
+    # association tree is fixed by (BLOCK, ascending t) and transcribed
+    # identically in _KM_SQL, so the doubles stay bit-identical
+    # cross-engine with only IEEE *,+ ops (functions/prefix_fold.py).
+    from ..functions.prefix_fold import prefix_fold
+
+    return prefix_fold(
+        km.select("t", "n_risk", "n_events", "n_censored", "term"),
+        "t",
+        [("term", "survival", "*", "1.0")],
+    ).select("t", "n_risk", "n_events", "n_censored", "survival")
 
 
 d18_kaplan_meier.__doc__ = d18_kaplan_meier.__doc__.format(ev=_KM_EVENT)
@@ -835,16 +839,10 @@ WITH per_user AS (
   SELECT t, n_risk, n_events, n_censored,
          1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
   FROM km
-)
-SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
-       list_reduce(
-         list_prepend(CAST(1.0 AS DOUBLE),
-           list_transform(
-             list_sort(list(struct_pack(t := t, term := term)) OVER (
-               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             x -> x.term)),
-         (acc, x) -> acc * x) AS survival
-FROM terms
+), {_pfold_sql("terms", "t", ["t", "n_risk", "n_events", "n_censored"],
+               [("term", "survival", "*", "1.0")])}
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored, survival
+FROM __folded
 """
 
 
@@ -897,22 +895,16 @@ def nelson_aalen_from_lifetimes(per_user: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        km.withColumn("terms", F.collect_list(F.struct("t", "h", "vh")).over(w))
-        .select(
-            "t",
-            "n_risk",
-            "n_events",
-            "n_censored",
-            F.expr(
-                "aggregate(sort_array(terms), CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> acc + x.h)"
-            ).alias("cum_hazard"),
-            F.expr(
-                "aggregate(sort_array(terms), CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> acc + x.vh)"
-            ).alias("hazard_var"),
-        )
+    # same linear blocked fold as d18 (functions/prefix_fold.py) — two
+    # pinned cumulative SUMS ride one fold pass
+    from ..functions.prefix_fold import prefix_fold
+
+    return prefix_fold(
+        km.select("t", "n_risk", "n_events", "n_censored", "h", "vh"),
+        "t",
+        [("h", "cum_hazard", "+", "0.0"), ("vh", "hazard_var", "+", "0.0")],
+    ).select(
+        "t", "n_risk", "n_events", "n_censored", "cum_hazard", "hazard_var"
     )
 
 
@@ -946,23 +938,12 @@ WITH per_user AS (
          CAST(n_events AS DOUBLE)
            / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS vh
   FROM km
-)
+), {_pfold_sql("terms", "t", ["t", "n_risk", "n_events", "n_censored"],
+               [("h", "cum_hazard", "+", "0.0"),
+                ("vh", "hazard_var", "+", "0.0")])}
 SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
-       list_reduce(
-         list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(
-             list_sort(list(struct_pack(t := t, h := h, vh := vh)) OVER (
-               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             x -> x.h)),
-         (acc, x) -> acc + x) AS cum_hazard,
-       list_reduce(
-         list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(
-             list_sort(list(struct_pack(t := t, h := h, vh := vh)) OVER (
-               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             x -> x.vh)),
-         (acc, x) -> acc + x) AS hazard_var
-FROM terms
+       cum_hazard, hazard_var
+FROM __folded
 """
 
 
@@ -1050,12 +1031,19 @@ def logrank_from_lifetimes(per_user: DataFrame) -> DataFrame:
         "n_times",
     )
     # x² by MULTIPLICATION, never POWER — pow's bit-portability is not
-    # guaranteed across libm implementations (rule 2)
+    # guaranteed across libm implementations (rule 2).  sv = 0 guard
+    # (degenerate cohorts: every event time has n_risk <= 1, or no
+    # events at all): Spark's non-ANSI double 0/0 yields NULL where
+    # DuckDB's IEEE ops yield NaN/inf, so BOTH engines pin the
+    # degenerate case to (chi2 NULL, reject_h0 false) explicitly.
     return sums.select(
-        F.expr("ROUND(sde * sde / sv, 6)").alias("chi2"),
+        F.expr("CASE WHEN sv > 0 THEN ROUND(sde * sde / sv, 6) END").alias("chi2"),
         F.lit(1).cast("long").alias("df"),
         "n_times",
-        F.expr(f"sde * sde / sv > CAST({crit} AS DOUBLE)").alias("reject_h0"),
+        F.expr(
+            f"CASE WHEN sv > 0 THEN sde * sde / sv > CAST({crit} AS DOUBLE)"
+            f" ELSE false END"
+        ).alias("reject_h0"),
     )
 
 
@@ -1113,10 +1101,11 @@ WITH per_user AS (
   SELECT {sde} AS sde, {sv} AS sv, CAST(COUNT(*) AS BIGINT) AS n_times
   FROM terms
 )
-SELECT ROUND(sde * sde / sv, 6) AS chi2,
+SELECT CASE WHEN sv > 0 THEN ROUND(sde * sde / sv, 6) END AS chi2,
        CAST(1 AS BIGINT) AS df,
        n_times,
-       sde * sde / sv > CAST({crit} AS DOUBLE) AS reject_h0
+       CASE WHEN sv > 0 THEN sde * sde / sv > CAST({crit} AS DOUBLE)
+            ELSE false END AS reject_h0
 FROM sums
 """
 

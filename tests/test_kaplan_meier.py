@@ -147,3 +147,47 @@ def test_nelson_aalen_matches_python_twin(spark):
     # hazard is non-decreasing; exp(-H) tracks below-or-near the KM curve
     hs = [want[t][3] for t in sorted(want)]
     assert all(a <= b for a, b in zip(hs, hs[1:]))
+
+
+def test_prefix_fold_multiblock_exact_and_linear(spark):
+    """functions/prefix_fold.py on a >BLOCK risk table: the blocked
+    association must match a pure-Python twin folding the SAME tree
+    bit-for-bit, and the cost must stay linear (a 10^4-row table runs
+    in seconds, where the round-9 per-row collect_list re-fold was
+    quadratic)."""
+    import time
+
+    from mmeds_meta_spark.functions.prefix_fold import BLOCK, prefix_fold
+
+    n = 1001  # > 4 blocks at BLOCK=250, odd so the tail block is partial
+    terms = [1.0 - 1.0 / (i + 3) for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, terms[i]) for i in range(n)], "t long, term double"
+    )
+    got = {
+        r["t"]: r["p"]
+        for r in prefix_fold(df, "t", [("term", "p", "*", "1.0")]).collect()
+    }
+
+    # python twin of the SAME blocked tree
+    blocks = [terms[i : i + BLOCK] for i in range(0, n, BLOCK)]
+    outer = 1.0
+    want = {}
+    i = 0
+    for b in blocks:
+        acc = 1.0
+        for x in b:
+            acc = acc * x
+            want[i] = outer * acc
+            i += 1
+        outer = outer * acc
+    assert got == want
+
+    # linearity probe: 10^4 distinct durations through the same fold
+    big = spark.range(10_000).selectExpr(
+        "id AS t", "1.0 - 1.0 / (id + 2.0) AS term"
+    )
+    t0 = time.time()
+    out = prefix_fold(big, "t", [("term", "p", "*", "1.0")]).count()
+    assert out == 10_000
+    assert time.time() - t0 < 60  # quadratic would fold 5*10^7 growing arrays
