@@ -56,8 +56,11 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     Output: one row per stage with surviving doc/token counts and the
     integer-ratio fraction of raw docs — the report every curation run
     ships.  Thresholds are deliberately simple published heuristics
-    (Gopher/C4 family); the value here is the COMPOSITION: one plan,
-    shared scans, no inter-stage materialization."""
+    (Gopher/C4 family); the value here is the COMPOSITION: one Catalyst
+    plan over shared scans, plus exactly ONE bounded materialization —
+    the |URL-keepers|-row ``cap_docs`` localCheckpoint that feeds the
+    domain-cap kernel's three consumers (a keeper relation, never the
+    corpus)."""
     from ..functions.urls import registrable_domain, url_canonical
     from .web import _DOMAIN_CAP, _synth_url_expr, domain_cap_kernel
 
@@ -1051,7 +1054,8 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_curation_funnel,
         _FUNNEL_SQL,
         "beyond-reference: composed curation funnel (url-dedup → domain-cap "
-        "→ exact-dedup → quality → span-dedup) as ONE Catalyst plan with a "
+        "→ exact-dedup → quality → span-dedup) as ONE Catalyst plan plus one "
+        "bounded keeper-relation checkpoint (the domain-cap stage), with a "
         "per-stage survivor report — the full C4/RefinedWeb-order chain",
     ),
 }

@@ -18,7 +18,14 @@ of one document hit the same host: the batch operator counts that
 document twice, and membership alone would fold it to once.
 
 A streamed ranking therefore equals the batch operator over the
-concatenated feed bit-for-bit (tests/test_streaming_host_graph.py).
+concatenated feed bit-for-bit (tests/test_streaming_host_graph.py) —
+for feeds whose doc_ids are unique across batches.  A RE-INGESTED
+document (same doc_id in two batches — a re-crawl or replayed segment)
+intentionally folds to ONE edge contribution via the membership
+distinct, where the batch operator over a feed containing it twice
+would double its edge weights: the same one-vote-per-document
+semantics as the url_dedup twin's re-crawl handling
+(tests/test_streaming_host_graph.py::test_duplicate_doc_folds_once).
 
 At 100 TB the per-batch work is one narrow link projection plus a
 partial-agg distinct over the batch; the store grows with the distinct

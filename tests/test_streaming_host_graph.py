@@ -121,3 +121,30 @@ def test_mid_stream_kill_and_restart_converges(spark, tmp_path):
         for r in registry()["web_host_pagerank"].spark(spark, SF_SMOKE).collect()
     )
     assert streamed == batch and streamed
+
+
+def test_duplicate_doc_folds_once(spark, tmp_path):
+    # a RE-INGESTED document (same doc_id in two different batches — a
+    # re-crawl or replayed segment) folds to ONE edge contribution via
+    # the membership distinct; the batch operator over a feed containing
+    # it twice would double its edge weights.  This pins the documented
+    # one-vote-per-document semantics (module docstring).
+    from mmeds_meta_spark.streaming.host_graph import (
+        _link_memberships,
+        host_edges_from_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dup = docs.limit(1)  # one document re-ingested in a later batch
+    store = str(tmp_path / "store_dup")
+    _link_memberships(docs).coalesce(1).write.parquet(f"{store}/batch_id=0")
+    _link_memberships(dup).coalesce(1).write.parquet(f"{store}/batch_id=1")
+    with_dup = sorted(
+        tuple(r) for r in host_edges_from_store(spark, store).collect()
+    )
+    clean = str(tmp_path / "store_clean")
+    _link_memberships(docs).coalesce(1).write.parquet(f"{clean}/batch_id=0")
+    without = sorted(
+        tuple(r) for r in host_edges_from_store(spark, clean).collect()
+    )
+    assert with_dup == without and without
