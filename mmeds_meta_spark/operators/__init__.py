@@ -412,24 +412,18 @@ _GATE_TAIL: tuple[str, ...] = (
     # changed this round, and BOTH Newick variants (weighted +
     # unweighted) re-gate that exact kernel over a REAL parsed tree:
     "d2_unifrac_unweighted",
-    # web_host_harmonic starts in the tail: it consumes the SAME shared
-    # host_edges checkpoint as the gated web_host_pagerank and has the
-    # same bounded-iterations-on-the-quotient-graph shape (min-plus vs
-    # mass propagation); the sweep + the pure-Python BFS twin in
-    # tests/test_web_ops.py carry its evidence until a future rotation:
-    "web_host_harmonic",
-    # d18_kaplan_meier starts in the tail: its two physical shapes are
-    # both gated elsewhere this round (per-user min/max agg = the event
-    # family; the pinned ascending-order product fold = d8/d9's rule-3
-    # fold family); the sweep + the pure-Python lifelines-style twin in
-    # tests/test_kaplan_meier.py carry its evidence until a rotation:
-    "d18_kaplan_meier",
-    # d19_logrank_test: the hypergeometric-moment + pinned-fold shape is
-    # d8/d9's gated family; same python-twin + sweep evidence as d18:
-    "d19_logrank_test",
-    # d20_nelson_aalen: d18's risk-table construction with two pinned
-    # cumulative folds — the same shapes, same twin + sweep evidence:
-    "d20_nelson_aalen",
+    # ---- round-10 rotation (per the round-9 verdict's #1 ask): the
+    # ONLY four entries that had never held a driver-gate slot —
+    # web_host_harmonic, d18_kaplan_meier, d19_logrank_test,
+    # d20_nelson_aalen — leave the tail and gate this round (d18/d20
+    # additionally re-gate their NEW linear blocked prefix fold, and
+    # the whole web family re-gates its NEW real-PSL domain walk +
+    # 4-way suffix workload).  OUT: four entries driver-green in r09
+    # whose physical shapes keep gated twins:
+    "a6_zscore_outliers",  # exact-moment z rule: a11_grouped_mean_sem re-gated keeps the moment family
+    "a9_distinct_runs",  # lag-change running id: the gated event/window family (w20, a12) keeps lag shapes
+    "f16_levenshtein_match",  # pairwise edit distance: f9/f10 keep the gated validation-scan family
+    "text_fingerprint_bag",  # rolling-hash bag: dedup_ngram_jaccard (r9-green) gates the same shingle hashing
 )
 
 
