@@ -422,8 +422,14 @@ _GATE_TAIL: tuple[str, ...] = (
     # whose physical shapes keep gated twins:
     "a6_zscore_outliers",  # exact-moment z rule: a11_grouped_mean_sem re-gated keeps the moment family
     "a9_distinct_runs",  # lag-change running id: the gated event/window family (w20, a12) keeps lag shapes
-    "f16_levenshtein_match",  # pairwise edit distance: f9/f10 keep the gated validation-scan family
+    "f16_levenshtein_match",  # pairwise edit distance: the NEW s13_demux_validate gates levenshtein per-read
     "text_fingerprint_bag",  # rolling-hash bag: dedup_ngram_jaccard (r9-green) gates the same shingle hashing
+    # ---- round-10 session-2: the new s13_demux_validate (the reference's
+    # demux-QC half, util.py:1126-1400) gates immediately; its slot comes
+    # from f9_date_range_check (driver-r9 green; the range-predicate scan
+    # shape is kept gated by p8_two_class_filter + f10_alphabet_check,
+    # both r10-head entries):
+    "f9_date_range_check",
 )
 
 
@@ -432,6 +438,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import (
         bpe,
         dedup,
+        demux,
         diversity,
         filters_misc,
         multimodal,
@@ -447,7 +454,7 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe, web):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe, web, demux):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}
