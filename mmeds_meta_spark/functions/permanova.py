@@ -1,4 +1,4 @@
-"""D4 — PERMANOVA (reference rules/diversity_analysis.smk:90-103,
+"""D4 — PERMANOVA (reference rules/diversity_analysis.smk:91-102,
 `qiime diversity beta-group-significance --p-method permanova`).
 
 The pairwise distance matrix is computed DISTRIBUTED (the D2 Bray-Curtis

@@ -3,7 +3,7 @@
 operators/phylo.py computes faith_pd / UniFrac on a synthetic md5-derived
 branch relation; this module is the same relational algebra over a REAL
 tree loaded by sources/newick.py — closing the gap to the reference's
-fasttree artifacts (rules/process_sequencing_data.smk:75-92 produces the
+fasttree artifacts (rules/process_sequencing_data.smk:72-89 produces the
 tree, rules/diversity_analysis.smk:5-75 consumes it).
 
 Inputs

@@ -334,7 +334,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_bpe_vocab": QuerySpec(
         text_bpe_vocab,
         _bpe_vocab_sql(),
-        "beyond-reference: the trained tokenizer's subword vocabulary with "
+        "beyond-reference: the trained BPE (Sennrich et al. 2016) tokenizer's subword vocabulary with "
         "corpus occurrence counts (vocab-sized explode + TakeOrdered)",
     ),
 }

@@ -2467,14 +2467,14 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_cross_source_matrix": QuerySpec(
         dedup_cross_source_matrix,
         _CROSS_SOURCE_SQL,
-        "LLM-pipeline mixture planning: exact cross-source shingle-vocabulary "
+        "LLM-pipeline mixture planning: exact cross-source shingle (Broder 1997) vocabulary "
         "overlap matrix (one corpus pass, per-key |sources|-bounded pair "
         "expansion, |sources|^2-row output)",
     ),
     "dedup_cluster_stats": QuerySpec(
         dedup_cluster_stats,
         _cluster_stats_sql(),
-        "LLM-pipeline dedup (cluster size histogram / savings report — "
+        "LLM-pipeline dedup (cluster size histogram / savings report, the Lee et al. 2022 dedup accounting — "
         "composition over the CC fixpoint)",
     ),
     "simjoin_prefix_jaccard": QuerySpec(
@@ -2512,7 +2512,7 @@ QUERIES: dict[str, QuerySpec] = {
     "decon_span_islands": QuerySpec(
         decon_span_islands,
         _SPAN_DECON_SQL,
-        "beyond-reference: SPAN-level benchmark decontamination — the "
+        "beyond-reference: SPAN-level benchmark decontamination (Lee et al. 2022 span matches) — the "
         "redaction spec (leaked token intervals via broadcast-bench "
         "stride-1 windows + run/interval-union islands)",
     ),
@@ -2532,7 +2532,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components,
         _components_sql(),
-        "cluster step after near-dup pairs (iterative CC; oracle = recursive CTE)",
+        "cluster step after near-dup pairs (iterative CC via contraction + pointer jumping, Kiveris et al. 2014; oracle = recursive CTE)",
     ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, _simhash_sql(), "LLM-pipeline dedup (SimHash fingerprints)"
@@ -2563,17 +2563,17 @@ QUERIES: dict[str, QuerySpec] = {
         "LLM-pipeline dedup (LSH candidates -> exact-Jaccard verify, candidate-bounded)",
     ),
     "dedup_embedding_cosine": QuerySpec(
-        dedup_embedding_cosine, _EMB_COS_SQL, "LLM-pipeline dedup (embedding cosine, blocked)"
+        dedup_embedding_cosine, _EMB_COS_SQL, "LLM-pipeline dedup (embedding cosine, blocked; SemDeDup-family signal)"
     ),
     "dedup_keep_best": QuerySpec(
         dedup_keep_best,
         _keep_best_sql(),
-        "LLM-pipeline canonical-doc selection per near-dup cluster (argmax quality, partial-agg)",
+        "LLM-pipeline canonical-doc selection per near-dup cluster (C4/RefinedWeb keep-best practice; argmax quality, partial-agg)",
     ),
     "dedup_simhash_incremental": QuerySpec(
         dedup_simhash_incremental,
         _simhash_incremental_sql(),
-        "LLM-pipeline incremental near-dup: new batch vs corpus, probe-restricted band join",
+        "LLM-pipeline incremental near-dup (SimHash, Manku et al. 2007): new batch vs corpus, probe-restricted band join",
     ),
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap,
@@ -2583,7 +2583,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_containment": QuerySpec(
         dedup_containment,
         _CONTAIN_SQL,
-        "LLM-pipeline dedup (asymmetric containment — partial-copy/quote detection, "
+        "LLM-pipeline dedup (asymmetric containment, Broder 1997 — partial-copy/quote detection, "
         "Broder resemblance-vs-containment)",
     ),
     "decon_bloom_filter": QuerySpec(

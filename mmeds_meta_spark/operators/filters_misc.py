@@ -2117,14 +2117,14 @@ QUERIES: dict[str, QuerySpec] = {
     "w20_time_decay_attribution": QuerySpec(
         w20_time_decay_attribution,
         _W20_SQL,
-        "beyond-reference: time-decay attribution (7-day half-life, "
+        "beyond-reference: exponential time-decay attribution (the standard adtech decay model, cf. Shao & Li 2011; 7-day half-life, "
         "per-journey micro-unit quantization with the remainder on the last "
         "touch — BIGINT-exact channel sums)",
     ),
     "w19_position_attribution": QuerySpec(
         w19_position_attribution,
         _W19_SQL,
-        "beyond-reference: U-shaped position-based attribution (40/20/40) "
+        "beyond-reference: U-shaped position-based attribution (40/20/40, the standard adtech multi-touch model, cf. Shao & Li 2011) "
         "with exact integer micro-credits — completes the attribution suite "
         "(w7 chain fit, w17 absorption, w18 removal effects)",
     ),
@@ -2153,13 +2153,13 @@ QUERIES: dict[str, QuerySpec] = {
     "w9_rolling_window_range": QuerySpec(
         w9_rolling_window_range,
         _W9_SQL,
-        "W-family extension: event-time RANGE-frame rolling stats (burst/velocity features)",
+        "W-family extension: event-time RANGE-frame rolling stats (burst/velocity features; SQL:2003 window frames)",
     ),
     "w10_session_stats": QuerySpec(
         w10_session_stats,
         _w10_sql(),
-        "W-family composition: per-user session-behavior profile on top of the "
-        "w4 session relation (windows compose with aggs in one plan)",
+        "W-family composition: per-user behavior profile on top of the w4 sessionization relation "
+        "(windows compose with aggs in one plan)",
     ),
     "w11_time_weighted_avg": QuerySpec(
         w11_time_weighted_avg,
@@ -2169,30 +2169,30 @@ QUERIES: dict[str, QuerySpec] = {
     "w12_interval_overlap": QuerySpec(
         w12_interval_overlap,
         _w12_sql(),
-        "W-family extension: interval-overlap join via time bucketing "
+        "W-family extension: interval-overlap join (Allen 1983 interval algebra) via time bucketing "
         "(concurrency analysis; genomic-interval join shape)",
     ),
     "f23_json_props_rollup": QuerySpec(
         f23_json_props_rollup,
         _F23_SQL,
-        "beyond-reference: semi-structured JSON property extraction "
+        "beyond-reference: semi-structured JSON property extraction (schema-on-read, cf. Melnik et al. 2010 Dremel) "
         "(schema-on-read from_json, codegen narrow map) + typed rollup",
     ),
     "w13_forward_fill": QuerySpec(
         w13_forward_fill,
         _W13_SQL,
-        "W-family extension: forward fill / LOCF (last ignore-nulls running frame)",
+        "W-family extension: forward fill / LOCF (last-observation-carried-forward, the longitudinal-study imputation standard, cf. Little & Rubin 1987; ignore-nulls running frame)",
     ),
     "w14_session_funnel": QuerySpec(
         w14_session_funnel,
         _w14_sql(),
-        "W-family composition: ordered funnel per session (w4 gap rule ∘ w6 "
+        "W-family composition: ordered funnel per sessionization window (w4 gap rule ∘ w6 "
         "step MINs — within-visit conversion)",
     ),
     "w8_retention_cohorts": QuerySpec(
         w8_retention_cohorts,
         _W8_SQL,
-        "W-family extension: cohort retention matrix (one user_id shuffle, horizon-bounded state)",
+        "W-family extension: cohort retention matrix (the standard product-analytics cohort table, cf. Kohavi et al. 2009 controlled experiments; one user_id shuffle, horizon-bounded state)",
     ),
     "w7_transition_matrix": QuerySpec(
         w7_transition_matrix,
@@ -2202,17 +2202,17 @@ QUERIES: dict[str, QuerySpec] = {
     "w6_funnel_conversion": QuerySpec(
         w6_funnel_conversion,
         _w6_sql(),
-        "W-family extension: ordered funnel conversion (per-step MIN agg, no window/self-join)",
+        "W-family extension: ordered funnel conversion (the standard web-analytics funnel, MATCH_RECOGNIZE-class pattern in SQL 2016; per-step MIN agg, no window/self-join)",
     ),
     "w5_range_join_bucketed": QuerySpec(
         w5_range_join_bucketed,
         _W5_SQL,
-        "W-family extension: bucketed range join (attribution window, composite-key skew split)",
+        "W-family extension: bucketed range join (attribution window, composite-key skew split; the bucketed band-join idiom, cf. Koutris et al. 2018)",
     ),
     "a19_rollup_daily": QuerySpec(
         a19_rollup_daily,
         _A19_SQL,
-        "beyond-reference: one-pass ROLLUP grouping sets (day × event_type subtotals)",
+        "beyond-reference: one-pass ROLLUP grouping sets (Gray et al. 1997; day × event_type subtotals)",
     ),
     "asof_join_attribution": QuerySpec(
         asof_join_attribution,
@@ -2221,20 +2221,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "p8_two_class_filter": QuerySpec(p8_two_class_filter, _P8_SQL, "P8 rules/table_filtering.smk:17-31"),
     "p9_min_frequency_filter": QuerySpec(p9_min_frequency_filter, _P9_SQL, "P9 rules/table_filtering.smk:1-15"),
-    "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt table_py"),
+    "a12_stepwise_retention": QuerySpec(a12_stepwise_retention, _A12_SQL, "A12 summary_code.txt:94-150 table_py"),
     "a15_pairwise_splits": QuerySpec(a15_pairwise_splits, _A15_SQL, "A15 rules/common.smk:13-77"),
     "a16_ordered_distinct": QuerySpec(a16_ordered_distinct, _A16_SQL, "A16 util.py:1114-1123"),
     "a9_distinct_runs": QuerySpec(a9_distinct_runs, _A9_SQL, "A9 util.py:409-411"),
     "a25_rollup_cube": QuerySpec(
         a25_rollup_cube,
         _A25_SQL,
-        "beyond-reference: ROLLUP grouping sets (one Expand + one partial-agg "
+        "beyond-reference: ROLLUP grouping sets (Gray et al. 1997 data cube; one Expand + one partial-agg "
         "shuffle for all subtotal levels) with exact micro-unit sums",
     ),
     "w15_seasonal_anomaly": QuerySpec(
         w15_seasonal_anomaly,
         _W15_SQL,
-        "beyond-reference: seasonal (event_type × hour) 3σ anomaly flags with "
+        "beyond-reference: seasonal (event_type × hour) 3σ anomaly flags (Shewhart 1931 control rule) with "
         "integer-exact moment arithmetic; baseline broadcast, narrow filter",
     ),
     "a17_stats_counters": QuerySpec(a17_stats_counters, _A17_SQL, "A17 config.py:174-177, spawn.py:239-259"),

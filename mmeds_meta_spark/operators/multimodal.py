@@ -403,15 +403,15 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_dedup": QuerySpec(
         multimodal_frame_dedup,
         _FRAME_DEDUP_SQL,
-        "LLM-pipeline multimodal (video near-dup via frame fingerprints — "
+        "LLM-pipeline multimodal (video near-dup via frame fingerprints, SimHash-style banding — "
         "sample → hash → inverted-index containment)",
     ),
     "multimodal_meta_profile": QuerySpec(
-        multimodal_meta_profile, _META_SQL, "LLM-pipeline multimodal (binary columns + metadata)"
+        multimodal_meta_profile, _META_SQL, "LLM-pipeline multimodal (binary columns + typed metadata, LAION 2022-style corpus profile)"
     ),
     "multimodal_feature_extract": QuerySpec(
         multimodal_feature_extract,
         _feature_sql(),
-        "LLM-pipeline multimodal (Arrow-batched feature extraction, exact ratios)",
+        "LLM-pipeline multimodal (Arrow-batched mapInPandas feature extraction over LAION 2022-style binary columns, exact ratios)",
     ),
 }

@@ -2,7 +2,7 @@
 
 The reference computes these through QIIME2 (``faith_pd`` and UniFrac in
 rules/diversity_analysis.smk:5-75) against a phylogenetic tree built by
-mafft/fasttree (rules/process_sequencing_data.smk:75-92).  SURVEY §2.10
+mafft/fasttree (rules/process_sequencing_data.smk:72-89).  SURVEY §2.10
 deferred them for lack of a tree; here the engine supplies the missing
 piece natively: the tree is modeled as a *branch-membership relation*
 ``(sample, branch, descendant-count)`` and every metric becomes plain
@@ -681,7 +681,7 @@ def d4_permanova(
     permutation loop as a relation instead of a driver-side numpy loop
     (functions/permanova.py keeps the collected-matrix variant for API
     parity with scikit-bio; this operator is the same test at engine
-    scale — reference rules/diversity_analysis.smk:90-103,
+    scale — reference rules/diversity_analysis.smk:91-102,
     ``qiime diversity beta-group-significance --p-method permanova``).
 
     Decomposition on the pair relation (no n×n matrix ever):
@@ -1973,7 +1973,7 @@ def d16_permdisp(
 ) -> DataFrame:
     """D16 — PERMDISP (Anderson 2006, homogeneity of multivariate
     dispersions): the THIRD ``--p-method`` of qiime's
-    beta-group-significance surface (rules/diversity_analysis.smk:90-103
+    beta-group-significance surface (rules/diversity_analysis.smk:91-102
     alongside the gated permanova and anosim).  PERMANOVA asks "are the
     group CENTROIDS apart?"; PERMDISP asks "are the group SPREADS
     different?" — a significant PERMANOVA with a significant PERMDISP
@@ -2267,7 +2267,7 @@ QUERIES: dict[str, QuerySpec] = {
     "d4_permanova": QuerySpec(
         d4_permanova,
         _permanova_sql(),
-        "D4 rules/diversity_analysis.smk:90-103 (beta-group-significance permanova): "
+        "D4 rules/diversity_analysis.smk:91-102 (beta-group-significance permanova): "
         "pseudo-F + permutation p fully in-plan, 199 md5-seeded relabelings",
     ),
     "d4_permanova_pairwise": QuerySpec(
@@ -2294,7 +2294,7 @@ QUERIES: dict[str, QuerySpec] = {
     "d16_permdisp": QuerySpec(
         d16_permdisp,
         _permdisp_sql(),
-        "D16 rules/diversity_analysis.smk:90-103 (beta-group-significance, "
+        "D16 rules/diversity_analysis.smk:91-102 (beta-group-significance, "
         "permdisp p-method — the third and last): Anderson 2006 dispersion "
         "F over in-plan PCoA distances-to-centroid + 199 permutations",
     ),
@@ -2317,7 +2317,7 @@ QUERIES: dict[str, QuerySpec] = {
     "d1_faith_pd_newick": QuerySpec(
         d1_faith_pd_newick,
         _FAITH_NEWICK_SQL,
-        "D1 via real Newick ingest: rules/process_sequencing_data.smk:75-92 tree artifact",
+        "D1 via real Newick ingest: rules/process_sequencing_data.smk:72-89 tree artifact",
     ),
     "d2_unifrac_weighted_newick": QuerySpec(
         d2_unifrac_weighted_newick,

@@ -1020,7 +1020,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_mixture_plan": QuerySpec(
         pipeline_mixture_plan,
         _mixture_plan_sql(),
-        "beyond-reference: composed mixture plan (per-source size -> "
+        "beyond-reference: Dolma-style composed mixture plan (per-source size -> "
         "worst-partner vocabulary-overlap discount -> temperature weights) "
         "— the per-source sampling weights a training run ships",
     ),

@@ -922,11 +922,11 @@ QUERIES: dict[str, QuerySpec] = {
     "f9_date_range_check": QuerySpec(f9_date_range_check, _F9_SQL, "F9 validate.py:365-377"),
     "f16_levenshtein_match": QuerySpec(f16_levenshtein_match, _F16_SQL, "F16 util.py:1233-1234"),
     "f1_structured_parse": QuerySpec(f1_structured_parse, _F1_SQL, "F1 util.py:575-610"),
-    "r1_unpivot_melt": QuerySpec(r1_unpivot_melt, _R1_SQL, "R1 summary_code.txt alpha blocks"),
+    "r1_unpivot_melt": QuerySpec(r1_unpivot_melt, _R1_SQL, "R1 summary_code.txt:259-435 alpha blocks"),
     "r6_pivot_events": QuerySpec(
         r6_pivot_events,
         _r6_sql(),
-        "beyond-reference: declared-values PIVOT (melt's inverse; one partial-agg "
+        "beyond-reference: declared-values PIVOT (Gray et al. 1997 cross-tab; melt's inverse; one partial-agg "
         "shuffle, no distinct-values pre-job)",
     ),
     "p3_rls_filter": QuerySpec(p3_rls_filter, _P3_SQL, "P3/P2 sql/functions.sql:32-49"),

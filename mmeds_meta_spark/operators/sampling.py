@@ -1128,7 +1128,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_cluster_split": QuerySpec(
         sample_cluster_split,
         _cluster_split_sql(),
-        "LLM-pipeline leakage-safe split: the hash split keyed by the "
+        "LLM-pipeline leakage-safe split (Lee et al. 2022 dedup-before-split): the hash split keyed by the "
         "near-dup CLUSTER (CC fixpoint verbatim), so a doc and its "
         "near-duplicates always land on the same side",
     ),
@@ -1149,7 +1149,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a23_source_mixture_profile": QuerySpec(
         a23_source_mixture_profile,
         _MIXPROF_SQL,
-        "beyond-reference: source-mixture concentration profile (exact-integer "
+        "beyond-reference: source-mixture concentration profile (Gini 1912 exact-integer "
         "Gini, pinned-fold entropy, top-k shares)",
     ),
     "sample_kcenter_coreset": QuerySpec(
@@ -1167,23 +1167,23 @@ QUERIES: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(
         chunk_documents,
         _CHUNK_SQL,
-        "beyond-reference: sliding-window chunking for RAG/pretraining (pure narrow map)",
+        "beyond-reference: sliding-window chunking for RAG/pretraining (overlapping-context windows, cf. Lewis et al. 2020 RAG; pure narrow map)",
     ),
     "sample_hash_split": QuerySpec(
-        sample_hash_split, _SPLIT_SQL, "deterministic train/eval hash split"
+        sample_hash_split, _SPLIT_SQL, "deterministic C4-style train/eval md5-bucket split"
     ),
     "pack_sequences": QuerySpec(
         pack_sequences,
         _PACK_SQL,
-        "beyond-reference: fixed-budget training-batch packing (bucketed running sum)",
+        "beyond-reference: fixed-budget training-batch packing (T5-style, Raffel et al. 2020; bucketed running sum)",
     ),
     "sample_balanced_topk": QuerySpec(
-        sample_balanced_topk, _TOPK_SQL, "per-group cap / class-balanced top-k"
+        sample_balanced_topk, _TOPK_SQL, "per-group cap / class-balanced top-k (class-balanced sampling, Cui et al. 2019)"
     ),
     "sample_quality_quota": QuerySpec(
         sample_quality_quota,
         _QQ_SQL,
-        "beyond-reference: exact per-source quality quota via a bounded "
+        "beyond-reference: exact per-source quality quota (RefinedWeb-style per-source budgets) via a bounded "
         "score-histogram threshold — no per-group rank window over the corpus",
     ),
     "sample_stratified_exact": QuerySpec(
@@ -1194,6 +1194,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_mixture_weighted": QuerySpec(
         sample_mixture_weighted,
         _MIX_SQL,
-        "beyond-reference: temperature-weighted (α=0.5) data-mixture sampling",
+        "beyond-reference: temperature-weighted (α=0.5) data-mixture sampling (Arivazhagan et al. 2019)",
     ),
 }

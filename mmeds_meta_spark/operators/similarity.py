@@ -819,7 +819,7 @@ FROM scored GROUP BY vec_id, label
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k)"),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, _TOPK_SQL, "LLM-pipeline similarity (brute-force cosine top-k — the exact baseline ANN recalls are measured against, cf. Johnson et al. 2019)"),
     "decon_embedding_cosine": QuerySpec(
         decon_embedding_cosine,
         _DECON_EMB_SQL,
@@ -830,10 +830,10 @@ QUERIES: dict[str, QuerySpec] = {
     "embed_quantize_int8": QuerySpec(
         embed_quantize_int8,
         _QUANT_SQL,
-        "LLM-pipeline embedding prep (symmetric int8 quantization, narrow map)",
+        "LLM-pipeline embedding prep (symmetric int8 quantization, Jacob et al. 2018; narrow map)",
     ),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _IVF_SQL, "LLM-pipeline similarity (IVF bucketed top-k)"),
-    "knn_join": QuerySpec(knn_join, _KNN_SQL, "LLM-pipeline similarity (blocked kNN self-join)"),
+    "knn_join": QuerySpec(knn_join, _KNN_SQL, "LLM-pipeline similarity (blocked kNN self-join; cf. Bohm & Krebs 2004 kNN join)"),
     "ann_pq_adc_topk": QuerySpec(
         ann_pq_adc_topk,
         _PQ_SQL,

@@ -879,13 +879,13 @@ QUERIES: dict[str, QuerySpec] = {
         sketch_kmv_overlap_matrix,
         _KMV_MATRIX_SQL,
         "beyond-reference: all-pairs source overlap matrix from ONE global "
-        "bottom-k sample (theta-sketch subset estimation; exact-arithmetic "
+        "bottom-k KMV sample (theta-sketch subset estimation, Dasgupta et al. 2016; exact-arithmetic "
         "branch under saturation)",
     ),
     "sketch_hist_quantile": QuerySpec(
         sketch_hist_quantile,
         _HQ_SQL,
-        "beyond-reference: fixed-bin histogram quantile sketch — groups×64 "
+        "beyond-reference: fixed-bin histogram quantile sketch (bounded-memory quantiles, cf. Greenwald-Khanna 2001) — groups×64 "
         "counter state at any corpus size, pinned-order interpolation, "
         "deterministic one-bin error bound (the mergeable counterpart of "
         "a18's exact CDF quantiles)",
@@ -912,7 +912,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(
         sketch_kmv_distinct,
         _KMV_SQL,
-        "beyond-reference: portable bottom-k cardinality sketch (TakeOrdered, no global sort)",
+        "beyond-reference: portable KMV bottom-k cardinality sketch (Bar-Yossef et al. 2002; TakeOrdered, no global sort)",
     ),
     "sketch_hll_distinct": QuerySpec(
         sketch_hll_distinct,

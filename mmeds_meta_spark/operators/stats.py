@@ -1138,34 +1138,34 @@ QUERIES: dict[str, QuerySpec] = {
     "a24_skew_profile": QuerySpec(
         a24_skew_profile,
         _A24_SQL,
-        "beyond-reference: shuffle-key skew pre-flight — count-of-counts CDF "
+        "beyond-reference: shuffle-key skew pre-flight (AQE-era skew diagnosis, cf. Spark SQL 2015) — count-of-counts CDF "
         "percentiles, hot-key census in exact integer arithmetic, exact "
         "Σcnt² self-join explosion size",
     ),
     "a22_mad_outliers": QuerySpec(
         a22_mad_outliers,
         _a22_sql(),
-        "beyond-reference: robust MAD outliers (Iglewicz-Hoaglin modified z; "
+        "beyond-reference: robust MAD outliers (Iglewicz & Hoaglin 1993 modified z; "
         "pure-integer decision rule, CDF medians)",
     ),
     "d8_chisq_independence": QuerySpec(
         d8_chisq_independence,
         _D8_SQL,
-        "beyond-reference: exact χ² independence test (one contingency-table shuffle)",
+        "beyond-reference: exact Pearson 1900 χ² independence test (one contingency-table shuffle)",
     ),
     "a18_quantile_profile": QuerySpec(
         a18_quantile_profile,
         _a18_sql(),
-        "beyond-reference: exact quantile_cont profile via pre-aggregated CDF (no row sort)",
+        "beyond-reference: exact SQL:2008 quantile_cont profile via pre-aggregated CDF (no row sort)",
     ),
     "a20_corr_profile": QuerySpec(
         a20_corr_profile,
         _A20_SQL,
-        "beyond-reference: exact-moment Pearson r + OLS slope per group",
+        "beyond-reference: exact-moment Pearson 1895 r + OLS slope per group",
     ),
     "a6_zscore_outliers": QuerySpec(a6_zscore_outliers, _A6_SQL, "A6 validate.py:137-151"),
     "a5_rare_category_profile": QuerySpec(a5_rare_category_profile, _A5_SQL, "A5 validate.py:153-166"),
-    "a11_grouped_mean_sem": QuerySpec(a11_grouped_mean_sem, _A11_SQL, "A10/A11 summary_code.txt alpha blocks"),
+    "a11_grouped_mean_sem": QuerySpec(a11_grouped_mean_sem, _A11_SQL, "A10/A11 summary_code.txt:259-435 alpha blocks"),
     "a10_grouped_mean_of_means": QuerySpec(a10_grouped_mean_of_means, _A10_SQL, "A10 summary_code.txt qiime1 alpha"),
     "d3_anova_f": QuerySpec(d3_anova_f, _D3_SQL, "D3 rules/diversity_analysis.smk:77-88"),
 }

@@ -1543,7 +1543,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_length_ks_drift": QuerySpec(
         text_length_ks_drift,
         _KS_SQL,
-        "LLM-pipeline text (exact two-sample KS drift between source length "
+        "LLM-pipeline text (exact two-sample Kolmogorov 1933 KS drift between source length "
         "CDFs over a bounded histogram grid — no global sort ever exists)",
     ),
     "text_gopher_full": QuerySpec(
@@ -1555,7 +1555,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_vocab_kl_drift": QuerySpec(
         text_vocab_kl_drift,
         _KL_DRIFT_SQL,
-        "beyond-reference: per-source-pair unigram KL drift over capped "
+        "beyond-reference: per-source-pair unigram Kullback-Leibler 1951 drift over capped "
         "classes + OOV (mixture QA; class grid independent of corpus size)",
     ),
     "text_ccnet_buckets": QuerySpec(
@@ -1567,19 +1567,19 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_scrub": QuerySpec(
         text_pii_scrub,
         _pii_sql(),
-        "LLM-pipeline text (PII detect-and-redact, pure narrow map, "
+        "LLM-pipeline text (PII detect-and-redact, the C4/Dolma scrub stage; pure narrow map, "
         "engine-identical regex subset)",
     ),
     "text_novelty_ratio": QuerySpec(
         text_novelty_ratio,
         _NOVELTY_SQL,
-        "LLM-pipeline text (corpus novelty curve — first-occurrence attribution, "
+        "LLM-pipeline text (corpus novelty curve, cf. Baayen 2001 vocabulary-growth curves — first-occurrence attribution, "
         "two partial-agg shuffles, no pair join)",
     ),
-    "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting)"),
-    "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring)"),
-    "text_langid_heuristic": QuerySpec(text_langid_heuristic, _langid_sql(), "LLM-pipeline text (language ID)"),
-    "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint)"),
+    "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting: whitespace + BPE-ish regex classes)"),
+    "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring, C4/Gopher-family heuristics)"),
+    "text_langid_heuristic": QuerySpec(text_langid_heuristic, _langid_sql(), "LLM-pipeline text (language ID; Cavnar & Trenkle 1994 n-gram profiles)"),
+    "text_fingerprint_bag": QuerySpec(text_fingerprint_bag, _BAG_FP_SQL, "LLM-pipeline text (doc fingerprint: Rabin 1981 rolling-hash bag)"),
     "text_repetition_signals": QuerySpec(
         text_repetition_signals, _REPETITION_SQL, "LLM-pipeline text (Gopher repetition filter)"
     ),
@@ -1590,7 +1590,7 @@ QUERIES: dict[str, QuerySpec] = {
         "Table A1 — pure narrow map, zero shuffles)",
     ),
     "text_vocab_topk": QuerySpec(
-        text_vocab_topk, _VOCAB_SQL, "LLM-pipeline text (vocabulary TF/DF for tokenizer training)"
+        text_vocab_topk, _VOCAB_SQL, "LLM-pipeline text (vocabulary TF/DF for BPE tokenizer training)"
     ),
     "text_tfidf_topk": QuerySpec(
         text_tfidf_topk,

@@ -1,7 +1,7 @@
 """Newick tree reader → the branch-membership relation the tree metrics eat.
 
 The reference builds a rooted phylogenetic tree with mafft/fasttree and
-midpoint-root (rules/process_sequencing_data.smk:75-92) and feeds it to
+midpoint-root (rules/process_sequencing_data.smk:72-89) and feeds it to
 faith_pd / UniFrac (rules/diversity_analysis.smk:5-75).  The engine's
 tree metrics (operators/phylo.py) run on a *branch-membership relation* —
 one row per (branch, descendant leaf) — because at 100 TB a tree's edges

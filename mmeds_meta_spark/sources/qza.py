@@ -5,7 +5,7 @@ plus provenance; the reference shells out to ``unzip`` + ``biom convert``
 (``extract_feature_table.sh``: unzip -j, biom → TSV, then ``sed '1d;2s/^#//'``
 to drop the "# Constructed from biom file" banner and unquote the header)
 and extracts tree artifacts the same way (rules/file_manipulation.smk:1-14,
-rules/process_sequencing_data.smk:75-92).
+rules/process_sequencing_data.smk:72-89).
 
 This module does the unzip with stdlib ``zipfile`` — no shell, no temp
 litter — and hands payloads to the matching engine reader:

@@ -85,4 +85,8 @@ for f in tests/test_*.py; do
         rc=1
     fi
 done
+
+# registry provenance audit: every QuerySpec.doc must cite a resolvable
+# reference file:line or a public-work anchor (round-9 verdict #8)
+python tools/audit_registry_docs.py || rc=1
 exit $rc
