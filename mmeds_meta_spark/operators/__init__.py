@@ -430,6 +430,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # shape is kept gated by p8_two_class_filter + f10_alphabet_check,
     # both r10-head entries):
     "f9_date_range_check",
+    # the new web_host_harmonic_hll (HyperBall sketch ranking — the scale
+    # path named by the round-10 host-vocabulary probe) also gates
+    # immediately; its slot comes from a16_ordered_distinct (driver-r9
+    # green; DISTINCT stays gated via j3_wide_denorm_distinct and the
+    # ordering window via w2_uniquify_rows, both r10-head entries):
+    "a16_ordered_distinct",
 )
 
 

@@ -416,7 +416,10 @@ def _edge_ctes() -> list[str]:
             "UNION ALL SELECT src_host, dst2 FROM hosts)"
         ),
         (
-            "edges AS (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w "
+            # MATERIALIZED: each graph oracle references edges in every
+            # iteration CTE; without the hint DuckDB re-inlines the whole
+            # synth->canon chain per reference (measured 38 s at sf0.01)
+            "edges AS MATERIALIZED (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w "
             "FROM links WHERE src_host <> dst_host GROUP BY 1, 2)"
         ),
     ]
@@ -572,6 +575,142 @@ def _harmonic_sql(hops: int = _HC_HOPS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+# ---------------------------------------------------------------------------
+# harmonic centrality via HyperBall HLL distance sketches (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def web_host_harmonic_hll(
+    spark: SparkSession,
+    sf: str,
+    *,
+    hops: int = _HC_HOPS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """HyperBall-style harmonic centrality (Boldi & Vigna 2013): the
+    SCALE path for the quadratic-closure caveat documented on
+    :func:`web_host_harmonic` — instead of materializing the exact
+    ≤hops distance relation (which the round-10 host-vocabulary probe
+    showed growing ~quadratically: 64× hosts → 137× state), every node
+    carries a 256-register HLL sketch of its IN-ball ``B_r(v) = {{u :
+    d(u→v) ≤ r}}``, merged along edges by register MAX each hop;
+    ``h(v) ≈ Σ_r (|B_r| − |B_(r-1)|)/r`` from the per-radius estimates.
+
+    State per hop is ≤ |hosts| × 256 sparse register rows — LINEAR in
+    the vocabulary — and each hop is one |edges|-bounded join + one
+    partial-agg MAX shuffle (MAX combines map-side, so the hub's huge
+    in-degree collapses before the exchange).
+
+    Cross-engine exactness despite being an estimator: registers derive
+    from md5 (the gated portable-HLL scheme, operators/sketches.py),
+    merges are integer MAX, the per-(host, radius) estimate is the
+    exact-decimal harmonic sum with ONE double division, and the final
+    radius fold is a textually pinned 4-term expression — so the DuckDB
+    oracle (same unrolled chain) matches bit-for-bit and the ESTIMATES
+    are deterministic, replayable quantities (±6.5% std err vs the
+    exact operator; pinned in tests/test_web_ops.py)."""
+    from .sketches import _HLL_M, _HLL_NUM, _HLL_WBITS
+
+    if edges is None:
+        edges = host_edges(spark, sf)
+    e = edges.select("src_host", "dst_host")
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select("dst_host"))
+        .distinct()
+    )
+    regs = nodes.selectExpr(
+        "host",
+        "CAST(conv(substr(md5(host), 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr(md5(host), 3, {_HLL_WBITS // 4}), 16, 10) AS BIGINT) AS w",
+    ).selectExpr(
+        "host",
+        "bucket",
+        f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1}"
+        f" ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank",
+    )
+
+    def est(r: DataFrame, radius: int) -> DataFrame:
+        return r.groupBy("host").agg(
+            F.expr(
+                f"ROUND({_HLL_NUM!r}"
+                f" / CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 49 - rank)"
+                f" AS DECIMAL(38,0)))"
+                f"   + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0))"
+                f" * {2 ** 49} AS DOUBLE), 4)"
+            ).alias(f"e{radius}")
+        )
+
+    ests = est(regs, 0)
+    for radius in range(1, hops + 1):
+        prop = e.join(
+            regs, e.src_host == regs.host  # noqa: E712 — column expr
+        ).select(F.col("dst_host").alias("host"), "bucket", "rank")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("host", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        ests = ests.join(est(regs, radius), "host")
+    harm = " + ".join(f"(e{r} - e{r - 1}) / {float(r)!r}" for r in range(1, hops + 1))
+    return ests.select(
+        "host",
+        F.expr(f"ROUND({harm}, 4)").alias("harmonic_est"),
+        F.expr(f"ROUND(e{hops} - e0, 4)").alias("reach_est"),
+    )
+
+
+def _harmonic_hll_sql(hops: int = _HC_HOPS) -> str:
+    """Unrolled transcription of :func:`web_host_harmonic_hll`: the same
+    edge CTEs, the same md5 register derivation, MAX merges, and
+    exact-decimal per-radius estimates."""
+    from .sketches import _HLL_M, _HLL_NUM, _HLL_WBITS
+
+    est_expr = (
+        f"ROUND({_HLL_NUM!r}"
+        f" / CAST(SUM(CAST(1::BIGINT << (49 - rank) AS HUGEINT))"
+        f"   + CAST({_HLL_M} - COUNT(*) AS HUGEINT)"
+        f" * CAST({2 ** 49} AS HUGEINT) AS DOUBLE), 4)"
+    )
+    parts = _edge_ctes() + [
+        (
+            "nodes AS (SELECT src_host AS host FROM edges "
+            "UNION SELECT dst_host FROM edges)"
+        ),
+        (
+            f"h0 AS (SELECT host, "
+            f"CAST(('0x' || substr(md5(host), 1, 2)) AS UBIGINT)::BIGINT AS bucket, "
+            f"CAST(('0x' || substr(md5(host), 3, {_HLL_WBITS // 4})) AS UBIGINT)::BIGINT AS w "
+            f"FROM nodes)"
+        ),
+        (
+            f"g0 AS (SELECT host, bucket, CASE WHEN w = 0 THEN {_HLL_WBITS + 1} "
+            f"ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank FROM h0)"
+        ),
+        f"est0 AS (SELECT host, {est_expr} AS e0 FROM g0 GROUP BY host)",
+    ]
+    for r in range(1, hops + 1):
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT host, bucket, MAX(rank) AS rank FROM ("
+            f"SELECT host, bucket, rank FROM g{r - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst_host AS host, p.bucket, p.rank "
+            f"FROM g{r - 1} p JOIN edges e ON p.host = e.src_host"
+            f") GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"est{r} AS (SELECT host, {est_expr} AS e{r} FROM g{r} GROUP BY host)"
+        )
+    joins = " ".join(f"JOIN est{r} USING (host)" for r in range(1, hops + 1))
+    harm = " + ".join(f"(e{r} - e{r - 1}) / {float(r)!r}" for r in range(1, hops + 1))
+    final = (
+        f"SELECT host, ROUND({harm}, 4) AS harmonic_est, "
+        f"ROUND(e{hops} - e0, 4) AS reach_est FROM est0 {joins}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -607,5 +746,15 @@ QUERIES: dict[str, QuerySpec] = {
         "shares the ONE-corpus-pass host_edges checkpoint with pagerank; "
         "3 min-plus expansions on |hosts|²-bounded distance relations, "
         "exact 1e6-div-d integer contributions",
+    ),
+    "web_host_harmonic_hll": QuerySpec(
+        web_host_harmonic_hll,
+        _harmonic_hll_sql(),
+        "beyond-reference: HyperBall harmonic centrality (Boldi & Vigna "
+        "2013) — per-node 256-register md5-HLL in-ball sketches MAX-merged "
+        "along edges per hop; state LINEAR in |hosts| (the scale path past "
+        "the exact operator's quadratic closure, SCALE_NOTES round 10); "
+        "deterministic portable registers -> the estimator itself is "
+        "oracle-exact",
     ),
 }

@@ -382,3 +382,48 @@ def test_graph_ops_share_one_edges_relation(spark):
     assert hc_shared == sorted(
         tuple(r) for r in web_host_harmonic(spark, SF_SMOKE).collect()
     )
+
+
+def test_harmonic_hll_tracks_exact_within_sketch_error(spark):
+    # HyperBall estimates vs the exact operator on the shared graph:
+    # reach_est must track n_reach within the 256-register error regime
+    # (6.5% std err; allow 4 sigma for small balls), and the estimator
+    # must preserve the ranking signal (hub on top).
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        _HUB,
+        host_edges,
+        web_host_harmonic,
+        web_host_harmonic_hll,
+    )
+
+    edges = host_edges(spark, SF_SMOKE)
+    exact = {r["host"]: r for r in web_host_harmonic(spark, SF_SMOKE, edges=edges).collect()}
+    est = {r["host"]: r for r in web_host_harmonic_hll(spark, SF_SMOKE, edges=edges).collect()}
+    assert set(est) == set(exact)
+    worst = 0.0
+    for h, r in exact.items():
+        n, n_hat = r["n_reach"], est[h]["reach_est"]
+        if n >= 20:  # sketch error regime needs a non-trivial ball
+            rel = abs(n_hat - n) / n
+            worst = max(worst, rel)
+    assert worst < 0.26  # 4 x 6.5% std err
+    # ranking signal: the hub's inlink skew dominates both forms
+    assert max(est, key=lambda h: est[h]["harmonic_est"]) == _HUB
+    assert exact[_HUB]["harmonic_micro"] == max(
+        r["harmonic_micro"] for r in exact.values()
+    )
+
+
+def test_harmonic_hll_deterministic_across_runs(spark):
+    # the estimator is a deterministic quantity (md5 registers, integer
+    # MAX merges, pinned folds): two runs must agree bit-for-bit —
+    # that's what makes an ESTIMATOR gate-able against a DuckDB oracle
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import web_host_harmonic_hll
+
+    a = sorted(tuple(r) for r in web_host_harmonic_hll(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in web_host_harmonic_hll(spark, SF_SMOKE).collect())
+    assert a == b and a

@@ -33,6 +33,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from mmeds_meta_spark.operators.web import (  # noqa: E402
     web_host_harmonic,
+    web_host_harmonic_hll,
     web_host_pagerank,
 )
 from mmeds_meta_spark.operators.stats import km_from_lifetimes  # noqa: E402
@@ -75,6 +76,7 @@ def probe_web(spark):
         for name, fn in (
             ("web_host_pagerank", web_host_pagerank),
             ("web_host_harmonic", web_host_harmonic),
+            ("web_host_harmonic_hll", web_host_harmonic_hll),
         ):
             walls = []
             state = n_edges
@@ -83,6 +85,9 @@ def probe_web(spark):
                 out = fn(spark, "unused", edges=edges)
                 if name == "web_host_harmonic":
                     state = out.agg(F.sum("n_reach")).collect()[0][0]
+                elif name == "web_host_harmonic_hll":
+                    # sketch state: ≤ |hosts| × 256 sparse register rows
+                    state = out.count() * 256
                 else:
                     out.count()
                 walls.append(time.time() - t0)
