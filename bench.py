@@ -142,6 +142,14 @@ HEAVY = [
     "web_host_harmonic",
     "d18_kaplan_meier",
     "d19_logrank_test",
+    # round-10: the third survival estimator (shares d18's risk-table +
+    # the new linear blocked fold), the demux-QC pass (per-read JVM
+    # levenshtein over the broadcast mapping), the HyperBall harmonic
+    # sketch (the linear-state scale path), and the PSL-walk domain cap
+    # rides the existing sample_domain_cap anchor
+    "d20_nelson_aalen",
+    "s13_demux_validate",
+    "web_host_harmonic_hll",
 ]
 
 
