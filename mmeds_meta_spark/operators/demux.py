@@ -81,14 +81,19 @@ def demux_validate(
             " AS BIGINT)"
         ).alias("n_stripped"),
     )
-    tot = per.agg(F.expr("CAST(SUM(n_reads) AS BIGINT)").alias("n_total"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # run total via an unpartitioned window over the BOUNDED per-sample
+    # relation (|samples| rows) — an agg + crossJoin-back would re-execute
+    # the per-sample aggregation's whole upstream a second time
+    return per.select(
         "sample_id",
         "n_reads",
         "n_exact",
         "n_kept",
         "n_stripped",
-        F.expr("n_reads * 1000000 div GREATEST(n_total, 1)").alias("share_ppm"),
+        F.expr(
+            "n_reads * 1000000 div GREATEST(CAST(SUM(n_reads) OVER ()"
+            " AS BIGINT), 1)"
+        ).alias("share_ppm"),
     )
 
 
