@@ -116,16 +116,23 @@ def demux_strip(
     )
 
 
-def demux_reads_from_fastq(fastq: DataFrame) -> DataFrame:
+def demux_reads_from_fastq(fastq: DataFrame, *, with_uid: bool = False) -> DataFrame:
     """(sample_id, fwd, rev) from the FASTQ DataSource's rows: the
     pheniqs header pattern ``@...:0:FWD-REV`` (util.py:1219 regex) and
     the reference's ``{sample}_{1|2}.fastq`` filename template
-    (util.py:1133 filename_template)."""
-    return fastq.select(
+    (util.py:1133 filename_template).  ``with_uid`` adds the read's
+    stable identity ``read_uid = file ':' record_id`` (the streaming
+    twin's set-union membership key, streaming/demux.py)."""
+    cols = [
         F.regexp_extract("file", r"([^/]+)_[12]\.(fastq|fq)$", 1).alias("sample_id"),
         F.regexp_extract("header", r":0:([ACGTN]+)-([ACGTN]+)$", 1).alias("fwd"),
         F.regexp_extract("header", r":0:([ACGTN]+)-([ACGTN]+)$", 2).alias("rev"),
-    )
+    ]
+    if with_uid:
+        cols.append(
+            F.expr("concat(file, ':', CAST(record_id AS STRING))").alias("read_uid")
+        )
+    return fastq.select(*cols)
 
 
 # ---------------------------------------------------------------------------

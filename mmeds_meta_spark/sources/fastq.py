@@ -41,3 +41,34 @@ def barcode_error_counts(
         .groupBy("expected_barcode", "dist")
         .agg(F.sum("n_reads").alias("n_reads"))
     )
+
+
+def write_demultiplexed_fastq(reads: DataFrame, out_dir: str) -> None:
+    """Per-sample FASTQ sink — the output half of the error-stripping
+    pass (reference util.py:1126-1198 strip_error_barcodes writes one
+    gzipped FASTQ per sample; engine twin: ONE distributed write,
+    partitioned by sample_id, so 100 TB of kept reads lands as
+    ``out_dir/sample_id=<s>/part-*.txt`` without a driver-side
+    per-sample loop).
+
+    ``reads`` must carry (sample_id, file, record_id, header, seq,
+    qual) — e.g. ``demux_strip`` output joined back to the FASTQ
+    DataSource rows.  Records are sorted by (file, record_id) WITHIN
+    write partitions after repartitioning by sample, so each sample's
+    part files hold reads in stable input order (the reference's
+    single-threaded append order is global; a distributed sink
+    guarantees per-file order — documented divergence).
+    """
+    (
+        reads.repartition("sample_id")
+        .sortWithinPartitions("sample_id", "file", "record_id")
+        .select(
+            "sample_id",
+            F.expr(
+                "concat('@', header, '\\n', seq, '\\n+\\n', qual)"
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("sample_id")
+        .text(out_dir)
+    )

@@ -99,3 +99,38 @@ def test_synth_gate_workload_invariants(spark):
     assert sum(r["n_stripped"] for r in out.values()) > 0
     assert sum(r["n_exact"] for r in out.values()) > 0
     assert any(r["n_kept"] > r["n_exact"] for r in out.values())
+
+
+def test_write_demultiplexed_fastq_roundtrip(spark, tmp_path):
+    # strip -> per-sample partitioned sink -> read back: every kept read
+    # lands under its sample's partition as a well-formed 4-line record
+    from mmeds_meta_spark.sources.fastq import write_demultiplexed_fastq
+    from mmeds_meta_spark.sources.fastq_datasource import register_fastq_source
+
+    register_fastq_source(spark)
+    run = _write_fastq_run(tmp_path)
+    fastq = spark.read.format("fastq").load(run)
+    # attach sample/fwd/rev to the raw rows: the same narrow expressions
+    # demux_reads_from_fastq uses, kept beside header/seq/qual for the sink
+    enriched = fastq.selectExpr(
+        "file", "record_id", "header", "seq", "qual",
+        r"regexp_extract(file, '([^/]+)_[12]\\.(fastq|fq)$', 1) AS sample_id",
+        r"regexp_extract(header, ':0:([ACGTN]+)-([ACGTN]+)$', 1) AS fwd",
+        r"regexp_extract(header, ':0:([ACGTN]+)-([ACGTN]+)$', 2) AS rev",
+    )
+    mapping = spark.createDataFrame(
+        MAPPING, "sample_id string, fwd_bc string, rev_bc string"
+    )
+    kept = demux_strip(enriched, mapping, num_allowed_errors=1)
+    out = str(tmp_path / "stripped")
+    write_demultiplexed_fastq(kept, out)
+
+    back = spark.read.text(out + "/sample_id=sampleA")
+    recs = [r["value"] for r in back.collect()]
+    text = "\n".join(recs)
+    # sampleA kept 2 of 3 reads (one stripped at 2 errors)
+    assert text.count("@M00914") == 2
+    lines = text.split("\n")
+    assert len(lines) % 4 == 0
+    assert all(lines[i].startswith("@") for i in range(0, len(lines), 4))
+    assert all(lines[i] == "+" for i in range(2, len(lines), 4))

@@ -36,7 +36,9 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_advice_r07.py tests/test_advice_r08.py
          tests/test_decon_recall.py tests/test_round8_ops.py
          tests/test_advice_r09.py tests/test_cluster_sharing.py
-         tests/test_web_ops.py tests/test_kaplan_meier.py)
+         tests/test_web_ops.py tests/test_kaplan_meier.py
+         tests/test_advice_r10.py tests/test_demux_validate.py
+         tests/test_pheniqs_config.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
@@ -53,7 +55,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_streaming_decon.py tests/test_streaming_diversity.py
          tests/test_markov_absorption.py tests/test_streaming_cross_source.py
          tests/test_rarefaction_det.py tests/test_streaming_url_dedup.py
-         tests/test_streaming_host_graph.py tests/test_streaming_survival.py)
+         tests/test_streaming_host_graph.py tests/test_streaming_survival.py
+         tests/test_streaming_demux.py)
 
 run_shard() {
     local n=$1; shift
