@@ -136,3 +136,16 @@ def harmonic_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return web_host_harmonic(
         spark, "unused", edges=host_edges_from_store(spark, store_dir)
     )
+
+
+def harmonic_hll_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The HyperBall sketch ranking verbatim over the merged store — the
+    scale path's streaming read: the store's set-union memberships feed
+    the same edges relation, and the sketch's register MAX-merges are
+    themselves an idempotent monoid, so the whole chain (store fold →
+    register fold) is replay-safe end-to-end by algebra."""
+    from ..operators.web import web_host_harmonic_hll
+
+    return web_host_harmonic_hll(
+        spark, "unused", edges=host_edges_from_store(spark, store_dir)
+    )

@@ -148,3 +148,28 @@ def test_duplicate_doc_folds_once(spark, tmp_path):
         tuple(r) for r in host_edges_from_store(spark, clean).collect()
     )
     assert with_dup == without and without
+
+
+def test_streamed_hll_ranking_equals_batch(spark, tmp_path):
+    # the HyperBall sketch read over the store equals the batch sketch
+    # over the same graph bit-for-bit (deterministic registers + the
+    # store's set-union algebra compose: both folds are idempotent)
+    from mmeds_meta_spark.operators.web import web_host_harmonic_hll
+    from mmeds_meta_spark.streaming.host_graph import (
+        harmonic_hll_from_store,
+        start_streaming_link_store,
+    )
+
+    feed = _feed(
+        spark, tmp_path, (("a", "doc_id % 2 = 0"), ("b", "doc_id % 2 = 1"))
+    )
+    store = str(tmp_path / "store_hll")
+    q = start_streaming_link_store(spark, feed, store, str(tmp_path / "ck_hll"))
+    q.awaitTermination(180)
+    streamed = sorted(
+        tuple(r) for r in harmonic_hll_from_store(spark, store).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in web_host_harmonic_hll(spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch and streamed
