@@ -174,9 +174,21 @@ def _psl_pairs() -> str:
     return ",".join(f"{s}:{k}" for s, k in sorted(rules.items()))
 
 
+@lru_cache(maxsize=1)
+def _psl_lits_by_labels() -> dict[int, str]:
+    """Per-label-count lookup literals ``,suf:kind,...,`` — a candidate
+    with k labels can only match a k-label rule, so each probe scans the
+    small k-label literal (TLDs ~0.7 KB, 2-label ~8 KB, 3-label ~0.5 KB)
+    instead of the whole table."""
+    by_k: dict[int, list[str]] = {}
+    for suf, kind in sorted(load_psl().items()):
+        by_k.setdefault(suf.count(".") + 1, []).append(f"{suf}:{kind}")
+    return {k: "," + ",".join(v) + "," for k, v in by_k.items()}
+
+
 def _psl_walk(host: str, *, spark_side: bool) -> str:
     """The PSL longest-match walk as ONE SQL expression over ``host``,
-    transcribed for either engine from the SAME arithmetic.
+    transcribed for either engine from the SAME structure.
 
     Algorithm (publicsuffix.org): among all rules matching the host,
     exception rules win, else the longest; public suffix = the prevailing
@@ -186,70 +198,90 @@ def _psl_walk(host: str, *, spark_side: bool) -> str:
     Host IS a public suffix → no registrable domain; we return the host
     itself (the cap/dedup consumers must group such rows, not drop them).
 
-    Scale shape: a pure narrow expression — the PSL rides along as one
-    constant-folded ``map`` literal (the expression-level equivalent of a
-    broadcast lookup table: shipped once per task, probed O(#labels) per
-    row, no shuffle, no join, no UDF).
+    Scale shape: a pure narrow expression with NO shuffle/join/UDF.  Two
+    measured pitfalls shape the form:
+
+    * lookups are literal-string scans (find ``,cand:`` in a
+      ``,suf:kind,...,`` constant, split per label count so each probe
+      scans ≤8 KB) — a ``str_to_map`` literal constant-folds but
+      Catalyst map literals are ARRAY-backed, so ``element_at`` walks
+      all 753 entries per probe (31 µs/row); DuckDB rebuilds a ``map()``
+      literal per lambda element outright (38 s at sf0.01);
+    * every intermediate (labels array, per-candidate needle position,
+      best score, public-suffix length) is LET-BOUND via one-element
+      ``transform(array(x), v -> ...)`` — higher-order lambdas are
+      interpreted (no whole-stage codegen subexpression elimination), so
+      textual duplication re-evaluates: the naive form re-ran the whole
+      candidate walk ~12× per row.
     """
-    pairs = _psl_pairs()
+    lits = _psl_lits_by_labels()
     if spark_side:
-        labels = f"split({host}, '\\\\.')"
-        n = f"size({labels})"
-        # Spark transform index i is 0-based: position p = i + 1.
-        cand = f"array_join(slice({labels}, i + 1, {n} - i), '.')"
-        kind = f"try_element_at(str_to_map('{pairs}', ',', ':'), {cand})"
-        p = "(i + 1)"
-        score = (
-            f"CASE {kind}"
-            f" WHEN '2' THEN 1000 + {n} - {p}"
-            f" WHEN '0' THEN {n} - {p} + 1"
-            f" WHEN '1' THEN (CASE WHEN {p} >= 2 THEN {n} - {p} + 2 END)"
-            f" WHEN '3' THEN (CASE WHEN {p} >= 2 THEN {n} - {p} + 2"
-            f"                ELSE {n} - {p} + 1 END)"
-            f" END"
-        )
-        best = f"array_max(transform({labels}, (x, i) -> {score}))"
-        pub = (
-            f"CASE WHEN {best} IS NULL THEN 1"
-            f" WHEN {best} >= 1000 THEN {best} - 1000 ELSE {best} END"
-        )
-        reg = f"array_join(slice({labels}, {n} - ({pub}) , ({pub}) + 1), '.')"
-        return (
-            f"CASE WHEN {n} - ({pub}) >= 1 THEN {reg} ELSE {host} END"
-        )
-    labels = f"string_split({host}, '.')"
-    n = f"len({labels})"
-    # DuckDB lambda index p is 1-based already.
-    cand = f"array_to_string(list_slice({labels}, p, {n}), '.')"
-    # DuckDB evaluates a map() literal INSIDE a lambda per element (no
-    # constant-fold through lambdas — measured 38 s at sf0.01), so the
-    # lookup is a plain-VARCHAR-literal scan instead: find ",cand:" in
-    # ",suf:kind,suf:kind,...,"; the char after the colon is the kind.
-    # Labels never contain ',' or ':', so a needle can only match at an
-    # entry boundary.  One ~10 KB memchr scan per candidate — O(µs).
-    lit = "," + pairs + ","
-    needle = f"(',' || {cand} || ':')"
-    hit = f"strpos('{lit}', {needle})"
-    kind = (
-        f"CASE WHEN {hit} > 0"
-        f" THEN substr('{lit}', {hit} + length({cand}) + 2, 1) END"
+        let = "element_at(transform(array({x}), {v} -> {body}), 1)"
+        split = f"split({host}, '\\\\.')"
+        nn = "size(ll)"
+        cand = f"array_join(slice(ll, i + 1, {nn} - i), '.')"
+        pos = "(i + 1)"
+        idx = "i"
+        strfind = "instr"
+        max_fn, transform_fn, lam = "array_max", "transform", "(x, i)"
+        reg = "array_join(slice(ll, size(ll) - pp, pp + 1), '.')"
+    else:
+        let = "list_transform([{x}], {v} -> {body})[1]"
+        split = f"string_split({host}, '.')"
+        nn = "len(ll)"
+        cand = f"array_to_string(list_slice(ll, p, {nn}), '.')"
+        pos = "p"
+        idx = "p"
+        strfind = "strpos"
+        max_fn, transform_fn, lam = "list_max", "list_transform", "(x, p)"
+        reg = "array_to_string(list_slice(ll, len(ll) - pp, len(ll)), '.')"
+
+    # kind lookup for the bound candidate cc: pick the label-count
+    # literal, find ',cc:', read the kind char after the colon.  Labels
+    # never contain ',' or ':', so a needle only matches entry
+    # boundaries.  hh is LET-bound so the scan runs once per candidate.
+    k_labels = f"{nn} - {pos} + 1"
+    scan_branches = " ".join(
+        f"WHEN {k} THEN {strfind}('{lit}', (',' || cc || ':'))"
+        for k, lit in sorted(lits.items())
     )
-    score = (
+    hit = f"CASE {k_labels} {scan_branches} ELSE 0 END"
+    kind_branches = " ".join(
+        f"WHEN {k} THEN substr('{lit}', hh + length(cc) + 2, 1)"
+        for k, lit in sorted(lits.items())
+    )
+    kind = (
+        f"CASE WHEN hh > 0 THEN (CASE {k_labels} {kind_branches} END) END"
+    )
+    score_of_kind = (
         f"CASE {kind}"
-        f" WHEN '2' THEN 1000 + {n} - p"
-        f" WHEN '0' THEN {n} - p + 1"
-        f" WHEN '1' THEN (CASE WHEN p >= 2 THEN {n} - p + 2 END)"
-        f" WHEN '3' THEN (CASE WHEN p >= 2 THEN {n} - p + 2"
-        f"                ELSE {n} - p + 1 END)"
+        f" WHEN '2' THEN 1000 + {nn} - {pos}"
+        f" WHEN '0' THEN {nn} - {pos} + 1"
+        f" WHEN '1' THEN (CASE WHEN {pos} >= 2 THEN {nn} - {pos} + 2 END)"
+        f" WHEN '3' THEN (CASE WHEN {pos} >= 2 THEN {nn} - {pos} + 2"
+        f"                ELSE {nn} - {pos} + 1 END)"
         f" END"
     )
-    best = f"list_max(list_transform({labels}, (x, p) -> {score}))"
-    pub = (
-        f"CASE WHEN {best} IS NULL THEN 1"
-        f" WHEN {best} >= 1000 THEN {best} - 1000 ELSE {best} END"
+    score = let.format(
+        x=cand,
+        v="cc",
+        body=let.format(x=hit, v="hh", body=score_of_kind),
     )
-    reg = f"array_to_string(list_slice({labels}, {n} - ({pub}), {n}), '.')"
-    return f"CASE WHEN {n} - ({pub}) >= 1 THEN {reg} ELSE {host} END"
+    best = f"{max_fn}({transform_fn}(ll, {lam} -> {score}))"
+    pub = (
+        "CASE WHEN bb IS NULL THEN 1"
+        " WHEN bb >= 1000 THEN bb - 1000 ELSE bb END"
+    )
+    final = f"CASE WHEN {nn} - pp >= 1 THEN {reg} ELSE {host} END"
+    return let.format(
+        x=split,
+        v="ll",
+        body=let.format(
+            x=best,
+            v="bb",
+            body=let.format(x=pub, v="pp", body=final),
+        ),
+    )
 
 
 def registrable_domain(host_col: str) -> Column:
