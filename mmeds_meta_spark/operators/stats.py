@@ -982,6 +982,10 @@ def logrank_from_lifetimes(per_user: DataFrame) -> DataFrame:
         F.expr("tp IS NOT NULL").alias("observed"),
         F.expr("user_id % 2 = 1").alias("g1"),
     )
+    # duration-bounded by contract; checkpointed because BOTH the totals
+    # agg and the risk-table join read it — without a materialization
+    # each branch re-executes the per-user lifetimes upstream (the same
+    # one-pass discipline as functions/prefix_fold.py)
     byt = life.groupBy("t").agg(
         F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("d"),
         F.sum(F.when(F.col("observed") & F.col("g1"), 1).otherwise(0))
@@ -989,7 +993,7 @@ def logrank_from_lifetimes(per_user: DataFrame) -> DataFrame:
         .alias("d1"),
         F.count("*").cast("long").alias("a"),
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("a1"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     tot = byt.agg(
         F.expr("CAST(SUM(a) AS BIGINT)").alias("n_all"),
