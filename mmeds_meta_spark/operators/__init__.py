@@ -436,6 +436,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # green; DISTINCT stays gated via j3_wide_denorm_distinct and the
     # ordering window via w2_uniquify_rows, both r10-head entries):
     "a16_ordered_distinct",
+    # the new dedup_paragraphs_ccnet (CCNet normalized-hash keep-first
+    # paragraph dedup + reassembly) gates immediately; its slot comes
+    # from a15_pairwise_splits (driver-r9 green; the split-planning
+    # machinery runs verbatim inside pipeline_diff_abundance, an
+    # r10-head entry):
+    "a15_pairwise_splits",
 )
 
 

@@ -2463,6 +2463,126 @@ LEFT JOIN shared s ON s.source_a = ta.source AND s.source_b = tb.source
 decon_fuzzy_minhash.__doc__ = decon_fuzzy_minhash.__doc__.format(mod=_FUZZY_BENCH_MOD)
 
 
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-level dedup (keep-first, normalized hashes,
+# document reassembly)
+# ---------------------------------------------------------------------------
+
+_PARA_K = 12  # tokens per synthetic "paragraph" of the gate workload
+
+
+def _para_norm(col: str, *, spark_side: bool) -> str:
+    """CCNet's pre-hash normalization (Wenzek et al. 2020): lowercase,
+    digits dropped, whitespace collapsed — so near-identical boilerplate
+    paragraphs hash together.  Identical regexes on both engines."""
+    lowered = f"lower({col})"
+    nodigit = f"regexp_replace({lowered}, '[0-9]+', '')"
+    return f"trim(regexp_replace({nodigit}, ' +', ' '))"
+
+
+def dedup_paragraphs_ccnet(
+    spark: SparkSession, sf: str, *, k: int = _PARA_K
+) -> DataFrame:
+    """Paragraph-level corpus dedup, CCNet semantics (Wenzek et al.
+    2020: CCNet hashes NORMALIZED paragraphs across all shards and keeps
+    ONE occurrence): unlike ``dedup_span_exact`` (Lee et al. 2022
+    semantics — every corpus-duplicated span is removed from EVERY
+    document), the first occurrence survives — ordered by (doc_id,
+    position), the deterministic twin of CCNet's shard order — and each
+    document is REASSEMBLED from its kept paragraphs in original order.
+
+    The gate workload cuts the synthetic corpus into {k}-token
+    paragraphs; a real corpus passes newline-split paragraphs through
+    the same relations (the paragraph delimiter is the only
+    corpus-specific piece).
+
+    Physical shape at 100 TB: paragraph explode is a narrow map; the
+    keeper election is ONE partial-agg shuffle on md5(normalized
+    paragraph) (MIN combines map-side — uniform keys, no skew); the
+    keeper join back is an equi-join on the same key; the reassembly
+    groupBy collects at most each document's own paragraphs.
+    """
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    paras = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {k}),"
+                f" s -> array_join(slice(toks, s + 1, {k}), ' '))"
+            )
+        ).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.expr(_para_norm("para", spark_side=True))))
+    keeper = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = paras.join(keeper, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.expr("CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)").alias(
+                "n_removed"
+            ),
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(CASE WHEN kept THEN struct(pos, para) END)),"
+                " x -> x.para))"
+            ).alias("text_dedup"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_removed",
+            F.md5("text_dedup").alias("text_dedup_md5"),
+            F.length("text_dedup").cast("long").alias("n_chars_dedup"),
+        )
+    )
+
+
+def _para_ccnet_sql(k: int = _PARA_K) -> str:
+    norm = _para_norm("para", spark_side=False)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), paras AS (
+  SELECT doc_id, s.i - 1 AS pos,
+         array_to_string(list_slice(toks, (s.i - 1) * {k} + 1,
+                                    (s.i - 1) * {k} + {k}), ' ') AS para
+  FROM d, LATERAL (
+    SELECT unnest(range(1, CAST(ceil(len(toks) / {k}.0) AS BIGINT) + 1)) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id, pos, para, md5({norm}) AS h FROM paras
+), keeper AS (
+  SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM hashed GROUP BY h
+), flagged AS (
+  SELECT p.doc_id, p.pos, p.para,
+         p.doc_id = k.first.doc_id AND p.pos = k.first.pos AS kept
+  FROM hashed p JOIN keeper k USING (h)
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pos), '')
+           AS text_dedup
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_paras, n_removed,
+       md5(text_dedup) AS text_dedup_md5,
+       CAST(length(text_dedup) AS BIGINT) AS n_chars_dedup
+FROM rebuilt
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cross_source_matrix": QuerySpec(
         dedup_cross_source_matrix,
@@ -2482,6 +2602,14 @@ QUERIES: dict[str, QuerySpec] = {
         _SIMJOIN_SQL,
         "LLM-pipeline similarity join (AllPairs prefix filtering — EXACT threshold "
         "join, no LSH recall loss; candidates only from rarest-element prefixes)",
+    ),
+    "dedup_paragraphs_ccnet": QuerySpec(
+        dedup_paragraphs_ccnet,
+        _para_ccnet_sql(),
+        "LLM-pipeline dedup (CCNet paragraph dedup, Wenzek et al. 2020: "
+        "normalized-hash keep-first across the corpus + per-document "
+        "reassembly — the keep-one complement of dedup_span_exact's "
+        "remove-all Lee et al. 2022 semantics)",
     ),
     "dedup_span_exact": QuerySpec(
         dedup_span_exact,

