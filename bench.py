@@ -150,6 +150,9 @@ HEAVY = [
     "d20_nelson_aalen",
     "s13_demux_validate",
     "web_host_harmonic_hll",
+    # round-10 session-2: CCNet paragraph dedup (corpus explode + MIN
+    # keeper shuffle + reassembly) — the heaviest new shape
+    "dedup_paragraphs_ccnet",
 ]
 
 
