@@ -442,6 +442,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # machinery runs verbatim inside pipeline_diff_abundance, an
     # r10-head entry):
     "a15_pairwise_splits",
+    # the new text_badwords_filter (C4 blocklist stage) gates
+    # immediately; its slot comes from a17_stats_counters (driver-r9
+    # green; the grouped-counter agg family stays gated via
+    # a2_count_per_parent + a4_group_collect, both r10-head entries):
+    "a17_stats_counters",
 )
 
 

@@ -1515,6 +1515,83 @@ LIMIT {_BM25_TOPK}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# C4 badwords filter (the blocklist stage of the C4 cleaning chain)
+# ---------------------------------------------------------------------------
+
+# gate blocklist: 'dup' occurs in a rare slice of the synthetic corpus
+# (a realistic badwords hit rate); the other entries never occur, so the
+# no-match path is exercised too.  A real deployment passes the public
+# "List of Dirty, Naughty, Obscene..." words (C4, Raffel et al. 2020)
+# through ``badwords=`` — it rides as a literal array (the
+# expression-level broadcast: shipped once per task, no join).
+_BADWORDS = ("dup", "forbidden", "xxx-explicit")
+
+
+def text_badwords_filter(
+    spark: SparkSession, sf: str, *, badwords: tuple[str, ...] = _BADWORDS
+) -> DataFrame:
+    """C4's blocklist stage (Raffel et al. 2020: pages containing any
+    word from the blocklist are REMOVED whole): per-source report of
+    documents dropped by the word filter, with the matched words.
+
+    Scale shape: a pure narrow token-membership test over the scan (the
+    blocklist is a literal array — no shuffle, no join), then ONE
+    |sources|-bounded partial-agg shuffle for the report.  The matched
+    vocabulary per source is bounded by |blocklist|, so the collect_list
+    aggregate state never grows with the corpus."""
+    lit = ", ".join(f"'{w}'" for w in badwords)
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"array_distinct(filter(split(text, ' '), t -> t IN ({lit})))"
+        ).alias("hits"),
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN size(hits) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_dropped"),
+        F.expr(
+            "concat_ws(',', array_sort(array_distinct(flatten(collect_list(hits)))))"
+        ).alias("matched_words"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_dropped",
+        F.expr("n_dropped * 1000000 div n_docs").alias("drop_ppm"),
+        "matched_words",
+    )
+
+
+def _badwords_sql(badwords: tuple[str, ...] = _BADWORDS) -> str:
+    lit = ", ".join(f"'{w}'" for w in badwords)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   t -> t IN ({lit}))) AS hits
+  FROM documents
+), per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN len(hits) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         COALESCE(array_to_string(list_sort(list_distinct(flatten(list(hits)))), ','), '')
+           AS matched_words
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_dropped,
+       n_dropped * 1000000 // n_docs AS drop_ppm,
+       matched_words
+FROM per
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bm25_topk": QuerySpec(
         text_bm25_topk,
@@ -1575,6 +1652,13 @@ QUERIES: dict[str, QuerySpec] = {
         _NOVELTY_SQL,
         "LLM-pipeline text (corpus novelty curve, cf. Baayen 2001 vocabulary-growth curves — first-occurrence attribution, "
         "two partial-agg shuffles, no pair join)",
+    ),
+    "text_badwords_filter": QuerySpec(
+        text_badwords_filter,
+        _badwords_sql(),
+        "LLM-pipeline text (C4 blocklist stage, Raffel et al. 2020: drop "
+        "whole pages containing any blocklisted word; literal-array "
+        "broadcast membership, one bounded report shuffle)",
     ),
     "text_token_stats": QuerySpec(text_token_stats, _TOKEN_SQL, "LLM-pipeline text (token counting: whitespace + BPE-ish regex classes)"),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_SQL, "LLM-pipeline text (quality scoring, C4/Gopher-family heuristics)"),

@@ -38,7 +38,8 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_advice_r09.py tests/test_cluster_sharing.py
          tests/test_web_ops.py tests/test_kaplan_meier.py
          tests/test_advice_r10.py tests/test_demux_validate.py
-         tests/test_pheniqs_config.py tests/test_ccnet_paragraphs.py)
+         tests/test_pheniqs_config.py tests/test_ccnet_paragraphs.py
+         tests/test_badwords_filter.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
