@@ -57,6 +57,12 @@ def prefix_fold(
     in ``{'*', '+'}`` and ``init`` a SQL double literal ('1.0'/'0.0').
     Rows are folded in ascending ``order_col`` order; every other
     column of ``df`` is carried through unchanged.
+
+    CONTRACT: ``order_col`` must be UNIQUE (the survival risk tables
+    are grouped by t before folding).  A tie would leave row_number —
+    and therefore the fold's association order — to the engine's
+    whim, breaking both run-to-run determinism and oracle parity; the
+    SQL transcription has the same requirement.
     """
     # The fold reads its input from THREE branches (row numbering, block
     # prefixes, outer block totals) and joins back at the end; without a
