@@ -447,6 +447,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # green; the grouped-counter agg family stays gated via
     # a2_count_per_parent + a4_group_collect, both r10-head entries):
     "a17_stats_counters",
+    # the new web_host_degree_profile (bowtie degree diagnostics over
+    # the shared host_edges checkpoint) gates immediately; its slot
+    # comes from a12_stepwise_retention (driver-r9 green; the stepwise
+    # event-decomposition shape stays gated via the head's event family,
+    # w20_time_decay_attribution + the survival trio):
+    "a12_stepwise_retention",
 )
 
 

@@ -711,6 +711,74 @@ def _harmonic_hll_sql(hops: int = _HC_HOPS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+
+
+# ---------------------------------------------------------------------------
+# host-graph degree profile (webgraph diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def web_host_degree_profile(
+    spark: SparkSession, sf: str, *, edges: DataFrame | None = None
+) -> DataFrame:
+    """Host-graph degree distribution — the first diagnostic every
+    public webgraph study reports (Broder et al. 2000 bowtie analysis;
+    Common Crawl's webgraph releases publish exactly these histograms):
+    per direction (in/out), hosts bucketed by floor(log2(degree)) with
+    the bucket's host count, degree extrema, and total link weight.
+
+    Exact integer log2 binning: bucket = length(bin(degree)) - 1 — the
+    bit-length trick the portable-HLL rank already uses, identical on
+    both engines (no libm log).  Scale shape: reads only the shared
+    :func:`host_edges` checkpoint; two |hosts|-bounded degree
+    aggregations, then a ≤64-bucket rollup."""
+    if edges is None:
+        edges = host_edges(spark, sf)
+
+    def side(src: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(src).alias("host")).agg(
+            F.count("*").cast("long").alias("degree"),
+            F.expr("CAST(SUM(w) AS BIGINT)").alias("w_total"),
+        )
+        return deg.select(
+            F.lit(direction).alias("direction"),
+            F.expr("CAST(length(bin(degree)) - 1 AS BIGINT)").alias("log2_bucket"),
+            "degree",
+            "w_total",
+        )
+
+    both = side("src_host", "out").unionByName(side("dst_host", "in"))
+    return both.groupBy("direction", "log2_bucket").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.expr("CAST(MIN(degree) AS BIGINT)").alias("min_degree"),
+        F.expr("CAST(MAX(degree) AS BIGINT)").alias("max_degree"),
+        F.expr("CAST(SUM(w_total) AS BIGINT)").alias("w_total"),
+    )
+
+
+def _degree_profile_sql() -> str:
+    parts = _edge_ctes() + [
+        (
+            "degs AS ("
+            "SELECT 'out' AS direction, src_host AS host, "
+            "CAST(COUNT(*) AS BIGINT) AS degree, CAST(SUM(w) AS BIGINT) AS w_total "
+            "FROM edges GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'in', dst_host, CAST(COUNT(*) AS BIGINT), CAST(SUM(w) AS BIGINT) "
+            "FROM edges GROUP BY 2)"
+        ),
+    ]
+    final = (
+        "SELECT direction, CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_hosts, "
+        "CAST(MIN(degree) AS BIGINT) AS min_degree, "
+        "CAST(MAX(degree) AS BIGINT) AS max_degree, "
+        "CAST(SUM(w_total) AS BIGINT) AS w_total "
+        "FROM degs GROUP BY 1, 2"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -746,6 +814,14 @@ QUERIES: dict[str, QuerySpec] = {
         "shares the ONE-corpus-pass host_edges checkpoint with pagerank; "
         "3 min-plus expansions on |hosts|²-bounded distance relations, "
         "exact 1e6-div-d integer contributions",
+    ),
+    "web_host_degree_profile": QuerySpec(
+        web_host_degree_profile,
+        _degree_profile_sql(),
+        "beyond-reference: host-graph degree distribution (Broder et al. "
+        "2000 bowtie diagnostics; the histogram Common Crawl's webgraph "
+        "releases publish) - exact integer log2 bins via bit length, two "
+        "|hosts|-bounded aggs over the shared host_edges checkpoint",
     ),
     "web_host_harmonic_hll": QuerySpec(
         web_host_harmonic_hll,

@@ -462,3 +462,38 @@ def test_registrable_domain_property_sweep(spark):
     ]
     mismatches = [(h, a, b) for h, a, b in zip(hosts, s, d) if a != b]
     assert mismatches == []
+
+
+def test_degree_profile_reconstructs_graph_totals(spark):
+    # bucket counts must partition the host sets; per-direction host and
+    # weight totals must reconstruct the edge relation exactly; the hub's
+    # in-degree lands in the top in-bucket
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        host_edges,
+        web_host_degree_profile,
+    )
+
+    edges = host_edges(spark, SF_SMOKE)
+    rows = web_host_degree_profile(spark, SF_SMOKE, edges=edges).collect()
+    e = edges.collect()
+    srcs = {r["src_host"] for r in e}
+    dsts = {r["dst_host"] for r in e}
+    w_sum = sum(r["w"] for r in e)
+    by_dir = {}
+    for r in rows:
+        by_dir.setdefault(r["direction"], []).append(r)
+    assert sum(r["n_hosts"] for r in by_dir["out"]) == len(srcs)
+    assert sum(r["n_hosts"] for r in by_dir["in"]) == len(dsts)
+    assert sum(r["w_total"] for r in by_dir["out"]) == w_sum
+    assert sum(r["w_total"] for r in by_dir["in"]) == w_sum
+    for r in rows:
+        assert (1 << r["log2_bucket"]) <= r["min_degree"] <= r["max_degree"]
+        assert r["max_degree"] < (1 << (r["log2_bucket"] + 1))
+    # the hub is the unique max in-degree host: top in-bucket has it
+    from collections import Counter
+
+    indeg = Counter(r["dst_host"] for r in e)
+    top_in = max(by_dir["in"], key=lambda r: r["log2_bucket"])
+    assert top_in["max_degree"] == max(indeg.values())
