@@ -101,7 +101,7 @@ def test_registrable_domain_sql_matches_spark(spark):
 
     from mmeds_meta_spark.functions.urls import load_psl, registrable_domain_sql
 
-    assert len(load_psl()) > 500  # the resource relation, not a stub
+    assert len(load_psl()) > 1000  # the resource relation, not a stub
     hosts = [
         "a.b.site.co.uk", "shop.vendas.com.br", "news.kabu.co.jp",
         "deep.sub.site.com", "site.org", "localhost", "co.uk",
