@@ -453,6 +453,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # event-decomposition shape stays gated via the head's event family,
     # w20_time_decay_attribution + the survival trio):
     "a12_stepwise_retention",
+    # the new pipeline_web_report (composed crawl-graph report — four
+    # consumers of one edges checkpoint) gates immediately; its slot
+    # comes from w2_uniquify_rows (driver-r9 green; the partitioned
+    # row_number shape stays gated via sample_domain_cap's rank window,
+    # an r10-head entry):
+    "w2_uniquify_rows",
 )
 
 

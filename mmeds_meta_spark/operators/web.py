@@ -779,6 +779,125 @@ def _degree_profile_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+
+
+# ---------------------------------------------------------------------------
+# composed web-corpus graph report (one edges checkpoint, four consumers)
+# ---------------------------------------------------------------------------
+
+_REPORT_TOPK = 5
+
+
+def pipeline_web_report(
+    spark: SparkSession, sf: str, *, edges: DataFrame | None = None
+) -> DataFrame:
+    """The crawl-graph report every webgraph release ships, composed as
+    FOUR consumers of ONE :func:`host_edges` checkpoint (the CC-relation
+    sharing convention): graph totals, per-direction degree histograms,
+    and the top-{k} hosts by PageRank and by harmonic centrality — in
+    one long (section, key, pos, value) relation.
+
+    Scale shape: the corpus is touched once (the shared edge
+    checkpoint); every branch below runs on |hosts|/|edges|-bounded
+    relations; the top-k cuts are deterministic (value DESC, host) so
+    ties cannot split the gate."""
+    if edges is None:
+        edges = host_edges(spark, sf)
+    totals = edges.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("w_total"),
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hosts"))
+    )
+    tot_rows = (
+        totals.crossJoin(nodes)
+        .selectExpr(
+            "stack(3, 'n_hosts', n_hosts, 'n_edges', n_edges,"
+            " 'w_total', w_total) AS (key, value)"
+        )
+        .select(
+            F.lit("totals").alias("section"),
+            "key",
+            F.lit(0).cast("long").alias("pos"),
+            F.col("value").cast("long"),
+        )
+    )
+    degree = web_host_degree_profile(spark, sf, edges=edges).select(
+        F.concat(F.lit("degree_"), "direction").alias("section"),
+        F.col("direction").alias("key"),
+        F.col("log2_bucket").alias("pos"),
+        F.col("n_hosts").cast("long").alias("value"),
+    )
+    pr_top = (
+        web_host_pagerank(spark, sf, edges=edges)
+        .orderBy(F.desc("rank_micro"), "host")
+        .limit(_REPORT_TOPK)
+        .select(
+            F.lit("pagerank_top").alias("section"),
+            F.col("host").alias("key"),
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("rank_micro"), "host")
+                )
+            ).cast("long").alias("pos"),
+            F.col("rank_micro").cast("long").alias("value"),
+        )
+    )
+    hc_top = (
+        web_host_harmonic(spark, sf, edges=edges)
+        .orderBy(F.desc("harmonic_micro"), "host")
+        .limit(_REPORT_TOPK)
+        .select(
+            F.lit("harmonic_top").alias("section"),
+            F.col("host").alias("key"),
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("harmonic_micro"), "host")
+                )
+            ).cast("long").alias("pos"),
+            F.col("harmonic_micro").cast("long").alias("value"),
+        )
+    )
+    return tot_rows.unionByName(degree).unionByName(pr_top).unionByName(hc_top)
+
+
+def _web_report_sql() -> str:
+    """Oracle: each branch's FULL statement (the gated builders) wrapped
+    as a subquery — DuckDB supports WITH inside parenthesized
+    subqueries, so the gated pagerank/harmonic/degree transcriptions are
+    reused VERBATIM (one source of truth per ranking)."""
+    edges_cte = "WITH " + ",\n".join(_edge_ctes())
+    return f"""
+SELECT 'totals' AS section, t.key, CAST(0 AS BIGINT) AS pos, t.value
+FROM (
+  {edges_cte}
+  , nodes AS (SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges)
+  SELECT 'n_hosts' AS key, CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS value
+  UNION ALL
+  SELECT 'n_edges', CAST(COUNT(*) AS BIGINT) FROM edges
+  UNION ALL
+  SELECT 'w_total', CAST(SUM(w) AS BIGINT) FROM edges
+) t
+UNION ALL
+SELECT 'degree_' || direction, direction, log2_bucket, n_hosts
+FROM ( {_degree_profile_sql()} )
+UNION ALL
+SELECT 'pagerank_top', host, ROW_NUMBER() OVER (ORDER BY rank_micro DESC, host),
+       rank_micro
+FROM ( {_pagerank_sql()} )
+QUALIFY ROW_NUMBER() OVER (ORDER BY rank_micro DESC, host) <= {_REPORT_TOPK}
+UNION ALL
+SELECT 'harmonic_top', host, ROW_NUMBER() OVER (ORDER BY harmonic_micro DESC, host),
+       harmonic_micro
+FROM ( {_harmonic_sql()} )
+QUALIFY ROW_NUMBER() OVER (ORDER BY harmonic_micro DESC, host) <= {_REPORT_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -814,6 +933,14 @@ QUERIES: dict[str, QuerySpec] = {
         "shares the ONE-corpus-pass host_edges checkpoint with pagerank; "
         "3 min-plus expansions on |hosts|²-bounded distance relations, "
         "exact 1e6-div-d integer contributions",
+    ),
+    "pipeline_web_report": QuerySpec(
+        pipeline_web_report,
+        _web_report_sql(),
+        "beyond-reference: composed crawl-graph report (Common Crawl "
+        "webgraph-release shape: totals + degree histograms + top-k "
+        "PageRank + top-k harmonic) - FOUR consumers of ONE host_edges "
+        "checkpoint, deterministic tie-broken top-k cuts",
     ),
     "web_host_degree_profile": QuerySpec(
         web_host_degree_profile,

@@ -497,3 +497,49 @@ def test_degree_profile_reconstructs_graph_totals(spark):
     indeg = Counter(r["dst_host"] for r in e)
     top_in = max(by_dir["in"], key=lambda r: r["log2_bucket"])
     assert top_in["max_degree"] == max(indeg.values())
+
+
+def test_web_report_sections_consistent_with_components(spark):
+    # the composed report's rows must equal each component operator's
+    # own output over the same shared edges checkpoint
+    from tests.conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import (
+        host_edges,
+        pipeline_web_report,
+        web_host_degree_profile,
+        web_host_pagerank,
+    )
+
+    edges = host_edges(spark, SF_SMOKE)
+    rows = pipeline_web_report(spark, SF_SMOKE, edges=edges).collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault(r["section"], []).append(r)
+    tot = {r["key"]: r["value"] for r in by_sec["totals"]}
+    e = edges.collect()
+    assert tot["n_edges"] == len(e)
+    assert tot["w_total"] == sum(r["w"] for r in e)
+    assert tot["n_hosts"] == len(
+        {r["src_host"] for r in e} | {r["dst_host"] for r in e}
+    )
+    # degree sections mirror the degree operator
+    deg = web_host_degree_profile(spark, SF_SMOKE, edges=edges).collect()
+    want = {
+        ("degree_" + d["direction"], d["log2_bucket"]): d["n_hosts"] for d in deg
+    }
+    got = {
+        (r["section"], r["pos"]): r["value"]
+        for r in rows
+        if r["section"].startswith("degree_")
+    }
+    assert got == want
+    # pagerank top-5 = the ranking's own deterministic head
+    pr = sorted(
+        web_host_pagerank(spark, SF_SMOKE, edges=edges).collect(),
+        key=lambda r: (-r["rank_micro"], r["host"]),
+    )[:5]
+    top = sorted(by_sec["pagerank_top"], key=lambda r: r["pos"])
+    assert [(r["key"], r["value"]) for r in top] == [
+        (r["host"], r["rank_micro"]) for r in pr
+    ]
