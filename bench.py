@@ -151,8 +151,10 @@ HEAVY = [
     "s13_demux_validate",
     "web_host_harmonic_hll",
     # round-10 session-2: CCNet paragraph dedup (corpus explode + MIN
-    # keeper shuffle + reassembly) — the heaviest new shape
+    # keeper shuffle + reassembly) — the heaviest new shape — and the
+    # composed crawl-graph report (four rankings off one edge checkpoint)
     "dedup_paragraphs_ccnet",
+    "pipeline_web_report",
 ]
 
 
