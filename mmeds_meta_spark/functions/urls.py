@@ -34,6 +34,7 @@ scan.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from functools import lru_cache
 
 from pyspark.sql import Column
@@ -139,54 +140,70 @@ def canonical_sql(u: str) -> str:
     return f"{scheme} || '://' || {host} || {port_part} || {path} || {query}"
 
 
-@lru_cache(maxsize=1)
-def load_psl(path: str = PSL_PATH) -> dict[str, str]:
+@lru_cache(maxsize=4)
+def load_psl(path: str = PSL_PATH, icann_only: bool = False) -> dict[str, str]:
     """Parse a publicsuffix.org-format file → {suffix: kind}.
+
+    The shipped resource is the FULL upstream list (publicsuffix.org,
+    MPL 2.0 — ~9.5k rules incl. the IDN and PRIVATE sections).
 
     Kinds (strings so both engines' map values stay VARCHAR): '0' plain
     rule, '1' wildcard parent (``*.ck`` → key ``ck``), '2' exception
     (``!www.ck`` → key ``www.ck``), '3' plain + wildcard parent.
-    Exceptions win over plain on key collision (PSL rule: exception
-    rules take priority over every other matching rule).
+    Exceptions win over EVERY other kind on key collision (PSL rule:
+    exception rules take priority over all other matching rules) — the
+    upstream list never collides these keys (exceptions are children of
+    wildcard parents), but the parser honors the priority anyway.
+
+    ``icann_only=True`` stops at ``===BEGIN PRIVATE DOMAINS===``:
+    RefinedWeb-style domain caps group ICANN-wide, but corpora heavy in
+    platform subdomains (blogspot.com, github.io) may want the private
+    section's finer grouping — a policy choice, so it's a flag.
     """
     rules: dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
-            line = raw.strip()
-            if not line or line.startswith("//"):
+            line = raw.strip().split()[0] if raw.strip() else ""
+            if line.startswith("//"):
+                if icann_only and "===BEGIN PRIVATE DOMAINS===" in raw:
+                    break
+                continue
+            if not line:
                 continue
             if line.startswith("!"):
                 rules[line[1:]] = "2"
             elif line.startswith("*."):
                 key = line[2:]
-                rules[key] = "3" if rules.get(key) == "0" else "1"
+                prev = rules.get(key)
+                rules[key] = "2" if prev == "2" else ("3" if prev == "0" else "1")
             else:
                 prev = rules.get(line)
-                rules[line] = "3" if prev == "1" else (prev or "0")
+                rules[line] = prev if prev in ("2", "3") else (
+                    "3" if prev == "1" else "0"
+                )
     return rules
 
 
-@lru_cache(maxsize=1)
-def _psl_pairs() -> str:
-    """``suffix:kind,...`` — ONE string literal both engines fold into a
-    constant map (no per-row parse; no giant CreateMap expression)."""
-    rules = load_psl()
-    return ",".join(f"{s}:{k}" for s, k in sorted(rules.items()))
+@lru_cache(maxsize=4)
+def _psl_lits(icann_only: bool = False) -> dict[tuple[int, int], str]:
+    """(label_count, char_length) → lookup literal ``,suf:kind,...,``.
+
+    A candidate can only match a rule with the SAME label count and the
+    SAME character length, so each probe scans one small bucket literal.
+    Bucketing by label count alone stopped being enough at the full
+    upstream list (the 2-label bucket is ~70 KB of the ~130 KB total);
+    the (labels, length) split caps the largest scan at ~11 KB and keeps
+    the per-probe cost flat as upstream grows — the scan is over the
+    bucket, not the table."""
+    by_bucket: dict[tuple[int, int], list[str]] = {}
+    for suf, kind in sorted(load_psl(icann_only=icann_only).items()):
+        by_bucket.setdefault((suf.count(".") + 1, len(suf)), []).append(
+            f"{suf}:{kind}"
+        )
+    return {b: "," + ",".join(v) + "," for b, v in by_bucket.items()}
 
 
-@lru_cache(maxsize=1)
-def _psl_lits_by_labels() -> dict[int, str]:
-    """Per-label-count lookup literals ``,suf:kind,...,`` — a candidate
-    with k labels can only match a k-label rule, so each probe scans the
-    small k-label literal (TLDs ~0.7 KB, 2-label ~8 KB, 3-label ~0.5 KB)
-    instead of the whole table."""
-    by_k: dict[int, list[str]] = {}
-    for suf, kind in sorted(load_psl().items()):
-        by_k.setdefault(suf.count(".") + 1, []).append(f"{suf}:{kind}")
-    return {k: "," + ",".join(v) + "," for k, v in by_k.items()}
-
-
-def _psl_walk(host: str, *, spark_side: bool) -> str:
+def _psl_walk(host: str, *, spark_side: bool, icann_only: bool = False) -> str:
     """The PSL longest-match walk as ONE SQL expression over ``host``,
     transcribed for either engine from the SAME structure.
 
@@ -202,8 +219,9 @@ def _psl_walk(host: str, *, spark_side: bool) -> str:
     measured pitfalls shape the form:
 
     * lookups are literal-string scans (find ``,cand:`` in a
-      ``,suf:kind,...,`` constant, split per label count so each probe
-      scans ≤8 KB) — a ``str_to_map`` literal constant-folds but
+      ``,suf:kind,...,`` constant, split per (label count, char length)
+      bucket so each probe scans ≤11 KB of the ~130 KB full-list
+      table) — a ``str_to_map`` literal constant-folds but
       Catalyst map literals are ARRAY-backed, so ``element_at`` walks
       all 753 entries per probe (31 µs/row); DuckDB rebuilds a ``map()``
       literal per lambda element outright (38 s at sf0.01);
@@ -214,7 +232,7 @@ def _psl_walk(host: str, *, spark_side: bool) -> str:
       textual duplication re-evaluates: the naive form re-ran the whole
       candidate walk ~12× per row.
     """
-    lits = _psl_lits_by_labels()
+    lits = _psl_lits(icann_only=icann_only)
     if spark_side:
         let = "element_at(transform(array({x}), {v} -> {body}), 1)"
         split = f"split({host}, '\\\\.')"
@@ -241,17 +259,32 @@ def _psl_walk(host: str, *, spark_side: bool) -> str:
     # never contain ',' or ':', so a needle only matches entry
     # boundaries.  hh is LET-bound so the scan runs once per candidate.
     k_labels = f"{nn} - {pos} + 1"
-    scan_branches = " ".join(
-        f"WHEN {k} THEN {strfind}('{lit}', (',' || cc || ':'))"
-        for k, lit in sorted(lits.items())
-    )
-    hit = f"CASE {k_labels} {scan_branches} ELSE 0 END"
-    kind_branches = " ".join(
-        f"WHEN {k} THEN substr('{lit}', hh + length(cc) + 2, 1)"
-        for k, lit in sorted(lits.items())
+    by_k: dict[int, dict[int, str]] = {}
+    for (k, clen), lit in sorted(lits.items()):
+        by_k.setdefault(k, {})[clen] = lit
+
+    def _nested(per_lit: Callable[[str], str], tail: str) -> str:
+        # two-level simple CASE: outer on the candidate's label count,
+        # inner on its char length — both LET-bound ints, so bucket
+        # selection is O(branches) integer compares, never a scan
+        outer = " ".join(
+            f"WHEN {k} THEN (CASE length(cc) "
+            + " ".join(
+                f"WHEN {clen} THEN {per_lit(lit)}"
+                for clen, lit in sorted(ls.items())
+            )
+            + f" {tail} END)"
+            for k, ls in sorted(by_k.items())
+        )
+        return f"CASE {k_labels} {outer} {tail} END"
+
+    hit = _nested(
+        lambda lit: f"{strfind}('{lit}', (',' || cc || ':'))", "ELSE 0"
     )
     kind = (
-        f"CASE WHEN hh > 0 THEN (CASE {k_labels} {kind_branches} END) END"
+        "CASE WHEN hh > 0 THEN "
+        + _nested(lambda lit: f"substr('{lit}', hh + length(cc) + 2, 1)", "")
+        + " END"
     )
     score_of_kind = (
         f"CASE {kind}"
@@ -284,15 +317,16 @@ def _psl_walk(host: str, *, spark_side: bool) -> str:
     )
 
 
-def registrable_domain(host_col: str) -> Column:
+def registrable_domain(host_col: str, *, icann_only: bool = False) -> Column:
     """Registrable domain of a host column under the real PSL rules
     (longest matching rule + one label; wildcards and exceptions per
-    publicsuffix.org).  Pure Catalyst: the PSL is a constant-folded
-    ``str_to_map`` literal probed per candidate suffix."""
-    return F.expr(_psl_walk(host_col, spark_side=True))
+    publicsuffix.org).  Pure Catalyst: the PSL is bucketed constant
+    literals probed per candidate suffix.  ``icann_only`` ignores the
+    PRIVATE section (see :func:`load_psl`)."""
+    return F.expr(_psl_walk(host_col, spark_side=True, icann_only=icann_only))
 
 
-def registrable_domain_sql(host: str) -> str:
+def registrable_domain_sql(host: str, *, icann_only: bool = False) -> str:
     """DuckDB transcription of :func:`registrable_domain` — the same
-    walk arithmetic over ``map(suffixes, kinds)``."""
-    return _psl_walk(host, spark_side=False)
+    walk arithmetic over the same bucketed rule literals."""
+    return _psl_walk(host, spark_side=False, icann_only=icann_only)

@@ -62,12 +62,21 @@ def demux_validate(
     exists to catch): n_reads, n_exact, n_kept (distance ≤ allowed),
     n_stripped, share_ppm (reads per million of the whole run —
     integer, so the report is order-free exact).
+
+    Join shape: the reads-side join is INNER so the broadcast hint is
+    honored (Spark cannot build a BroadcastHashJoin on the preserved
+    side of a RightOuter join — a ``reads ⟖ broadcast(mapping)`` form
+    silently degrades to a full shuffle of the reads corpus on
+    sample_id).  Zero-read samples come back via a second,
+    bounded-⋈-bounded left join of the |samples|-row aggregate onto
+    mapping, with counts coalesced to 0 — identical output, and the
+    corpus-side scan stays shuffle-free up to the partial agg.
     """
-    j = reads.join(F.broadcast(mapping), "sample_id", "right")
+    j = reads.join(F.broadcast(mapping), "sample_id")
     d = j.withColumn(
         "dist", F.expr("levenshtein(fwd, fwd_bc) + levenshtein(rev, rev_bc)")
     )
-    per = d.groupBy("sample_id").agg(
+    per_seen = d.groupBy("sample_id").agg(
         F.count("fwd").cast("long").alias("n_reads"),
         F.expr("CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
             "n_exact"
@@ -80,6 +89,15 @@ def demux_validate(
             f"CAST(SUM(CASE WHEN dist > {num_allowed_errors} THEN 1 ELSE 0 END)"
             " AS BIGINT)"
         ).alias("n_stripped"),
+    )
+    per = mapping.select("sample_id").join(
+        F.broadcast(per_seen), "sample_id", "left"
+    ).select(
+        "sample_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            for c in ("n_reads", "n_exact", "n_kept", "n_stripped")
+        ],
     )
     # run total via an unpartitioned window over the BOUNDED per-sample
     # relation (|samples| rows) — an agg + crossJoin-back would re-execute
