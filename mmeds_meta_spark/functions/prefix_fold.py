@@ -31,8 +31,8 @@ are not bit-specified across implementations).
 
 Scale shape: the input relation is expected to be BOUNDED (a risk
 table, a histogram — never a corpus axis).  The block groupBy and the
-two single-row collects are over that bounded relation; work is
-T·B ops and peak memory one B-element array per block.
+single-row block-totals collect are over that bounded relation; work
+is T·B ops and peak memory one B-element array per block.
 """
 
 from __future__ import annotations
@@ -62,36 +62,53 @@ def prefix_fold(
     are grouped by t before folding).  A tie would leave row_number —
     and therefore the fold's association order — to the engine's
     whim, breaking both run-to-run determinism and oracle parity; the
-    SQL transcription has the same requirement.
+    SQL transcription has the same requirement.  Carried columns must
+    be orderable types (they ride inside a sorted struct).
+
+    Plan shape (round-11 rework of the round-10 three-branch form —
+    same association tree, same bits, so the SQL transcription and the
+    gate hashes are unchanged): the input is executed ONCE into the
+    block collect; every carried column rides through the block structs
+    so there is no join back to the input; the ONLY materialization is
+    an eager checkpoint of the bounded T/B-row blocks relation (two
+    consumers: within-block prefixes and block totals), and the outer
+    exclusive prefix joins back by broadcast.  The round-10 form eagerly
+    checkpointed the full T-row input and joined three ways — its fixed
+    ~0.2 s overhead at small T was round-10 VERDICT item 5.
     """
-    # The fold reads its input from THREE branches (row numbering, block
-    # prefixes, outer block totals) and joins back at the end; without a
-    # materialization Spark re-executes the whole upstream per branch
-    # (measured: 12 corpus scans for d18's events lineage).  The input
-    # is BOUNDED by contract, so one eager checkpoint caps the upstream
-    # at a single pass.
     rn_w = Window.orderBy(order_col)
     num = (
-        df.localCheckpoint(eager=True)
-        .withColumn("__rn", F.row_number().over(rn_w))
+        df.withColumn("__rn", F.row_number().over(rn_w))
         .withColumn("__blk", F.expr(f"(__rn - 1) div {block}"))
     )
+    carry = ", ".join(df.columns)
     srcs = ", ".join(f"{s} AS __v_{s}" for s, _, _, _ in fields)
     blocks = num.groupBy("__blk").agg(
-        F.expr(f"sort_array(collect_list(struct(__rn, {srcs})))").alias("__ts")
-    )
+        F.expr(
+            f"sort_array(collect_list(struct(__rn, struct({carry}) AS __row,"
+            f" {srcs})))"
+        ).alias("__ts")
+    ).localCheckpoint(eager=True)
     # within-block prefixes: element i (0-based) folds slice(1, i+1)
     pref_struct = ", ".join(
         f"aggregate(slice(__ts, 1, i + 1), CAST({init} AS DOUBLE),"
         f" (a, y) -> a {op} y.__v_{s}) AS __p_{s}"
         for s, _, op, init in fields
     )
-    blocks = blocks.withColumn(
-        "__prefixes",
-        F.expr(f"transform(__ts, (x, i) -> struct(x.__rn AS __rn, {pref_struct}))"),
-    )
+    within = blocks.select(
+        "__blk",
+        F.explode(
+            F.expr(
+                f"transform(__ts, (x, i) -> struct(x.__row AS __row, {pref_struct}))"
+            )
+        ).alias("__w"),
+    ).select("__blk", "__w.*")
+    # block totals folded directly (same init-first left fold over the
+    # full block as the last within-prefix — identical bits, O(B) work)
     tot_cols = [
-        f"element_at(__prefixes, -1).__p_{s} AS __t_{s}" for s, _, _, _ in fields
+        f"aggregate(__ts, CAST({init} AS DOUBLE), (a, y) -> a {op} y.__v_{s})"
+        f" AS __t_{s}"
+        for s, _, op, init in fields
     ]
     # outer EXCLUSIVE prefix over ascending block totals: one single-row
     # collect over the T/B-row relation, folded with the same shape
@@ -110,16 +127,9 @@ def prefix_fold(
         )
         .select("__o.*")
     )
-    within = blocks.select(
-        "__blk", F.explode("__prefixes").alias("__w")
-    ).select("__blk", "__w.*")
-    finals = within.join(outer, "__blk").selectExpr(
-        "__rn",
+    return within.join(F.broadcast(outer), "__blk").selectExpr(
+        "__row.*",
         *[f"__o_{s} {op} __p_{s} AS {out}" for s, out, op, _ in fields],
-    )
-    return (
-        num.join(finals, "__rn")
-        .drop("__rn", "__blk")
     )
 
 
