@@ -470,6 +470,7 @@ def registry() -> dict[str, QuerySpec]:
         demux,
         diversity,
         filters_misc,
+        html,
         multimodal,
         phylo,
         pipeline,
@@ -483,7 +484,7 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe, web, demux):
+    for mod in (relational, stats, filters_misc, diversity, dedup, similarity, text, multimodal, phylo, sampling, sketches, pipeline, bpe, web, demux, html):
         merged.update(mod.QUERIES)
     head = {k: v for k, v in merged.items() if k not in _GATE_TAIL}
     tail = {k: merged[k] for k in _GATE_TAIL if k in merged}

@@ -1,0 +1,281 @@
+"""HTML → main-text extraction — the crawl pipeline's front door.
+
+Beyond-reference (the reference at /root/reference has no web path):
+RefinedWeb-class pipelines start from WARC ``response`` records (raw
+HTML), not WET pre-extracted text — extraction quality is the first
+and largest curation lever (Penedo et al. 2023).  This module is the
+engine's extraction stage: ``sources/wet.py``'s ``warc`` DataSource
+produces the ``html`` column, :func:`html_extract` turns it into
+main text + block diagnostics, and everything downstream (badwords,
+Gopher, dedup, domain caps) consumes the extracted text.
+
+Semantics — a jusText-style block classifier (Pomikálek 2011) reduced
+to engine-portable arithmetic:
+
+1. ``<script>``/``<style>`` elements and HTML comments are removed
+   outright (their payload is never content);
+2. whitespace is normalized, closing block-level tags (``</p>``,
+   ``</div>``, ``</li>``, headings, table rows, lists, semantic
+   sections) and ``<br>``/``<hr>`` become block boundaries;
+3. each block is tag-stripped, entity-decoded (the five predefined
+   entities + ``&nbsp;``/``&#39;``), space-collapsed and trimmed;
+4. a block is KEPT when it has ≥ ``MIN_BLOCK_CHARS`` characters of
+   clean text AND its anchor-text share is ≤ 1/3 (link-density — the
+   boilerplate signal: navigation, footers and tag clouds are mostly
+   anchor text; jusText's "bad" class);
+5. the document's text is the kept blocks joined by blank lines.
+
+Scale shape: ONE pure narrow expression per document — regex/replace
+chains and higher-order lambdas over the split block array; no UDF, no
+shuffle, no join.  Extracting 100 TB of HTML is a map over the WARC
+scan.  The per-block pipeline is LET-bound (one-element ``transform``)
+so interpreted lambdas never re-evaluate the strip chain, and the
+Spark side materializes the result struct through ONE generator
+(``explode(array(...))``) so Catalyst cannot duplicate the pipeline
+per output column.
+
+The gate workload synthesizes deterministic HTML around ``documents``
+paragraphs (title, nav, headings, content paragraphs, a mixed
+content+link block, footer — boilerplate injected per doc_id) and runs
+the SAME extraction on both engines, so the DuckDB oracle verifies
+tag-strip, entity decode, boundary split, min-length and link-density
+classification cell-by-cell.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..testdata import table as _t
+from . import QuerySpec
+
+MIN_BLOCK_CHARS = 30  # jusText-style short-block threshold (clean chars)
+LINK_DENSITY_DEN = 3  # keep while anchor_chars * 3 <= clean_chars
+
+# elements whose payload is dropped outright
+_DROP_PAT = (
+    "(?is)<script( [^>]*)?>.*?</script>",
+    "(?is)<style( [^>]*)?>.*?</style>",
+    "(?s)<!--.*?-->",
+)
+# closing tags that end a text block (+ void br/hr)
+_BOUNDARY_PAT = (
+    "(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|td|table|ul|ol|blockquote"
+    "|section|article|aside|header|footer|nav|title|figcaption|pre)>"
+    "|(?i)<br( [^>]*)?>|(?i)<hr( [^>]*)?>"
+)
+_ANCHOR_PAT = "(?is)<a( [^>]*)?>.*?</a>"
+# (entity, replacement) — '&amp;' LAST so double-encoded text decodes once
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "''"),  # SQL-escaped single quote
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _d(spark_side: bool) -> dict[str, str]:
+    """Dialect table (the _psl_walk convention: ONE structure, two
+    transcriptions — an edit to either engine cannot silently diverge)."""
+    if spark_side:
+        return {
+            "let": "element_at(transform(array({x}), {v} -> {body}), 1)",
+            "rr": "regexp_replace({x}, '{p}', {r})",
+            "split": "split({x}, chr(10))",
+            "transform": "transform",
+            "filter": "filter",
+            "size": "CAST(size({x}) AS BIGINT)",
+            "join": "coalesce(array_join({a}, {sep}), '')",
+            "struct": "struct({fields})",
+            "as": "{expr} AS {name}",
+        }
+    return {
+        "let": "list_transform([{x}], {v} -> {body})[1]",
+        # DuckDB regexp_replace replaces the FIRST match unless 'g'
+        "rr": "regexp_replace({x}, '{p}', {r}, 'g')",
+        "split": "string_split({x}, chr(10))",
+        "transform": "list_transform",
+        "filter": "list_filter",
+        # DuckDB's array_to_string of an EMPTY list is NULL (Spark: '')
+        "size": "CAST(len({x}) AS BIGINT)",
+        "join": "coalesce(array_to_string({a}, {sep}), '')",
+        "struct": "struct_pack({fields})",
+        "as": "{name} := {expr}",
+    }
+
+
+def _strip_expr(x: str, d: dict[str, str]) -> str:
+    """Clean visible text of one block: tags → space, entities decoded,
+    spaces collapsed, trimmed.  No backslash appears in any pattern —
+    Spark and DuckDB string literals unescape differently."""
+    s = d["rr"].format(x=x, p="<[^>]*>", r="' '")
+    for ent, rep in _ENTITIES:
+        s = f"replace({s}, '{ent}', '{rep}')"
+    s = d["rr"].format(x=s, p="  +", r="' '")
+    return f"trim({s})"
+
+
+def html_extract_expr(html: str, *, spark_side: bool) -> str:
+    """The whole extraction as ONE SQL struct expression over ``html``:
+    ``(n_blocks BIGINT, n_kept BIGINT, txt STRING)``."""
+    d = _d(spark_side)
+    cleaned = html
+    for pat in _DROP_PAT:
+        cleaned = d["rr"].format(x=cleaned, p=pat, r="' '")
+    for ws in (9, 13, 10):  # tab/CR/LF → space before boundaries exist
+        cleaned = f"replace({cleaned}, chr({ws}), ' ')"
+    bounded = d["rr"].format(x=cleaned, p=_BOUNDARY_PAT, r="chr(10)")
+    blocks = d["split"].format(x=bounded)
+
+    no_anchor = d["rr"].format(x="b", p=_ANCHOR_PAT, r="' '")
+    fields = ", ".join(
+        d["as"].format(expr=e, name=n)
+        for n, e in (
+            ("txt", "s"),
+            ("n", "length(s)"),
+            ("la", "greatest(length(s) - length(u), 0)"),
+        )
+    )
+    per_block = d["let"].format(
+        x=_strip_expr("b", d),
+        v="s",
+        body=d["let"].format(
+            x=_strip_expr(no_anchor, d),
+            v="u",
+            body=d["struct"].format(fields=fields),
+        ),
+    )
+    bstats = f"{d['transform']}({blocks}, b -> {per_block})"
+    kept = (
+        f"{d['filter']}(bs, x -> x.n >= {MIN_BLOCK_CHARS}"
+        f" AND x.la * {LINK_DENSITY_DEN} <= x.n)"
+    )
+    out_fields = ", ".join(
+        d["as"].format(expr=e, name=n)
+        for n, e in (
+            ("n_blocks", d["size"].format(x="{f}(bs, x -> x.n > 0)".format(f=d["filter"]))),
+            ("n_kept", d["size"].format(x="kp")),
+            (
+                "txt",
+                d["join"].format(
+                    a=f"{d['transform']}(kp, x -> x.txt)",
+                    sep="chr(10) || chr(10)",
+                ),
+            ),
+        )
+    )
+    return d["let"].format(
+        x=bstats,
+        v="bs",
+        body=d["let"].format(
+            x=kept, v="kp", body=d["struct"].format(fields=out_fields)
+        ),
+    )
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append extraction columns (n_blocks, n_kept, text, n_chars) to a
+    relation with raw-HTML ``html_col`` (e.g. the ``warc`` source).
+    Pure narrow plan: one Generate evaluates the pipeline once per row."""
+    s = html_extract_expr(html_col, spark_side=True)
+    return (
+        df.select("*", F.explode(F.array(F.expr(s))).alias("__x"))
+        .select(
+            *df.columns,
+            F.col("__x.n_blocks").alias("n_blocks"),
+            F.col("__x.n_kept").alias("n_kept"),
+            F.col("__x.txt").alias("text"),
+            F.length("__x.txt").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic HTML workload (both engines)
+# ---------------------------------------------------------------------------
+
+
+def _synth_html_expr(*, spark_side: bool) -> str:
+    """Deterministic HTML around a document's token chunks: head with
+    title/style/script, all-links nav, short heading, a clean paragraph
+    with entities, a mixed text+link block (per doc_id % 3), an optional
+    second paragraph (doc_id % 2), an all-links footer."""
+    d = _d(spark_side)
+    # coalesce: an out-of-range slice is [] on Spark but NULL on DuckDB,
+    # and one NULL chunk would poison the whole || chain
+    if spark_side:
+        tk = "split(text, ' ')"
+
+        def chunk(start: int, n: int) -> str:
+            return f"coalesce(array_join(slice(tk, {start}, {n}), ' '), '')"
+    else:
+        tk = "string_split(text, ' ')"
+
+        def chunk(start: int, n: int) -> str:
+            return (
+                f"coalesce(array_to_string("
+                f"list_slice(tk, {start}, {start + n - 1}), ' '), '')"
+            )
+
+    body = (
+        "'<html><head><title>' || "
+        + chunk(1, 3)
+        + " || '</title><style>p{color:red}</style>"
+        "<script>var x=1;</script></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">Tags</a>'
+        ' <a href="/b">About</a></nav><h1>' + "' || "
+        + chunk(1, 3)
+        + " || '</h1><p>' || "
+        + chunk(1, 12)
+        + " || ' &amp; friends</p><div>' || "
+        + chunk(13, 12)
+        + " || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' <a href=\"/more\">read the full story here</a>' ELSE '' END"
+        " || '</div>' || CASE WHEN doc_id % 2 = 0 THEN"
+        " '<p>' || " + chunk(25, 12) + " || '</p>' ELSE '' END"
+        " || '<footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>"
+        " <a href=\"/c\">Contact</a></footer></body></html>'"
+    )
+    return d["let"].format(x=tk, v="tk", body=body)
+
+
+def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The gated entry: synthesize HTML per document, extract, report
+    per-doc block diagnostics + the extracted text."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_synth_html_expr(spark_side=True)).alias("html")
+    )
+    return html_extract(docs).select(
+        "doc_id", "n_blocks", "n_kept", "text", "n_chars"
+    )
+
+
+def _html_sql() -> str:
+    synth = _synth_html_expr(spark_side=False)
+    extract = html_extract_expr("html", spark_side=False)
+    return f"""
+WITH src AS (
+  SELECT doc_id, {synth} AS html FROM documents
+), ex AS (
+  SELECT doc_id, {extract} AS s FROM src
+)
+SELECT doc_id, s.n_blocks AS n_blocks, s.n_kept AS n_kept,
+       s.txt AS "text", CAST(length(s.txt) AS BIGINT) AS n_chars
+FROM ex
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_html_extract": QuerySpec(
+        text_html_extract,
+        _html_sql(),
+        "beyond-reference: WARC/HTML → main-text extraction (RefinedWeb "
+        "front door, Penedo et al. 2023; jusText-style block classifier, "
+        "Pomikálek 2011) — script/style/comment drop, block-boundary "
+        "split, tag-strip + entity decode, min-length and link-density "
+        "keep rule; ONE narrow expression per doc, no UDF/shuffle/join",
+    ),
+}

@@ -124,6 +124,65 @@ class WetReader(DataSourceReader):
                 rid += 1
 
 
+WARC_SCHEMA = (
+    "file string, record_id bigint, target_uri string, warc_date string, "
+    "http_status int, content_type string, content_length bigint, "
+    "html string, n_bytes bigint"
+)
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) from a WARC ``response`` record's
+    HTTP message.  A payload without an HTTP header block (no CRLFCRLF,
+    or no HTTP/ status line) is returned whole with NULL status — the
+    curation operators downstream decide whether to keep it."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    lines = head.split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for line in lines[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            if k.strip().lower() == b"content-type":
+                ctype = v.strip().decode("ascii", "replace")
+    return status, ctype, body
+
+
+class WarcReader(WetReader):
+    """WARC ``response`` records (the WET reader's parent format — raw
+    crawl HTTP captures).  Same file-granular partitioning and framing
+    (iter_wet_records parses ISO 28500 records for both formats); the
+    response path additionally strips the HTTP header block so ``html``
+    is the decoded entity body, ready for text_html_extract."""
+
+    def read(self, partition: WetFilePartition) -> Iterator[tuple]:
+        rid = 0
+        with _open_stream(partition.path) as fh:
+            for rec in iter_wet_records(fh):
+                h = rec["headers"]
+                if h.get("warc-type") != "response":
+                    continue  # warcinfo / request / metadata / conversion
+                status, ctype, body = split_http_payload(rec["payload"])
+                yield (
+                    partition.path,
+                    rid,
+                    h.get("warc-target-uri"),
+                    h.get("warc-date"),
+                    status,
+                    ctype,
+                    len(rec["payload"]),
+                    body.decode("utf-8", "replace"),
+                    len(body),
+                )
+                rid += 1
+
+
 class WetDataSource(DataSource):
     """``spark.dataSource.register(WetDataSource)`` then
     ``spark.read.format("wet").load(path)``."""
@@ -139,9 +198,31 @@ class WetDataSource(DataSource):
         return WetReader(self.options)
 
 
+class WarcDataSource(DataSource):
+    """``spark.dataSource.register(WarcDataSource)`` then
+    ``spark.read.format("warc").load(path)`` — one row per ``response``
+    record (the RefinedWeb-class front door: raw HTML in, extraction
+    and curation downstream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> WarcReader:
+        return WarcReader(self.options)
+
+
 def register_wet_source(spark) -> None:
     """Idempotent registration of the wet format for this session."""
     spark.dataSource.register(WetDataSource)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotent registration of the warc format for this session."""
+    spark.dataSource.register(WarcDataSource)
 
 
 def write_wet(records: list[dict], path: str) -> None:
@@ -161,6 +242,53 @@ def write_wet(records: list[dict], path: str) -> None:
             "\r\n"
         ).encode("ascii")
         return head + payload + b"\r\n\r\n"
+
+    info_payload = b"software: mmeds-testgen\r\n"
+    info = (
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            f"Content-Length: {len(info_payload)}\r\n"
+            "\r\n"
+        ).encode("ascii")
+        + info_payload
+        + b"\r\n\r\n"
+    )
+    if path.endswith(".gz"):
+        with open(path, "wb") as out:
+            out.write(gzip.compress(info))
+            for rec in records:
+                out.write(gzip.compress(one(rec)))
+    else:
+        with open(path, "wb") as out:
+            out.write(info)
+            for rec in records:
+                out.write(one(rec))
+
+
+def write_warc(records: list[dict], path: str) -> None:
+    """Test/fixture helper: serialize ``response`` records (each dict:
+    uri, html, optional date/status/ctype) to a WARC file with full
+    HTTP message payloads, gzip-per-member when path ends '.gz'."""
+
+    def one(rec: dict) -> bytes:
+        body = rec["html"].encode("utf-8")
+        http = (
+            f"HTTP/1.1 {rec.get('status', 200)} OK\r\n"
+            f"Content-Type: {rec.get('ctype', 'text/html; charset=utf-8')}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("ascii") + body
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {rec['uri']}\r\n"
+            f"WARC-Date: {rec.get('date', '2026-01-01T00:00:00Z')}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n"
+        ).encode("ascii")
+        return head + http + b"\r\n\r\n"
 
     info_payload = b"software: mmeds-testgen\r\n"
     info = (

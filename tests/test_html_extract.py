@@ -1,0 +1,140 @@
+"""WARC response source + HTML→text extraction (sources/wet.py warc
+format, operators/html.py): record framing with HTTP header strip, the
+jusText-style block classifier's keep/drop rules, cross-engine parity
+of the extraction expression, and the narrow plan shape.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.html import (
+    html_extract,
+    html_extract_expr,
+    text_html_extract,
+)
+from mmeds_meta_spark.sources.wet import (
+    register_warc_source,
+    split_http_payload,
+    write_warc,
+)
+
+PAGE = (
+    "<html><head><title>Tiny title</title>"
+    "<style>body{margin:0}</style><script>track();</script></head>"
+    "<body><nav><a href='/'>Home</a> <a href='/b'>Blog</a></nav>"
+    "<h1>Short head</h1>"
+    "<p>This paragraph carries the page's actual content, long enough "
+    "to clear the minimum &amp; free of links.</p>"
+    "<div>Another substantive block of readable text follows here, "
+    "with one small <a href='/x'>inline link</a> inside it.</div>"
+    "<p>tiny</p>"
+    "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+    "</body></html>"
+)
+
+
+def test_warc_source_reads_response_records(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(
+        [
+            {"uri": "https://a.example/", "html": PAGE},
+            {"uri": "https://b.example/x", "html": "<p>short</p>", "status": 404},
+        ],
+        str(d / "seg-00000.warc"),
+    )
+    write_warc(
+        [{"uri": "https://c.example/", "html": "café ✓ <p>unicode body text</p>"}],
+        str(d / "seg-00001.warc.gz"),
+    )
+    register_warc_source(spark)
+    rows = sorted(
+        spark.read.format("warc").load(str(d)).collect(),
+        key=lambda r: (r.file, r.record_id),
+    )
+    assert len(rows) == 3  # warcinfo skipped, responses kept
+    assert rows[0].target_uri == "https://a.example/"
+    assert rows[0].http_status == 200
+    assert rows[0].content_type.startswith("text/html")
+    assert rows[0].html == PAGE
+    assert rows[1].http_status == 404
+    assert rows[2].html.startswith("café ✓")  # UTF-8 through gzip members
+    assert rows[2].n_bytes == len(rows[2].html.encode("utf-8"))
+
+
+def test_split_http_payload_tolerates_headerless_bodies():
+    status, ctype, body = split_http_payload(b"no http header block here")
+    assert status is None and ctype is None
+    assert body == b"no http header block here"
+    status, _, body = split_http_payload(b"HTTP/1.1 nonsense\r\n\r\nx")
+    assert status is None  # unparseable status -> whole payload kept
+    assert body == b"HTTP/1.1 nonsense\r\n\r\nx"
+
+
+def test_html_extract_keep_drop_rules(spark):
+    df = spark.createDataFrame([("d0", PAGE)], "uri string, html string")
+    row = html_extract(df).collect()[0]
+    # kept: the long clean paragraph + the mixed div (low link density);
+    # dropped: title/nav/h1 (short or all links), tiny block, footer
+    assert row.n_kept == 2
+    paras = row.text.split("\n\n")
+    assert paras[0].startswith("This paragraph carries")
+    assert "& free of links." in paras[0]  # &amp; decoded
+    assert paras[1].startswith("Another substantive block")
+    assert "inline link" in paras[1]  # anchor TEXT survives, tags gone
+    assert "<" not in row.text and "track();" not in row.text
+    assert "margin" not in row.text and "Privacy" not in row.text
+    assert row.n_chars == len(row.text)
+    assert row.n_blocks >= 5  # every non-empty stripped block counted
+
+
+def test_html_extract_cross_engine_parity_on_adversarial_html(spark):
+    cases = [
+        PAGE,
+        "",  # empty document
+        "no markup at all — just a plain sentence that is long enough.",
+        "<p>unterminated tag <a href='/x'>dangling",
+        "<P>UPPER CASE TAGS ARE STILL TAGS AND THIS LINE IS LONG ENOUGH</P>",
+        "<div>entities &lt;kept&gt; &quot;decoded&quot; &#39;here&#39; "
+        "&nbsp;with plenty of padding text around them</div>",
+        "<ul><li>list item one is reasonably long for a keep decision"
+        "</li><li>x</li></ul>",
+        "<script>while(1){}</script><p>after the script block comes a "
+        "paragraph long enough to keep</p><!-- comment <p>ghost</p> -->",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html string")
+    s = df.select(
+        F.explode(F.array(F.expr(html_extract_expr("html", spark_side=True))))
+        .alias("x")
+    ).select("x.n_blocks", "x.n_kept", "x.txt").collect()
+    d = duckdb.sql(
+        "SELECT s.n_blocks, s.n_kept, s.txt FROM (SELECT "
+        + html_extract_expr("html", spark_side=False)
+        + " AS s FROM (SELECT unnest(?) AS html))",
+        params=[cases],
+    ).fetchall()
+    assert [tuple(r) for r in s] == d
+
+
+def test_gate_workload_is_narrow_and_deterministic(spark):
+    df = text_html_extract(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map over the documents scan
+    assert "Scan" in plan
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in text_html_extract(spark, SF_SMOKE).collect())
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # some docs keep blocks
+
+
+def test_warc_to_extract_end_to_end(spark, tmp_path):
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    write_warc([{"uri": "https://a.example/", "html": PAGE}], str(d / "s.warc"))
+    register_warc_source(spark)
+    out = html_extract(spark.read.format("warc").load(str(d))).collect()[0]
+    assert out.n_kept == 2 and out.text.startswith("This paragraph carries")
