@@ -43,422 +43,169 @@ class QuerySpec:
 # so they yield their gate slot to operators with no other driver evidence.
 # Every entry — head or tail — still runs in tools/verify_local.py and CI.
 _GATE_TAIL: tuple[str, ...] = (
-    # displaced round 3 (each has driver-green rows in r01+r02 and a gated
-    # shape-twin): j2 ⊂ j3's chained dim joins; d2_bray_curtis = the
-    # pairwise decomposition of the gated d2_unifrac_*; balanced_topk =
-    # w1's partitioned-window shape
-    # displaced round 4 (driver-green in r01–r03; gated shape-twins keep
-    # the evidence): faith_pd over the synthetic tree model is superseded
-    # by the gated d1_faith_pd_newick over a REAL parsed tree; langid's
-    # regex-count scoring is text_quality_score's gated shape
-    "d1_faith_pd",
-    "text_langid_heuristic",
-    # displaced round 4 (driver-green r01–r03; each superseded by a gated
-    # strict superset): d2_unifrac_weighted = the weighted-UniFrac plan over
-    # the synthetic tree model, now evidenced by d2_unifrac_weighted_newick
-    # over a REAL parsed tree; d5_ancombc = the alternating estimator that
-    # runs verbatim inside the gated d5_ancombc_em before its E-M refinement
-    "d5_ancombc",
-    # ann_ivf_topk's broadcast-centroid bucket search is evidenced by the
-    # gated dedup_embedding_ivf (learned k-means buckets, same assignment
-    # plan); its slot goes to the new PQ-ADC searcher
-    "ann_ivf_topk",
-    # ---- round-5 rotation (per round-4 advice: gate slots ROTATE so every
-    # operator eventually gets external verification).  IN this round: the
-    # genuinely novel-shape round-4 ops asof_join_attribution,
-    # ann_ivf_pq_topk, dedup_lsh_verified, plus the four new round-5 ops
-    # (sketch_cms_heavy, text_tfidf_topk, decon_ngram_overlap,
-    # w5_range_join_bucketed).  OUT: seven entries driver-green in every
-    # round r01-r04 whose physical shapes keep gated twins:
-    "a7_dup_in_group",  # groupBy-count-filter: a5/a13's gated shape
-    "a8_column_profile",  # global min/max/count agg: d3/f6's gated shape
-    "p5_nullsafe_lookup",  # null-safe point filter: p3's gated filter shape
-    "j4_meta_view_left_join",  # polymorphic left join: j3's gated dim-join chain
-    "j6_dedup_or_insert",  # left-anti + MAX-key union: j9's gated anti-join twin
-    "a14_union_merge",  # union + distinct: j3/a13's gated shapes
-    "f1_structured_parse",  # regex parse projection: text_quality's gated regex shape
-    # probe-restricted band join: dedup_simhash's gated banding shape (its
-    # slot funds the new portable-HLL sketch)
-    "dedup_simhash_incremental",
-    # binary-metadata profile agg: multimodal_feature_extract keeps the gated
-    # mapInPandas/Arrow evidence (its slot funds the containment dedup)
-    "multimodal_meta_profile",
-    # agg + semi-join keep-list: q_meta_cohort's gated filter/groupBy shape
-    # (its slot funds the funnel-conversion operator)
-    "p9_min_frequency_filter",
-    # majority-vote global agg: d3_anova_f's gated exact-moment agg shape
-    # (its slot funds the transition-matrix operator)
-    "f6_type_inference",
-    # ---- round-5 session-2 rotation.  IN: the six new operators
-    # (w8_retention_cohorts, dedup_span_exact, simjoin_prefix_jaccard,
-    # sketch_kmv_setops, decon_bloom_filter, chunk_documents).  OUT: six
-    # entries driver-green in every round r01-r04 whose shapes keep gated
-    # twins or strict supersets:
-    "dedup_exact_hash",  # md5 groupBy: dedup_span_exact gates the same hashing at span granularity
-    "dedup_embedding_cosine",  # blocked cosine pairs: dedup_embedding_ivf/ann_cosine_topk gated
-    "text_token_stats",  # narrow tokenize+agg: text_quality_score/chunk_documents gated
-    "sketch_kmv_distinct",  # bottom-k estimator: sketch_kmv_setops is its strict superset
-    "sample_hash_split",  # md5-bucket narrow map: sample_stratified_exact/pack_sequences gated
-    # lag + running-sum session window (driver-green r01-r04): the gated
-    # event family (w5-w8, asof) keeps every windowed-event shape; its
-    # slot funds the novelty-curve operator
-    "w4_sessionization",
-    # per-doc quality signals (driver-green r01-r04): the gated
-    # pipeline_curation_funnel recomputes the same signals as its stage-2
-    # filter (strict superset); its slot funds that funnel
-    "text_quality_score",
-    # per-sample entropy agg (driver-green r01-r04): the gated
-    # exact-moment agg family (d3/d5/d6) and d1_faith_pd_newick keep the
-    # D1 evidence; its slot funds the PII scrub
-    "d1_shannon_diversity",
-    # presence/absence specialization of the gated
-    # d2_unifrac_weighted_newick (same branch-inverted-index pair shape;
-    # driver-green r03-r04); its slot funds the RANGE-frame window
-    # blocked self-join + partitioned rank (driver-green r02-r04): the
-    # gated ANN family keeps the blocked search shapes and
-    # sample_stratified_exact the partitioned rank; its slot funds the
-    # session-stats composition
-    "knn_join",
-    # √n-quota md5-range selection (driver-green r04): the gated
-    # sample_stratified_exact keeps the allocation + md5-range shape;
-    # its slot funds the χ² independence test
-    "sample_mixture_weighted",
-    # two-level n-gram aggregation (driver-green r04): the gated
-    # text_tfidf_topk keeps the n-gram agg + per-doc rank shape; its
-    # slot funds the Mantel matrix correlation
-    "text_repetition_signals",
-    # 64-stream budgeted packing windows (driver-green r04): the gated
-    # sample_stratified_exact keeps the partitioned-window selection
-    # shape; its slot funds the TWAP operator
-    "pack_sequences",
-    # per-cluster argmax struct agg (driver-green r03-r04): the gated
-    # q_meta_cohort keeps the fused partial-agg argmax shape; its slot
-    # funds the interval-overlap join
-    "dedup_keep_best",
-    # regex parse + groupBy profile (driver-green r01-r04 as f1's
-    # structured-parse twin): the gated f23_json_props_rollup carries the
-    # schema-on-read parse shape forward; a5/a8 keep the profile aggs
-    "a5_rare_category_profile",
-    # (text_langid_heuristic, whose slot funded the declared-values PIVOT
-    # in round 5, is already listed in the round-4 block above)
-    # bounded BNLJ query-vector search (driver-green r01-r04): the gated
-    # ann_pq_adc/ivf_pq keep the top-k search shapes; its slot funds the
-    # forward-fill window
-    "ann_cosine_topk",
-    # int8 quantization narrow map (driver-green r04 after its round-3
-    # stringification fix): embed/PQ gated twins keep the vector-math
-    # evidence; its slot funds the frame-hash video dedup
-    "embed_quantize_int8",
-    # partitioned child-ordinal row_number (driver-green r01-r04, still
-    # benched in the headline): sample_stratified_exact keeps the
-    # partitioned-window shape; its slot funds the cluster-stats report
-    "w1_child_ordinal_ids",
-    # stack-generator melt (driver-green r01-r04, still benched): the
-    # gated r6 pivot is its declared inverse and a12/w6 keep the stack
-    # shape; its slot funds the session-funnel composition
-    "r1_unpivot_melt",
-    # ---- round-6 rotation.  IN: the six entries that had NEVER held a
-    # gate slot across rounds 1-5 (pipeline_curation_funnel,
-    # a18_quantile_profile, text_vocab_topk, a19_rollup_daily,
-    # a20_corr_profile, sketch_hll_distinct — each local-sweep-exact every
-    # round, but the stated bar is a driver-green row per operator) plus
-    # the new d2_unifrac_unweighted_newick (unweighted UniFrac over the
-    # REAL parsed tree, the round-5 verdict's missing D2 half).  OUT:
-    # seven entries driver-green in r05 (most also r01-r04) whose
-    # physical shapes keep gated twins:
-    "d8_chisq_independence",  # exact-moment contingency agg: d3_anova_f's gated shape
-    # one-way F via exact moments (driver-green r01-r05): the new gated
-    # d4_permanova carries the full F-statistic + permutation surface
-    # (pseudo-F is the distance-space generalization); d5/d6 keep the
-    # exact-moment agg family gated.  Its slot funds d4_permanova.
-    "d3_anova_f",
-    # Allen interval-overlap join (driver-green r05): the gated
-    # w5_range_join_bucketed keeps the bucket-explode range-join shape.
-    # Its slot funds d10_anosim (the anosim p-method of the same
-    # beta-group-significance surface d4_permanova gates).
-    "w12_interval_overlap",
-    # segment-weighted lag window TWAP (driver-green r05): the gated
-    # w10_session_stats/w13_forward_fill keep every lag/running-window
-    # shape.  Its slot funds d11_alpha_group_significance (the
-    # alpha-group-significance qiime surface, smk:88).
-    "w11_time_weighted_avg",
-    # within-session ordered funnel (driver-green r05): the gated
-    # w6_funnel_conversion + w10_session_stats keep the ordered-match and
-    # session-window shapes.  Its slot funds d4_permanova_pairwise (the
-    # --p-pairwise half of the beta-group-significance surface, smk:101).
-    "w14_session_funnel",
-    # last-touch as-of join (driver-green r04-r05): the gated
-    # w5_range_join_bucketed keeps the bucketed range-join family.  Its
-    # slot funds a21_taxa_barplot (taxa barplot's relative-abundance
-    # layer, taxonomy.smk:86-97).
-    "asof_join_attribution",
-    # session gap/duration stats (driver-green r05): the gated
-    # w13_forward_fill + w6_funnel_conversion keep the lag/session-window
-    # family.  Its slot funds text_lm_score (the unigram-LM perplexity-
-    # proxy curation filter).
-    "w10_session_stats",
-    # grouped HLL registers (driver-green r05): sketch_hll_distinct — the
-    # same register/estimator arithmetic ungrouped — is gated THIS round,
-    # so the register evidence stays external.  Its slot funds
-    # d2_pcoa_power (the in-plan power-iteration ordination).
-    "sketch_hll_by_group",
-    "w9_rolling_window_range",  # RANGE frame: w13_forward_fill/w10 keep the gated window family
-    "dedup_simhash",  # banded hot-bucket join: simjoin_prefix_jaccard + dedup_lsh_verified gated
-    "dedup_minhash_lsh",  # K-M band buckets: dedup_lsh_verified is its verified superset (still benched)
-    "d6_kruskal_wallis",  # rank machinery runs verbatim inside the gated d6_lefse_lda
-    "j9_symmetric_anti_join",  # full-outer null-filter: decon_bloom/decon_ngram keep gated anti shapes
-    "w7_transition_matrix",  # lag-pair count matrix: w14_session_funnel/w6 keep the gated lag shapes
-    # PQ asymmetric-distance top-k (driver-green r05): the gated
-    # ann_ivf_pq_topk runs the identical codebook/ADC machinery behind an
-    # IVF route.  Its slot funds sample_dsir_importance (DSIR hashed-n-gram
-    # importance resampling, Xie et al. 2023).
-    "ann_pq_adc_topk",
-    # first-occurrence novelty curve (driver-green r05): the gated
-    # text_tfidf_topk + text_lm_score keep the broadcast-token-stat
-    # family.  Its slot funds text_nb_classifier (NB train+apply — the
-    # classify-sklearn engine twin).
-    "text_novelty_ratio",
-    # asymmetric containment dedup (driver-green r05): the gated
-    # simjoin_prefix_jaccard + decon_ngram_overlap keep the
-    # inverted-index pair-generation family.  Its slot funds
-    # dedup_semdedup (SemDeDup cluster-prefix pruning).
-    # multimodal metadata/feature extraction (driver-green r05): the gated
-    # multimodal_frame_dedup keeps the Arrow-batched mapInPandas shape.
-    # Its slot funds d12_feature_table_summarize (qiime feature-table
-    # summarize, process_sequencing_data.smk).
-    "multimodal_feature_extract",
-    # event pivot (driver-green r05): pivot = groupBy + conditional agg —
-    # a13_hierarchical_collapse and a19_rollup_daily keep that family
-    # gated.  Its slot funds text_bm25_topk (BM25 retrieval scoring).
-    "r6_pivot_events",
-    # CC savings report (driver-green r05): dedup_cluster_components keeps
-    # the full CC fixpoint gated; the stats layer is one agg on top.  Its
-    # slot funds a22_mad_outliers (robust MAD outlier rule).
-    "dedup_cluster_stats",
-    # learned-IVF near-dup pairs (driver-green r05): the gated
-    # dedup_semdedup runs the identical kmeans blocking + bucket-local
-    # pair join and adds the prune layer on top.  Its slot funds
-    # sample_kcenter_coreset (greedy exact-decimal k-center).
-    "dedup_embedding_ivf",
-    # sliding-window chunking (driver-green r05): a pure narrow map whose
-    # windowed-slice explode shape stays gated via dedup_span_exact.  Its
-    # slot funds pipeline_selection_funnel (the composed selection side).
-    "chunk_documents",
-    # n-gram eval-leak decontamination (driver-green r05): decon_bloom_filter
-    # keeps the gated decontamination family; text_tfidf_topk keeps the
-    # broadcast-token-stat shape.  Its slot funds
-    # a23_source_mixture_profile (mixture concentration diagnostics).
-    "decon_ngram_overlap",
-    # LSH-candidates-then-exact-verify (driver-green r05): the gated
-    # simjoin_prefix_jaccard keeps the exact-verify join and
-    # dedup_minhash_lsh (benched) the banding.  Its slot funds
-    # d13_procrustes (ordination comparison, closed-form 2x2 SVD).
+    # ---- round-11 rotation (round-10 verdict #1: rotate the stale-
+    # evidence cohort into the head OLDEST-FIRST).  The head is rebuilt
+    # from tools/gate_freshness.py: IN are the full r03 cohort (4), the
+    # full r04 cohort (30), the 9 oldest r05 entries, the new
+    # text_html_extract, and the 6 entries whose PLANS changed this
+    # round and therefore re-gate (s13_demux_validate broadcast-join
+    # rework; sample_domain_cap / dedup_url_canonical /
+    # pipeline_curation_funnel on the full 9,506-rule PSL;
+    # d18_kaplan_meier / d20_nelson_aalen on the single-pass fold).
+    # OUT is everything else: every name below is oracle-exact in the
+    # round-10 independent 190/190 sweep at sf0.01 and re-swept at
+    # sf0.001 on every suite run (tests/test_operators_oracle.py), and
+    # each physical shape keeps a gated twin in the new head (the
+    # rotation sections of rounds 3-10 recorded the per-entry twins;
+    # see git history of this file for that narrative).  Grouped by
+    # latest driver-green round so the NEXT rotation reads off the top:
+    # -- latest driver evidence r05 (15 entries)
     "dedup_lsh_verified",
-    # PII detect-and-redact (driver-green r05): a pure narrow regex map —
-    # text_quality_score (benched) keeps the narrow text-map family and
-    # text_bm25/nb/tfidf/lm keep text gated.  Its slot funds
-    # d14_alpha_correlation (the alpha-correlation qiime surface).
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "j9_symmetric_anti_join",
+    "multimodal_feature_extract",
+    "r6_pivot_events",
+    "sketch_hll_by_group",
+    "text_novelty_ratio",
     "text_pii_scrub",
-    # ---- round-7 rotation (per the round-6 verdict's #1 ask): the 20
-    # entries that landed after the round-6 gate freeze — all sweep- and
-    # pytest-verified but NEVER driver-gated — rotate INTO the head
-    # (text_gopher_quality, sketch_hist_quantile, a24_skew_profile,
-    # sketch_kmv_overlap_matrix, sample_epoch_shuffle, ann_srp_lsh_topk,
-    # embed_random_projection, dedup_span_topk, text_ccnet_buckets,
-    # text_bpe_train/token_count/vocab, dedup_substring_islands,
-    # w15_seasonal_anomaly, dedup_lsh_tuning_curve, decon_fuzzy_minhash,
-    # dedup_exact_normalized, text_vocab_kl_drift, a25_rollup_cube, and
-    # §2's d15_chao1_coverage), plus the new composed
-    # pipeline_export_funnel.  OUT: 21 entries driver-green in r06 (most
-    # also earlier rounds) whose physical shapes keep gated twins:
-    "a18_quantile_profile",  # exact-CDF cutoffs: sketch_hist_quantile gates the same CDF walk
-    "a19_rollup_daily",  # day rollup: a25_rollup_cube gates its ROLLUP superset
-    "a20_corr_profile",  # exact-moment correlation: d14_alpha_correlation stays gated
-    "f23_json_props_rollup",  # schema-on-read parse + rollup: a25 gates rollup; f1/golden keep parse in pytest
-    "w13_forward_fill",  # last-value window: w15_seasonal_anomaly gates the windowed-event family; w5/w6 stay
-    "w8_retention_cohorts",  # cohort windows: w6_funnel_conversion stays gated
-    "d5_ancombc_em",  # alternating estimator: d4_permanova keeps the exact-moment iterative family gated
-    "d6_lefse_lda",  # rank + LDA moments: d10_anosim's distributed mid-ranks stay gated
-    "d1_faith_pd_newick",  # Newick branch walk: d15_chao1_coverage gates D1 alpha; d2_unifrac_unweighted_newick keeps the parsed tree
-    "d11_alpha_group_significance",  # alpha KW: d10_anosim keeps the rank-stat family gated
-    "dedup_span_exact",  # span md5 groupBy: dedup_span_topk + dedup_substring_islands gate its supersets
-    "decon_bloom_filter",  # broadcast-structure probe: decon_fuzzy_minhash gates the decontamination family
-    "ann_ivf_pq_topk",  # codebook bucket search: ann_srp_lsh_topk gates the ANN banding family
-    "text_lm_score",  # unigram LM train+apply: text_ccnet_buckets gates its strict superset
-    "text_vocab_topk",  # term/doc-frequency agg: text_bpe_vocab + text_vocab_kl_drift gate the vocab family
-    "text_tfidf_topk",  # broadcast token stats: text_bpe_token_count gates the vocab-join apply shape
-    "sample_stratified_exact",  # largest-remainder + md5-range: sample_epoch_shuffle gates the deterministic-selection family
-    "sketch_kmv_setops",  # bottom-k set algebra: sketch_kmv_overlap_matrix gates its strict superset
-    "sketch_hll_distinct",  # register estimator: sketch_hist_quantile + kmv_overlap keep sketches gated
-    "sketch_cms_heavy",  # hashed-counter sketch: same family as above; driver-green r05+r06
-    # ---- round-7 session-2 rotation: every operator built THIS round
-    # (text_bigram_lm_score, decon_embedding_cosine,
-    # pipeline_decontam_report, text_gopher_full, d16_permdisp,
-    # text_length_ks_drift, sample_quality_quota, p11_k_anonymity,
-    # d17_pielou_evenness, pipeline_core_metrics, d2_jaccard_beta — each
-    # verified oracle-exact at sf0.01, most also at sf0.1, all layout-
-    # independence-tested) takes a gate slot immediately so no entry is
-    # ever a round behind on driver evidence.  OUT: eleven entries
-    # driver-green in r06 whose physical shapes keep gated twins:
-    "a21_taxa_barplot",  # relative-abundance layer: a13's gated collapse family
-    "a22_mad_outliers",  # two-level CDF medians: sketch_hist_quantile gates the CDF walk
-    "d12_feature_table_summarize",  # dual-axis CDF quantiles: same gated family
-    "w6_funnel_conversion",  # ordered funnel: w5_range_join_bucketed keeps the event family
-    "text_bm25_topk",  # broadcast IDF scoring: the BPE/vocab text family is heavily gated
-    "d14_alpha_correlation",  # mid-rank Spearman + perm p: d16_permdisp gates the perm family
-    "d4_permanova_pairwise",  # per-pair PERMANOVA: d4_permanova stays gated
-    "d10_anosim",  # rank-R perm test: d4_permanova + d16_permdisp keep the surface
-    "sample_kcenter_coreset",  # bounded greedy argmax: sample_dsir keeps selection gated
-    "a23_source_mixture_profile",  # k-row concentration folds: a25/sketches keep agg family
-    # ---- round-7 session-3 rotation: the final two new shapes
-    # (w16_sliding_distinct_hll — windowed sketch merging;
-    # decon_span_islands — span-level leak redaction) take slots
-    # immediately, displacing two entries driver-green in EVERY round
-    # r01–r06 whose shapes keep gated twins:
-    "f19_weight_cascade",  # running-window cascade: w5/w13-family twins stay via the event ops
-    "a13_hierarchical_collapse",  # prefix-collapse groupBy: a25_rollup_cube gates the rollup family
-    # ---- round-8 rotation.  IN: the only three of 169 entries that had
-    # never held a gate slot (pipeline_dedup_funnel, w17_markov_absorption,
-    # w18_markov_removal — each landed after the session-3 rotation;
-    # sweep- and pytest-verified every session since).  OUT: three entries
-    # driver-green in r07 whose exact expressions stay gated elsewhere:
-    # chao1/coverage and pielou are recomputed VERBATIM inside the gated
-    # pipeline_core_metrics alpha bundle, and bpe_vocab is a projection of
-    # the gated text_bpe_train merge table:
+    "w10_session_stats",
+    "w11_time_weighted_avg",
+    "w12_interval_overlap",
+    "w14_session_funnel",
+    "w7_transition_matrix",
+    "w9_rolling_window_range",
+    # -- latest driver evidence r06 (32 entries)
+    "a13_hierarchical_collapse",
+    "a18_quantile_profile",
+    "a19_rollup_daily",
+    "a20_corr_profile",
+    "a21_taxa_barplot",
+    "a22_mad_outliers",
+    "a23_source_mixture_profile",
+    "ann_ivf_pq_topk",
+    "d10_anosim",
+    "d11_alpha_group_significance",
+    "d12_feature_table_summarize",
+    "d14_alpha_correlation",
+    "d1_faith_pd_newick",
+    "d4_permanova_pairwise",
+    "d5_ancombc_em",
+    "d6_lefse_lda",
+    "decon_bloom_filter",
+    "dedup_span_exact",
+    "f19_weight_cascade",
+    "f23_json_props_rollup",
+    "sample_kcenter_coreset",
+    "sample_stratified_exact",
+    "sketch_cms_heavy",
+    "sketch_hll_distinct",
+    "sketch_kmv_setops",
+    "text_bm25_topk",
+    "text_lm_score",
+    "text_tfidf_topk",
+    "text_vocab_topk",
+    "w13_forward_fill",
+    "w6_funnel_conversion",
+    "w8_retention_cohorts",
+    # -- latest driver evidence r07 (8 entries)
+    "a24_skew_profile",
     "d15_chao1_coverage",
     "d17_pielou_evenness",
-    "text_bpe_vocab",
-    # displaced by the new pipeline_diff_abundance composition (driver-r07
-    # green; the BPE merge fold stays gated via text_bpe_train, and the
-    # apply-side subword encoding runs verbatim inside the gated
-    # pipeline_export_funnel's tokenize stage):
-    "text_bpe_token_count",
-    # displaced by the two new round-8 ops (dedup_cross_source_matrix,
-    # sample_epoch_plan) so text_bpe_train keeps its slot: both funnels
-    # are driver-r07 green and every stage they compose stays gated as a
-    # single (quality/gopher/DSIR signals; the decontam and export
-    # funnels keep the composition shape gated):
-    # displaced by the new pipeline_mixture_plan composition so
-    # text_bpe_train keeps its slot: driver-green since r1 and a STRICT
-    # SUBSET of the gated text_gopher_full (which recomputes the shape
-    # half verbatim before AND-ing the repetition half):
-    "text_gopher_quality",
-    # displaced by the new w19_position_attribution so text_bpe_train
-    # keeps its slot: driver-r07 green; its count-of-counts CDF walk
-    # stays gated via sketch_hist_quantile and the event family keeps
-    # w5/w15/w16-19 gated:
-    "a24_skew_profile",
-    # displaced by the new w20_time_decay_attribution: driver-r07 green;
-    # the bounded-grid drift shape stays gated via text_length_ks_drift
-    # (the same capped-class CDF family):
-    "text_vocab_kl_drift",
-    # displaced by the new sample_cluster_split: driver-r07 green; the
-    # fixed-order projection dot folds stay gated via ann_srp_lsh_topk
-    # (SRP is the sign of the same random projection):
     "embed_random_projection",
-    # ---- round-9 rotation (per the round-8 verdict's #3 ask: driver-gate
-    # freshness is rotation-bound — rotate oldest-first).  IN this round:
-    # (a) the three NEW round-9 ops (dedup_url_canonical,
-    # sample_domain_cap, d1_rarefaction_det) gate immediately; (b) every
-    # entry whose PLAN changed this round re-gates (the cache ->
-    # localCheckpoint conversions, the shared bray_curtis_pairs kernel,
-    # the url_dedup funnel stage, the dsir_scores checkpoint):
-    # pipeline_curation_funnel, pipeline_selection_funnel, d2_bray_curtis,
-    # dedup_ngram_jaccard, dedup_containment, d2_unifrac_weighted,
-    # d2_unifrac_unweighted, d2_unifrac_weighted_newick,
-    # text_nb_classifier; (c) the 20 entries whose ONLY driver rows date
-    # from rounds 1-4 (s7, a2, a4, a6, a9-a12, a15-a17, w2, p8, f9, f10,
-    # f16, j2, j7, sample_balanced_topk, text_fingerprint_bag,
-    # a10_grouped_mean_of_means) return for fresh evidence.  OUT: 32
-    # entries driver-green in CORRECTNESS_r08 whose physical shapes keep
-    # gated twins (the freshest evidence yields first — every one below
-    # has a green r8 row and an oracle-exact sweep this session):
-    "p3_rls_filter",  # RLS filter: p8_two_class_filter re-gated keeps the filter shape
-    "w19_position_attribution",  # journey micro-units: w20 (changed: clamp) stays gated
-    "w17_markov_absorption",  # dense one-row folds: w18's twin machinery displaced with it
-    "w18_markov_removal",  # the K+1-fold removal variant of w17
-    "p11_k_anonymity",  # two-level agg: a2/a4 re-gated keep the grouped-count family
-    "w5_range_join_bucketed",  # bucketed range join: the event family keeps many gated rows
-    "a25_rollup_cube",  # Expand + partial agg: a17_stats_counters re-gated keeps counters
-    "w15_seasonal_anomaly",  # 3-sigma micro-moments: a6_zscore re-gated keeps the z family
-    "d2_pcoa_power",  # in-plan power iteration: d13_procrustes (changed) stays gated
-    "d2_jaccard_beta",  # presence/absence pairs: d2_bray_curtis re-gates the kernel
-    "dedup_cross_source_matrix",  # shingle-vocab matrix: mixture plan (changed) stays gated
-    "dedup_exact_normalized",  # normalized md5 keeper: the funnel re-gates both keeper stages
-    "decon_fuzzy_minhash",  # banded decon: decon modalities keep pytest + sweep evidence
-    "dedup_lsh_tuning_curve",  # S-curve advisor over the jaccard histogram: ngram_jaccard re-gated
-    "decon_span_islands",  # island redaction: dedup_substring_islands' machinery, swept
-    "dedup_substring_islands",  # stride-1 islands: span family swept + pytest-covered
-    "dedup_span_topk",  # span diagnostics: same uniform-hash shuffle family
-    "dedup_semdedup",  # kmeans prefix prune: ann family keeps bucket-local search gated
-    "decon_embedding_cosine",  # broadcast bench embeddings: decon report swept
-    "ann_srp_lsh_topk",  # SRP banding: recall floors pytest-measured every run
-    "text_bigram_lm_score",  # bounded bigram grid: text_nb_classifier re-gated keeps LM apply
-    "text_length_ks_drift",  # histogram-CDF KS: bounded-grid family swept
-    "text_gopher_full",  # shape AND repetition: both halves swept + pytest golden
-    "text_ccnet_buckets",  # perplexity terciles: text_nb_classifier re-gated keeps train+apply
-    "multimodal_frame_dedup",  # Arrow mapInPandas: multimodal pytest suite keeps the seam
-    "d16_permdisp",  # dispersion ANOVA: d4_permanova keeps the permutation family gated
-    "sample_epoch_plan",  # quota+md5 remainder: d1_rarefaction_det gates the SAME allocation
-    "sample_epoch_shuffle",  # (epoch,shard) shuffle: export funnel keeps the shard stage gated
-    "sample_quality_quota",  # histogram-threshold best-k: hist_quantile's CDF walk stays gated
-    "sketch_kmv_overlap_matrix",  # bottom-k matrix: sketch family swept; hist_quantile stays
-    "w16_sliding_distinct_hll",  # register-MAX merging: sketch family swept + streaming pytest
-    "pipeline_decontam_report",  # defense-in-depth verdict: every modality swept individually
-    # ---- round-9 session-2: the new web_host_pagerank gates immediately
-    # (novel shape: integer micro-unit rank iterations on the bounded
-    # host quotient graph).  OUT: the synthetic-tree unweighted UniFrac —
-    # it re-entered the head only because the shared branch-pair kernel
-    # changed this round, and BOTH Newick variants (weighted +
-    # unweighted) re-gate that exact kernel over a REAL parsed tree:
-    "d2_unifrac_unweighted",
-    # ---- round-10 rotation (per the round-9 verdict's #1 ask): the
-    # ONLY four entries that had never held a driver-gate slot —
-    # web_host_harmonic, d18_kaplan_meier, d19_logrank_test,
-    # d20_nelson_aalen — leave the tail and gate this round (d18/d20
-    # additionally re-gate their NEW linear blocked prefix fold, and
-    # the whole web family re-gates its NEW real-PSL domain walk +
-    # 4-way suffix workload).  OUT: four entries driver-green in r09
-    # whose physical shapes keep gated twins:
-    "a6_zscore_outliers",  # exact-moment z rule: a11_grouped_mean_sem re-gated keeps the moment family
-    "a9_distinct_runs",  # lag-change running id: the gated event/window family (w20, a12) keeps lag shapes
-    "f16_levenshtein_match",  # pairwise edit distance: the NEW s13_demux_validate gates levenshtein per-read
-    "text_fingerprint_bag",  # rolling-hash bag: dedup_ngram_jaccard (r9-green) gates the same shingle hashing
-    # ---- round-10 session-2: the new s13_demux_validate (the reference's
-    # demux-QC half, util.py:1126-1400) gates immediately; its slot comes
-    # from f9_date_range_check (driver-r9 green; the range-predicate scan
-    # shape is kept gated by p8_two_class_filter + f10_alphabet_check,
-    # both r10-head entries):
-    "f9_date_range_check",
-    # the new web_host_harmonic_hll (HyperBall sketch ranking — the scale
-    # path named by the round-10 host-vocabulary probe) also gates
-    # immediately; its slot comes from a16_ordered_distinct (driver-r9
-    # green; DISTINCT stays gated via j3_wide_denorm_distinct and the
-    # ordering window via w2_uniquify_rows, both r10-head entries):
-    "a16_ordered_distinct",
-    # the new dedup_paragraphs_ccnet (CCNet normalized-hash keep-first
-    # paragraph dedup + reassembly) gates immediately; its slot comes
-    # from a15_pairwise_splits (driver-r9 green; the split-planning
-    # machinery runs verbatim inside pipeline_diff_abundance, an
-    # r10-head entry):
-    "a15_pairwise_splits",
-    # the new text_badwords_filter (C4 blocklist stage) gates
-    # immediately; its slot comes from a17_stats_counters (driver-r9
-    # green; the grouped-counter agg family stays gated via
-    # a2_count_per_parent + a4_group_collect, both r10-head entries):
-    "a17_stats_counters",
-    # the new web_host_degree_profile (bowtie degree diagnostics over
-    # the shared host_edges checkpoint) gates immediately; its slot
-    # comes from a12_stepwise_retention (driver-r9 green; the stepwise
-    # event-decomposition shape stays gated via the head's event family,
-    # w20_time_decay_attribution + the survival trio):
+    "text_bpe_token_count",
+    "text_bpe_vocab",
+    "text_gopher_quality",
+    "text_vocab_kl_drift",
+    # -- latest driver evidence r08 (32 entries)
+    "a25_rollup_cube",
+    "ann_srp_lsh_topk",
+    "d16_permdisp",
+    "d2_jaccard_beta",
+    "d2_pcoa_power",
+    "decon_embedding_cosine",
+    "decon_fuzzy_minhash",
+    "decon_span_islands",
+    "dedup_cross_source_matrix",
+    "dedup_exact_normalized",
+    "dedup_lsh_tuning_curve",
+    "dedup_semdedup",
+    "dedup_span_topk",
+    "dedup_substring_islands",
+    "multimodal_frame_dedup",
+    "p11_k_anonymity",
+    "p3_rls_filter",
+    "pipeline_decontam_report",
+    "sample_epoch_plan",
+    "sample_epoch_shuffle",
+    "sample_quality_quota",
+    "sketch_kmv_overlap_matrix",
+    "text_bigram_lm_score",
+    "text_ccnet_buckets",
+    "text_gopher_full",
+    "text_length_ks_drift",
+    "w15_seasonal_anomaly",
+    "w16_sliding_distinct_hll",
+    "w17_markov_absorption",
+    "w18_markov_removal",
+    "w19_position_attribution",
+    "w5_range_join_bucketed",
+    # -- latest driver evidence r09 (10 entries)
     "a12_stepwise_retention",
-    # the new pipeline_web_report (composed crawl-graph report — four
-    # consumers of one edges checkpoint) gates immediately; its slot
-    # comes from w2_uniquify_rows (driver-r9 green; the partitioned
-    # row_number shape stays gated via sample_domain_cap's rank window,
-    # an r10-head entry):
+    "a15_pairwise_splits",
+    "a16_ordered_distinct",
+    "a17_stats_counters",
+    "a6_zscore_outliers",
+    "a9_distinct_runs",
+    "f16_levenshtein_match",
+    "f9_date_range_check",
+    "text_fingerprint_bag",
     "w2_uniquify_rows",
+    # -- latest driver evidence r10 (44 entries)
+    "a10_grouped_mean_of_means",
+    "a11_grouped_mean_sem",
+    "a2_count_per_parent",
+    "a4_group_collect",
+    "d13_procrustes",
+    "d19_logrank_test",
+    "d1_rarefaction_det",
+    "d2_bray_curtis",
+    "d2_unifrac_unweighted_newick",
+    "d2_unifrac_weighted",
+    "d2_unifrac_weighted_newick",
+    "d4_permanova",
+    "d9_mantel_test",
+    "dedup_cluster_components",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs_ccnet",
+    "f10_alphabet_check",
+    "j2_snowflake_join",
+    "j3_wide_denorm_distinct",
+    "j7_semi_join_probe",
+    "p8_two_class_filter",
+    "pipeline_core_metrics",
+    "pipeline_dedup_funnel",
+    "pipeline_diff_abundance",
+    "pipeline_export_funnel",
+    "pipeline_mixture_plan",
+    "pipeline_selection_funnel",
+    "pipeline_web_report",
+    "q_meta_cohort",
+    "s7_projection_pushdown",
+    "sample_balanced_topk",
+    "sample_cluster_split",
+    "sample_dsir_importance",
+    "simjoin_prefix_jaccard",
+    "sketch_hist_quantile",
+    "text_badwords_filter",
+    "text_bpe_train",
+    "text_nb_classifier",
+    "w20_time_decay_attribution",
+    "web_host_degree_profile",
+    "web_host_harmonic",
+    "web_host_harmonic_hll",
+    "web_host_pagerank",
 )
 
 
