@@ -9,7 +9,15 @@ repo root and prints, per entry, the latest round with a green row —
 flagging entries that have NEVER held a slot and the oldest-evidence
 cohort that should rotate next.
 
-Usage: python tools/gate_freshness.py [--limit N]
+Usage: python tools/gate_freshness.py [--limit N] [--enforce N]
+
+``--enforce N`` (round-10 verdict #6 — the CI floor, wired into
+tools/run_tests.sh with N=6): exit 1 if any entry's newest driver
+evidence is more than N rounds older than the repo's latest
+CORRECTNESS round AND the entry is not in the current gate head (a
+head entry refreshes at the driver's next run, so it satisfies the
+floor "at the next gate rotation opportunity").  Never-gated entries
+must likewise be in the head.
 """
 
 from __future__ import annotations
@@ -54,7 +62,37 @@ def freshness() -> dict[str, int | None]:
     return latest
 
 
+def enforce(max_age: int) -> int:
+    """CI floor: 0 when every entry is fresh enough or queued in the
+    head for the next driver run; 1 otherwise (offenders printed)."""
+    fresh = freshness()
+    head = {n for n in registry() if n not in _GATE_TAIL}
+    latest = max((r for r in fresh.values() if r is not None), default=0)
+    bad = sorted(
+        n
+        for n, r in fresh.items()
+        if n not in head and (r is None or latest - r > max_age)
+    )
+    if bad:
+        print(
+            f"gate-freshness floor VIOLATED (latest driver round r{latest:02d},"
+            f" max age {max_age}): {len(bad)} tail entries overdue —"
+            " rotate them into the head (operators/__init__.py _GATE_TAIL):"
+        )
+        for n in bad:
+            r = fresh[n]
+            print(f"  {'never' if r is None else f'r{r:02d}'}  {n}")
+        return 1
+    print(
+        f"gate-freshness floor ok (latest r{latest:02d}, max age {max_age},"
+        f" {len(head)} head slots)"
+    )
+    return 0
+
+
 def main() -> None:
+    if "--enforce" in sys.argv:
+        sys.exit(enforce(int(sys.argv[sys.argv.index("--enforce") + 1])))
     limit = 25
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])

@@ -39,7 +39,8 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_web_ops.py tests/test_kaplan_meier.py
          tests/test_advice_r10.py tests/test_demux_validate.py
          tests/test_pheniqs_config.py tests/test_ccnet_paragraphs.py
-         tests/test_badwords_filter.py)
+         tests/test_badwords_filter.py tests/test_advice_r11.py
+         tests/test_html_extract.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
@@ -93,4 +94,8 @@ done
 # registry provenance audit: every QuerySpec.doc must cite a resolvable
 # reference file:line or a public-work anchor (round-9 verdict #8)
 python tools/audit_registry_docs.py || rc=1
+
+# gate-freshness floor: no tail entry's newest driver evidence may be
+# more than 6 rounds old — rotate oldest-first (round-10 verdict #6)
+python tools/gate_freshness.py --enforce 6 || rc=1
 exit $rc
