@@ -2504,10 +2504,16 @@ def dedup_paragraphs_ccnet(
     keeper join back is an equi-join on the same key; the reassembly
     groupBy collects at most each document's own paragraphs.
     """
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    paras = d.select(
+    return ccnet_paras_report(ccnet_paras(_t(spark, sf, "documents"), k=k))
+
+
+def ccnet_paras(docs: DataFrame, *, k: int = _PARA_K) -> DataFrame:
+    """The (doc_id, pos, para, h) paragraph relation of a documents
+    feed — the narrow explode + normalized-hash half, shared by the
+    batch operator and the streaming membership store
+    (streaming/paragraphs.py)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return d.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -2516,6 +2522,13 @@ def dedup_paragraphs_ccnet(
             )
         ).alias("pos", "para"),
     ).withColumn("h", F.md5(F.expr(_para_norm("para", spark_side=True))))
+
+
+def ccnet_paras_report(paras: DataFrame) -> DataFrame:
+    """Keeper election + per-document reassembly over a paragraph
+    relation — the batch tail, run verbatim by the streaming twin's
+    read side (keep-first is a MIN monoid over (doc_id, pos), so
+    cross-batch distinct memberships fold exactly)."""
     keeper = paras.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
