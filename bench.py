@@ -155,6 +155,12 @@ HEAVY = [
     # composed crawl-graph report (four rankings off one edge checkpoint)
     "dedup_paragraphs_ccnet",
     "pipeline_web_report",
+    # round-11: HTML main-text extraction (the WARC front door) — a pure
+    # narrow map, tracked so the zero-exchange claim carries a measured
+    # time; and the full-PSL domain walk rides the existing
+    # sample_domain_cap anchor (fixed ~0.9 s parse cost documented in
+    # SCALE_NOTES round 11)
+    "text_html_extract",
 ]
 
 
