@@ -59,6 +59,13 @@ _GATE_TAIL: tuple[str, ...] = (
     # rotation sections of rounds 3-10 recorded the per-entry twins;
     # see git history of this file for that narrative).  Grouped by
     # latest driver-green round so the NEXT rotation reads off the top:
+    # -- round-11 session-2: the new text_c4_line_filter gates
+    # immediately; its slot comes from the NEWEST member of the r05 fill
+    # cohort (the oldest-first invariant is preserved) —
+    # dedup_embedding_ivf's learned-bucket cosine search keeps gated
+    # twins in the head via ann_cosine_topk (brute-force cosine) and
+    # ann_pq_adc_topk (codebook bucket search):
+    "dedup_embedding_ivf",
     # -- latest driver evidence r05 (15 entries)
     "dedup_lsh_verified",
     "dedup_minhash_lsh",

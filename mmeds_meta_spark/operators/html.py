@@ -91,6 +91,7 @@ def _d(spark_side: bool) -> dict[str, str]:
             "join": "coalesce(array_join({a}, {sep}), '')",
             "struct": "struct({fields})",
             "as": "{expr} AS {name}",
+            "find": "instr",
         }
     return {
         "let": "list_transform([{x}], {v} -> {body})[1]",
@@ -104,6 +105,7 @@ def _d(spark_side: bool) -> dict[str, str]:
         "join": "coalesce(array_to_string({a}, {sep}), '')",
         "struct": "struct_pack({fields})",
         "as": "{name} := {expr}",
+        "find": "strpos",
     }
 
 
@@ -268,6 +270,170 @@ FROM ex
 """
 
 
+# ---------------------------------------------------------------------------
+# C4 line-level cleanup (the post-extraction stage)
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 3  # C4: retain lines with >= 3 words
+C4_MIN_SENTENCES = 5  # C4: discard pages with < 5 sentences (kept lines)
+
+
+def c4_line_filter_expr(text: str, *, spark_side: bool) -> str:
+    """C4's line-level cleanup (Raffel et al. 2020 §2.2) as ONE struct
+    expression over newline-delimited ``text``:
+
+    * keep a line only if it ends in terminal punctuation (. ! ? \"),
+      has ≥ {C4_MIN_WORDS} words, and does not mention ``javascript``;
+    * page verdict: drop the whole page when it contains ``lorem
+      ipsum`` or a ``{{`` (code/template debris), or keeps fewer than
+      {C4_MIN_SENTENCES} lines (C4's sentence proxy: every kept line
+      ends in terminal punctuation).
+
+    Output struct: (n_lines, n_kept, page_keep, txt).  Same narrow
+    shape as :func:`html_extract_expr` — no UDF/shuffle/join.
+    """
+    d = _d(spark_side)
+    lines = d["split"].format(x=text)
+    # per line: trim + collapse, then the three keep rules over the
+    # LET-bound clean form (t = '' would make split count one token)
+    collapsed = d["rr"].format(x="l", p="  +", r="' '")
+    # splitting '' yields one empty token on BOTH engines — guard to 0
+    split_words = "split(t, ' ')" if spark_side else "string_split(t, ' ')"
+    words = (
+        "CASE WHEN t = '' THEN CAST(0 AS BIGINT)"
+        f" ELSE {d['size'].format(x=split_words)} END"
+    )
+    keep = (
+        f"right(t, 1) IN ('.', '!', '?', '\"')"
+        f" AND {words} >= {C4_MIN_WORDS}"
+        f" AND {d['find']}(lower(t), 'javascript') = 0"
+    )
+    per_line = d["let"].format(
+        x=f"trim({collapsed})",
+        v="t",
+        body=d["struct"].format(
+            fields=", ".join(
+                d["as"].format(expr=e, name=n)
+                for n, e in (("txt", "t"), ("k", f"CASE WHEN {keep} THEN 1 ELSE 0 END"))
+            )
+        ),
+    )
+    lstats = f"{d['transform']}({lines}, l -> {per_line})"
+    kept = f"{d['filter']}(ls, x -> x.k = 1)"
+    page_bad = (
+        f"{d['find']}(lower({text}), 'lorem ipsum') > 0"
+        f" OR {d['find']}({text}, chr(123)) > 0"
+    )
+    out_fields = ", ".join(
+        d["as"].format(expr=e, name=n)
+        for n, e in (
+            (
+                "n_lines",
+                d["size"].format(x="{f}(ls, x -> x.txt <> '')".format(f=d["filter"])),
+            ),
+            ("n_kept", d["size"].format(x="kp")),
+            (
+                "page_keep",
+                f"NOT ({page_bad})"
+                f" AND {d['size'].format(x='kp')} >= {C4_MIN_SENTENCES}",
+            ),
+            (
+                "txt",
+                d["join"].format(
+                    a=f"{d['transform']}(kp, x -> x.txt)", sep="chr(10)"
+                ),
+            ),
+        )
+    )
+    return d["let"].format(
+        x=lstats,
+        v="ls",
+        body=d["let"].format(
+            x=kept, v="kp", body=d["struct"].format(fields=out_fields)
+        ),
+    )
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append C4 cleanup columns (n_lines, n_kept, page_keep,
+    text_clean) to a relation with newline-delimited ``text_col``."""
+    s = c4_line_filter_expr(text_col, spark_side=True)
+    return (
+        df.select("*", F.explode(F.array(F.expr(s))).alias("__c"))
+        .select(
+            *df.columns,
+            F.col("__c.n_lines").alias("n_lines"),
+            F.col("__c.n_kept").alias("n_kept"),
+            F.col("__c.page_keep").alias("page_keep"),
+            F.col("__c.txt").alias("text_clean"),
+        )
+    )
+
+
+def _synth_lines_expr(*, spark_side: bool) -> str:
+    """Newline-delimited synthetic pages: 8-token lines whose suffix
+    cycles terminal/none/javascript/brace-free variants by (doc_id +
+    line), 'lorem ipsum' injected on doc_id % 17, a '{' line on
+    doc_id % 13 — every rule exercised on both keep and drop sides."""
+    d = _d(spark_side)
+    if spark_side:
+        tk = "split(text, ' ')"
+        line = (
+            "transform(sequence(0, size(tk) - 1, 8), s ->"
+            " concat(array_join(slice(tk, s + 1, 8), ' '),"
+            " CASE (doc_id + s) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'"
+            " WHEN 2 THEN '' ELSE ' with javascript enabled.' END))"
+        )
+        joined = "array_join(LINES, chr(10))"
+    else:
+        tk = "string_split(text, ' ')"
+        line = (
+            "list_transform(range(0, len(tk), 8), s ->"
+            " coalesce(array_to_string(list_slice(tk, s + 1, s + 8), ' '), '')"
+            " || CASE (doc_id + s) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'"
+            " WHEN 2 THEN '' ELSE ' with javascript enabled.' END)"
+        )
+        joined = "array_to_string(LINES, chr(10))"
+    page = (
+        joined.replace("LINES", "ln")
+        + " || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem ipsum dolor"
+        " sit amet consectetur adipiscing elit sed.' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+        " 'function() ' || chr(123) || ' return 1; ' || chr(125) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok.' ELSE '' END"
+    )
+    return d["let"].format(
+        x=tk, v="tk", body=d["let"].format(x=line, v="ln", body=page)
+    )
+
+
+def text_c4_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The gated entry: synthesize newline-delimited pages per document,
+    apply C4's line + page rules, report diagnostics + cleaned text."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_synth_lines_expr(spark_side=True)).alias("page")
+    )
+    return c4_line_filter(docs, "page").select(
+        "doc_id", "n_lines", "n_kept", "page_keep",
+        F.col("text_clean").alias("text"),
+    )
+
+
+def _c4_sql() -> str:
+    synth = _synth_lines_expr(spark_side=False)
+    fil = c4_line_filter_expr("page", spark_side=False)
+    return f"""
+WITH src AS (
+  SELECT doc_id, {synth} AS page FROM documents
+), ex AS (
+  SELECT doc_id, {fil} AS s FROM src
+)
+SELECT doc_id, s.n_lines AS n_lines, s.n_kept AS n_kept,
+       s.page_keep AS page_keep, s.txt AS "text"
+FROM ex
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_html_extract": QuerySpec(
         text_html_extract,
@@ -277,5 +443,14 @@ QUERIES: dict[str, QuerySpec] = {
         "Pomikálek 2011) — script/style/comment drop, block-boundary "
         "split, tag-strip + entity decode, min-length and link-density "
         "keep rule; ONE narrow expression per doc, no UDF/shuffle/join",
+    ),
+    "text_c4_line_filter": QuerySpec(
+        text_c4_line_filter,
+        _c4_sql(),
+        "beyond-reference: C4 line-level cleanup (Raffel et al. 2020 "
+        "§2.2) — terminal-punctuation / min-words / javascript line "
+        "rules + lorem-ipsum / brace / min-sentences page verdict; the "
+        "post-extraction stage, same narrow zero-shuffle shape as "
+        "text_html_extract",
     ),
 }

@@ -131,6 +131,74 @@ def test_gate_workload_is_narrow_and_deterministic(spark):
     assert any(r[2] > 0 for r in a)  # some docs keep blocks
 
 
+def test_c4_line_filter_rules(spark):
+    page = "\n".join(
+        [
+            "This sentence is long enough and ends with a period.",
+            "Short one.",  # < 3 words -> dropped
+            "no terminal punctuation so this line is dropped",
+            "Please enable JavaScript to continue reading this page.",
+            "Another perfectly ordinary sentence that should be kept!",
+            'He said "fine."',  # ends in quote -> kept
+            "",
+        ]
+    )
+    from mmeds_meta_spark.operators.html import c4_line_filter
+
+    df = spark.createDataFrame([("d0", page)], "uri string, text string")
+    row = c4_line_filter(df).collect()[0]
+    kept = row.text_clean.split("\n")
+    assert kept == [
+        "This sentence is long enough and ends with a period.",
+        "Another perfectly ordinary sentence that should be kept!",
+        'He said "fine."',
+    ]
+    assert row.n_lines == 6 and row.n_kept == 3
+    assert not row.page_keep  # 3 kept sentences < 5
+    # page poisons: lorem ipsum / brace
+    for poison in ("Lorem ipsum dolor sit amet.", "var f = function() {"):
+        p2 = page + "\n" + poison
+        r2 = c4_line_filter(
+            spark.createDataFrame([("d1", p2)], "uri string, text string")
+        ).collect()[0]
+        assert not r2.page_keep
+
+
+def test_c4_line_filter_cross_engine_parity(spark):
+    from mmeds_meta_spark.operators.html import c4_line_filter_expr
+
+    cases = [
+        "",
+        "One good sentence that is long enough to keep easily.",
+        "short.\nno punct\nJAVASCRIPT required here today ok.\nKeep me "
+        "because I am long and I end properly!",
+        "Lorem ipsum dolor.\n" + "Fine sentence number %d stays here.\n" * 6 % tuple(range(6)),
+        "{ template debris } plus a fine long closing sentence here.",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    s = df.select(
+        F.explode(F.array(F.expr(c4_line_filter_expr("text", spark_side=True))))
+        .alias("x")
+    ).select("x.n_lines", "x.n_kept", "x.page_keep", "x.txt").collect()
+    d = duckdb.sql(
+        "SELECT s.n_lines, s.n_kept, s.page_keep, s.txt FROM (SELECT "
+        + c4_line_filter_expr("text", spark_side=False)
+        + " AS s FROM (SELECT unnest(?) AS text))",
+        params=[cases],
+    ).fetchall()
+    assert [tuple(r) for r in s] == d
+
+
+def test_extract_then_c4_composes(spark):
+    # the crawl chain: html_extract's blank-line blocks feed c4 directly
+    from mmeds_meta_spark.operators.html import c4_line_filter
+
+    df = spark.createDataFrame([("d0", PAGE)], "uri string, html string")
+    out = c4_line_filter(html_extract(df), "text").collect()[0]
+    assert out.n_kept >= 1
+    assert "actual content" in out.text_clean
+
+
 def test_warc_to_extract_end_to_end(spark, tmp_path):
     d = tmp_path / "crawl2"
     d.mkdir()
