@@ -161,6 +161,7 @@ HEAVY = [
     # sample_domain_cap anchor (fixed ~0.9 s parse cost documented in
     # SCALE_NOTES round 11)
     "text_html_extract",
+    "text_c4_line_filter",
 ]
 
 
