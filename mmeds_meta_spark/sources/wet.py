@@ -32,7 +32,12 @@ import io
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 WET_SCHEMA = (
     "file string, record_id bigint, target_uri string, warc_date string, "
@@ -85,6 +90,38 @@ def iter_wet_records(fh) -> Iterator[dict]:
         yield {"headers": headers, "payload": payload}
 
 
+def _list_crawl_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".wet", ".wet.gz", ".warc", ".warc.gz"))
+        )
+    return [path]
+
+
+def wet_file_rows(path: str) -> Iterator[tuple]:
+    """WET_SCHEMA rows of one file — shared by the batch partitions
+    and the streaming micro-batch reader."""
+    rid = 0
+    with _open_stream(path) as fh:
+        for rec in iter_wet_records(fh):
+            h = rec["headers"]
+            if h.get("warc-type") != "conversion":
+                continue  # warcinfo / request / metadata records
+            text = rec["payload"].decode("utf-8", "replace")
+            yield (
+                path,
+                rid,
+                h.get("warc-target-uri"),
+                h.get("warc-date"),
+                len(rec["payload"]),
+                text,
+                len(text),
+            )
+            rid += 1
+
+
 class WetReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -92,36 +129,13 @@ class WetReader(DataSourceReader):
             raise ValueError("wet source requires a path")
 
     def partitions(self) -> Sequence[WetFilePartition]:
-        if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith((".wet", ".wet.gz", ".warc", ".warc.gz"))
-            )
-        else:
-            files = [self.path]
+        files = _list_crawl_files(self.path)
         if not files:
             raise ValueError(f"no .wet/.wet.gz files under {self.path}")
         return [WetFilePartition(f) for f in files]
 
     def read(self, partition: WetFilePartition) -> Iterator[tuple]:
-        rid = 0
-        with _open_stream(partition.path) as fh:
-            for rec in iter_wet_records(fh):
-                h = rec["headers"]
-                if h.get("warc-type") != "conversion":
-                    continue  # warcinfo / request / metadata records
-                text = rec["payload"].decode("utf-8", "replace")
-                yield (
-                    partition.path,
-                    rid,
-                    h.get("warc-target-uri"),
-                    h.get("warc-date"),
-                    len(rec["payload"]),
-                    text,
-                    len(text),
-                )
-                rid += 1
+        yield from wet_file_rows(partition.path)
 
 
 WARC_SCHEMA = (
@@ -154,6 +168,30 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def warc_file_rows(path: str) -> Iterator[tuple]:
+    """WARC_SCHEMA rows of one file — shared by the batch partitions
+    and the streaming micro-batch reader."""
+    rid = 0
+    with _open_stream(path) as fh:
+        for rec in iter_wet_records(fh):
+            h = rec["headers"]
+            if h.get("warc-type") != "response":
+                continue  # warcinfo / request / metadata / conversion
+            status, ctype, body = split_http_payload(rec["payload"])
+            yield (
+                path,
+                rid,
+                h.get("warc-target-uri"),
+                h.get("warc-date"),
+                status,
+                ctype,
+                len(rec["payload"]),
+                body.decode("utf-8", "replace"),
+                len(body),
+            )
+            rid += 1
+
+
 class WarcReader(WetReader):
     """WARC ``response`` records (the WET reader's parent format — raw
     crawl HTTP captures).  Same file-granular partitioning and framing
@@ -162,25 +200,50 @@ class WarcReader(WetReader):
     is the decoded entity body, ready for text_html_extract."""
 
     def read(self, partition: WetFilePartition) -> Iterator[tuple]:
-        rid = 0
-        with _open_stream(partition.path) as fh:
-            for rec in iter_wet_records(fh):
-                h = rec["headers"]
-                if h.get("warc-type") != "response":
-                    continue  # warcinfo / request / metadata / conversion
-                status, ctype, body = split_http_payload(rec["payload"])
-                yield (
-                    partition.path,
-                    rid,
-                    h.get("warc-target-uri"),
-                    h.get("warc-date"),
-                    status,
-                    ctype,
-                    len(rec["payload"]),
-                    body.decode("utf-8", "replace"),
-                    len(body),
-                )
-                rid += 1
+        yield from warc_file_rows(partition.path)
+
+
+class CrawlStreamReader(DataSourceStreamReader):
+    """Incremental crawl ingest: each micro-batch reads the dump files
+    that arrived since the last offset, one executor-side partition per
+    file (the same file-granular parallelism as the batch readers).
+
+    Offsets are a lexicographic FILENAME WATERMARK ``{"upto": name}`` —
+    a file is consumed when its path sorts ≤ the watermark.  The
+    contract this rides on: crawl segments are named monotonically
+    (Common Crawl's ``...-NNNNN.warc.gz`` numbering), so a new segment
+    always sorts after every consumed one.  The watermark (not a file
+    count) makes replay exact: ``partitions(start, end)`` re-lists the
+    directory and re-derives exactly the files in ``(start, end]``, so
+    a micro-batch replayed from the checkpoint re-reads precisely its
+    own files — no store-side dedup needed for exactly-once sinks.
+    """
+
+    def __init__(self, path: str, rows_fn):
+        if not path:
+            raise ValueError("streaming crawl source requires a path")
+        self.path = path
+        self._rows_fn = rows_fn
+
+    def _files(self) -> list[str]:
+        return _list_crawl_files(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"upto": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[WetFilePartition]:
+        lo, hi = start.get("upto", ""), end.get("upto", "")
+        return [WetFilePartition(f) for f in self._files() if lo < f <= hi]
+
+    def read(self, partition: WetFilePartition) -> Iterator[tuple]:
+        yield from self._rows_fn(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the directory is the log
 
 
 class WetDataSource(DataSource):
@@ -196,6 +259,9 @@ class WetDataSource(DataSource):
 
     def reader(self, schema) -> WetReader:
         return WetReader(self.options)
+
+    def streamReader(self, schema) -> CrawlStreamReader:
+        return CrawlStreamReader(self.options.get("path"), wet_file_rows)
 
 
 class WarcDataSource(DataSource):
@@ -213,6 +279,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> CrawlStreamReader:
+        return CrawlStreamReader(self.options.get("path"), warc_file_rows)
 
 
 def register_wet_source(spark) -> None:

@@ -58,7 +58,8 @@ SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # strea
          tests/test_markov_absorption.py tests/test_streaming_cross_source.py
          tests/test_rarefaction_det.py tests/test_streaming_url_dedup.py
          tests/test_streaming_host_graph.py tests/test_streaming_survival.py
-         tests/test_streaming_demux.py tests/test_streaming_paragraphs.py)
+         tests/test_streaming_demux.py tests/test_streaming_paragraphs.py
+         tests/test_streaming_crawl.py)
 
 run_shard() {
     local n=$1; shift
