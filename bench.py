@@ -162,6 +162,7 @@ HEAVY = [
     # SCALE_NOTES round 11)
     "text_html_extract",
     "text_c4_line_filter",
+    "web_url_filter",
 ]
 
 

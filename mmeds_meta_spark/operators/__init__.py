@@ -66,6 +66,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # twins in the head via ann_cosine_topk (brute-force cosine) and
     # ann_pq_adc_topk (codebook bucket search):
     "dedup_embedding_ivf",
+    # -- round-11 session-2: the new web_url_filter gates immediately;
+    # its slot comes from the next-newest r05 fill entry — dedup_cluster_
+    # stats's grouped count-distribution shape keeps gated twins via
+    # a7_dup_in_group + a5_rare_category_profile (both r11-head), and
+    # the CC relation it consumes stays pytest/sweep-verified:
+    "dedup_cluster_stats",
     # -- latest driver evidence r05 (15 entries)
     "dedup_lsh_verified",
     "dedup_minhash_lsh",

@@ -898,6 +898,119 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY harmonic_micro DESC, host) <= {_REPORT_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# URL filtering (the pre-download curation stage)
+# ---------------------------------------------------------------------------
+
+# RefinedWeb §3.1-style URL rules, engine-portable: a banned registrable
+# domain, a URL-substring blocklist, an absolute length cap, a
+# digit-heavy host (5·digits ≥ 2·len — the spam-mill hostname shape),
+# and an excessive path depth.  Precedence = listing order (the reason
+# column reports the FIRST matching rule).
+URL_BAD_SUBSTRINGS = ("casino", "freebet", "trackclick")
+URL_BANNED_DOMAINS = ("src0.co.jp", "src2.com.br")
+URL_MAX_LEN = 256
+URL_MAX_DEPTH = 8
+
+
+def _url_filter_cols(*, spark_side: bool) -> tuple[str, str]:
+    """(host, reason) SQL exprs over ``url_canonical`` + ``domain``
+    columns — canonicalization first, so host/path surgery runs on an
+    IDENTICAL string on both engines (the domain-cap pattern)."""
+    find = "instr" if spark_side else "strpos"
+    host = "split_part(split_part(url_canonical, '://', 2), '/', 1)"
+    path = (
+        "substr(split_part(url_canonical, '://', 2),"
+        f" length({host}) + 1)"
+    )
+    banned = ", ".join(f"'{d}'" for d in URL_BANNED_DOMAINS)
+    r_domain = f"domain IN ({banned})"
+    r_substr = " OR ".join(
+        f"{find}(lower(url_canonical), '{w}') > 0" for w in URL_BAD_SUBSTRINGS
+    )
+    r_len = f"length(url_canonical) > {URL_MAX_LEN}"
+    digits = f"length({host}) - length(regexp_replace({host}, '[0-9]', ''))"
+    if not spark_side:
+        digits = f"length({host}) - length(regexp_replace({host}, '[0-9]', '', 'g'))"
+    r_digit = f"5 * ({digits}) >= 2 * length({host})"
+    depth = f"length({path}) - length(replace({path}, '/', ''))"
+    r_depth = f"{depth} > {URL_MAX_DEPTH}"
+    reason = (
+        f"CASE WHEN {r_domain} THEN 'banned_domain'"
+        f" WHEN {r_substr} THEN 'bad_substring'"
+        f" WHEN {r_len} THEN 'too_long'"
+        f" WHEN {r_digit} THEN 'digit_host'"
+        f" WHEN {r_depth} THEN 'deep_path'"
+        f" ELSE 'ok' END"
+    )
+    return host, reason
+
+
+def url_filter(urls: DataFrame) -> DataFrame:
+    """Append (domain, keep, reason) to a relation with a ``url``
+    column.  Pure narrow plan: canonicalize, extract host/path by
+    portable string surgery, apply the five rules; no shuffle/UDF —
+    filtering 100 TB of candidate URLs is a map over the scan."""
+    host, reason = _url_filter_cols(spark_side=True)
+    return (
+        urls.withColumn("url_canonical", url_canonical("url"))
+        .withColumn("domain", registrable_domain(host))
+        .withColumn("reason", F.expr(reason))
+        .withColumn("keep", F.expr("reason = 'ok'"))
+    )
+
+
+def _synth_filter_url_expr(d: str, s: str) -> str:
+    """The dedup workload's URL shape plus filter-rule variety: a
+    casino path segment (d%11), a digit-mill hostname (d%13), an
+    oversized query (d%17) — every rule exercised on both sides."""
+    suffix = (
+        f"CASE ({d} % 20) % 4 WHEN 1 THEN 'co.uk' WHEN 2 THEN 'com.br'"
+        f" WHEN 3 THEN 'co.jp' ELSE 'example.com' END"
+    )
+    label = (
+        f"CASE WHEN {d} % 13 = 0"
+        f" THEN concat('n', repeat(CAST({d} % 10 AS STRING), 12))"
+        f" ELSE concat('s', {d} % 3) END"
+    )
+    host = f"concat({label}, '.', {s}, '.', {suffix})"
+    seg = f"CASE WHEN {d} % 11 = 0 THEN '/casino' ELSE '' END"
+    path = f"concat({seg}, '/page/', {d} % 25)"
+    query = (
+        f"CASE WHEN {d} % 17 = 0 THEN concat('?q=', repeat('x', 300))"
+        f" ELSE concat('?id=', {d} % 5, '&utm_source=rss') END"
+    )
+    return f"concat('https://', {host}, {path}, {query})"
+
+
+def web_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The gated entry: URL-filter verdicts over the synthetic
+    workload.  Output: (doc_id, domain, keep, reason)."""
+    u = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_synth_filter_url_expr("doc_id", "source")).alias("url"),
+    )
+    return url_filter(u).select("doc_id", "domain", "keep", "reason")
+
+
+def _url_filter_sql() -> str:
+    host, reason = _url_filter_cols(spark_side=False)
+    dom = registrable_domain_sql(host)
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_synth_filter_url_expr("doc_id", "source")} AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, {canonical_sql("url")} AS url_canonical FROM u
+), docs AS (
+  SELECT doc_id, url_canonical, {dom} AS domain FROM canon
+), verdicts AS (
+  SELECT doc_id, domain, {reason} AS reason FROM docs
+)
+SELECT doc_id, domain, reason = 'ok' AS keep, reason FROM verdicts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical,
@@ -959,5 +1072,15 @@ QUERIES: dict[str, QuerySpec] = {
         "the exact operator's quadratic closure, SCALE_NOTES round 10); "
         "deterministic portable registers -> the estimator itself is "
         "oracle-exact",
+    ),
+    "web_url_filter": QuerySpec(
+        web_url_filter,
+        _url_filter_sql(),
+        "beyond-reference: RefinedWeb-style URL filtering (Penedo et al. "
+        "2023 §3.1 — the pre-download curation stage): banned registrable "
+        "domain (full-PSL walk), substring blocklist, length cap, "
+        "digit-heavy-host and path-depth rules with first-match reason "
+        "reporting; pure narrow canonicalize + string surgery, no "
+        "shuffle/UDF",
     ),
 }

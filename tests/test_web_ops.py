@@ -543,3 +543,41 @@ def test_web_report_sections_consistent_with_components(spark):
     assert [(r["key"], r["value"]) for r in top] == [
         (r["host"], r["rank_micro"]) for r in pr
     ]
+
+
+def test_url_filter_rules_and_precedence(spark):
+    from mmeds_meta_spark.operators.web import url_filter
+
+    urls = [
+        # (url, want_keep, want_reason)
+        ("https://s0.src1.co.uk/page/3?id=1", True, "ok"),
+        ("https://x.src0.co.jp/page/1", False, "banned_domain"),  # banned dom
+        ("https://ok.example.com/casino/page/1", False, "bad_substring"),
+        ("https://ok.example.com/p?q=" + "x" * 300, False, "too_long"),
+        ("https://n555555555555.src1.example.com/p/1", False, "digit_host"),
+        ("https://ok.example.com" + "/a" * 9 + "?id=1", False, "deep_path"),
+        # precedence: banned domain wins over every later rule
+        ("https://x.src0.co.jp/casino/" + "a" * 300, False, "banned_domain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(urls)], "doc_id long, url string"
+    )
+    out = {r.doc_id: r for r in url_filter(df).collect()}
+    for i, (u, want_keep, want_reason) in enumerate(urls):
+        assert out[i].keep == want_keep, (u, out[i].reason)
+        assert out[i].reason == want_reason, (u, out[i].reason)
+    # pure narrow: no exchange anywhere in the plan
+    plan = url_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_filter_gate_workload_exercises_every_rule(spark):
+    from conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.web import web_url_filter
+
+    reasons = {
+        r.reason
+        for r in web_url_filter(spark, SF_SMOKE).select("reason").distinct().collect()
+    }
+    assert {"ok", "banned_domain", "bad_substring", "too_long", "digit_host"} <= reasons
