@@ -163,6 +163,7 @@ HEAVY = [
     "text_html_extract",
     "text_c4_line_filter",
     "web_url_filter",
+    "pipeline_crawl_funnel",
 ]
 
 

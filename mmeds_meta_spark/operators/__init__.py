@@ -72,6 +72,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # a7_dup_in_group + a5_rare_category_profile (both r11-head), and
     # the CC relation it consumes stays pytest/sweep-verified:
     "dedup_cluster_stats",
+    # -- round-11 session-2: the new pipeline_crawl_funnel (composed
+    # front door) gates immediately; its slot comes from the next r05
+    # fill entry — d8_chisq_independence's exact-moment contingency agg
+    # keeps gated twins via d3_anova_f + d6_kruskal_wallis (both
+    # r11-head):
+    "d8_chisq_independence",
     # -- latest driver evidence r05 (15 entries)
     "dedup_lsh_verified",
     "dedup_minhash_lsh",

@@ -232,12 +232,12 @@ def _synth_html_expr(*, spark_side: bool) -> str:
         + chunk(1, 3)
         + " || '</h1><p>' || "
         + chunk(1, 12)
-        + " || ' &amp; friends</p><div>' || "
+        + " || ' &amp; friends.</p><div>' || "
         + chunk(13, 12)
-        + " || CASE WHEN doc_id % 3 = 0 THEN"
+        + " || '.' || CASE WHEN doc_id % 3 = 0 THEN"
         " ' <a href=\"/more\">read the full story here</a>' ELSE '' END"
         " || '</div>' || CASE WHEN doc_id % 2 = 0 THEN"
-        " '<p>' || " + chunk(25, 12) + " || '</p>' ELSE '' END"
+        " '<p>' || " + chunk(25, 12) + " || '!</p>' ELSE '' END"
         " || '<footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>"
         " <a href=\"/c\">Contact</a></footer></body></html>'"
     )
@@ -278,7 +278,13 @@ C4_MIN_WORDS = 3  # C4: retain lines with >= 3 words
 C4_MIN_SENTENCES = 5  # C4: discard pages with < 5 sentences (kept lines)
 
 
-def c4_line_filter_expr(text: str, *, spark_side: bool) -> str:
+def c4_line_filter_expr(
+    text: str,
+    *,
+    spark_side: bool,
+    min_words: int = C4_MIN_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> str:
     """C4's line-level cleanup (Raffel et al. 2020 §2.2) as ONE struct
     expression over newline-delimited ``text``:
 
@@ -305,7 +311,7 @@ def c4_line_filter_expr(text: str, *, spark_side: bool) -> str:
     )
     keep = (
         f"right(t, 1) IN ('.', '!', '?', '\"')"
-        f" AND {words} >= {C4_MIN_WORDS}"
+        f" AND {words} >= {min_words}"
         f" AND {d['find']}(lower(t), 'javascript') = 0"
     )
     per_line = d["let"].format(
@@ -335,7 +341,7 @@ def c4_line_filter_expr(text: str, *, spark_side: bool) -> str:
             (
                 "page_keep",
                 f"NOT ({page_bad})"
-                f" AND {d['size'].format(x='kp')} >= {C4_MIN_SENTENCES}",
+                f" AND {d['size'].format(x='kp')} >= {min_sentences}",
             ),
             (
                 "txt",
@@ -434,6 +440,139 @@ FROM ex
 """
 
 
+# ---------------------------------------------------------------------------
+# composed crawl front door: url filter → extract → C4 clean → badwords
+# ---------------------------------------------------------------------------
+
+
+def pipeline_crawl_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete RefinedWeb-order front door as ONE plan over ONE
+    corpus scan: URL filtering (pre-download), HTML → main-text
+    extraction, C4 line/page cleanup, C4 badwords — reporting per-stage
+    survivor counts (stage, name, n_in, n_out).
+
+    Physical shape: each stage's verdict is a narrow expression
+    CONDITIONED on the previous stage's flag (``CASE WHEN k_prev THEN
+    <stage struct> END`` — dropped documents never pay downstream
+    extraction work), each stage struct materializes through its own
+    generator so Catalyst cannot duplicate a pipeline across consumers,
+    and the survivor counts are ONE partial-aggregated fold — no
+    inter-stage materialization, joins, or repeated scans.  At 100 TB:
+    one pass, zero shuffles before the single 1-row agg.
+    """
+    from ..functions.urls import registrable_domain, url_canonical
+    from .text import _BADWORDS
+    from .web import _synth_filter_url_expr, _url_filter_cols
+
+    host, reason = _url_filter_cols(spark_side=True)
+    ex_struct = html_extract_expr(
+        _synth_html_expr(spark_side=True), spark_side=True
+    )
+    # extracted pages are a handful of paragraph blocks, so the funnel
+    # applies C4's page rule at >=2 kept sentences (the 5-sentence
+    # default is calibrated to full web pages)
+    c4_struct = c4_line_filter_expr("__ex.txt", spark_side=True, min_sentences=2)
+    bad = ", ".join(f"'{w}'" for w in _BADWORDS)
+    base = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.expr(_synth_filter_url_expr("doc_id", "source")).alias("url"),
+        )
+        .withColumn("url_canonical", url_canonical("url"))
+        .withColumn("domain", registrable_domain(host))
+        .withColumn("k1", F.expr(f"({reason}) = 'ok'"))
+    )
+    s1 = base.select(
+        "*", F.explode(F.array(F.expr(f"CASE WHEN k1 THEN {ex_struct} END"))).alias("__ex")
+    ).withColumn("k2", F.expr("k1 AND __ex.n_kept >= 1"))
+    s2 = s1.select(
+        "*", F.explode(F.array(F.expr(f"CASE WHEN k2 THEN {c4_struct} END"))).alias("__c4")
+    ).withColumn("k3", F.expr("k2 AND __c4.page_keep")).withColumn(
+        "k4",
+        F.expr(
+            # C4 matches WORDS: strip sentence punctuation before the
+            # membership test so 'dup.' at a chunk end still matches
+            "k3 AND NOT exists(split(replace(replace(replace(replace("
+            "__c4.txt, chr(10), ' '), '.', ' '), '!', ' '), '?', ' '), ' '),"
+            f" t -> t IN ({bad}))"
+        ),
+    )
+    cnt = s2.agg(
+        F.count("*").cast("long").alias("s0"),
+        *[
+            F.expr(f"CAST(SUM(CASE WHEN k{i} THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                f"s{i}"
+            )
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    names = ("url_filter", "html_extract", "c4_line_filter", "badwords")
+    rows = ", ".join(
+        f"struct({i + 1} AS stage, '{n}' AS name, s{i} AS n_in, s{i + 1} AS n_out)"
+        for i, n in enumerate(names)
+    )
+    return cnt.select(F.explode(F.expr(f"array({rows})")).alias("r")).select("r.*")
+
+
+def _crawl_funnel_sql() -> str:
+    from .text import _BADWORDS
+    from .web import _synth_filter_url_expr, _url_filter_cols
+    from ..functions.urls import canonical_sql, registrable_domain_sql
+
+    host, reason = _url_filter_cols(spark_side=False)
+    ex_struct = html_extract_expr(
+        _synth_html_expr(spark_side=False), spark_side=False
+    )
+    c4_struct = c4_line_filter_expr(
+        "__ex.txt", spark_side=False, min_sentences=2
+    )
+    bad = ", ".join(f"'{w}'" for w in _BADWORDS)
+    stage_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{n}' AS name, s{i} AS n_in, s{i + 1} AS n_out"
+        f" FROM cnt"
+        for i, n in enumerate(
+            ("url_filter", "html_extract", "c4_line_filter", "badwords")
+        )
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, source, text,
+         {_synth_filter_url_expr("doc_id", "source")} AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, source, text, {canonical_sql("url")} AS url_canonical FROM u
+), flt AS (
+  SELECT doc_id, source, text, url_canonical,
+         {registrable_domain_sql(host)} AS domain
+  FROM canon
+), st1 AS (
+  SELECT *, ({reason}) = 'ok' AS k1 FROM flt
+), st2 AS (
+  SELECT *, CASE WHEN k1 THEN {ex_struct} END AS __ex FROM st1
+), st2f AS (
+  SELECT *, k1 AND __ex.n_kept >= 1 AS k2 FROM st2
+), st3 AS (
+  SELECT *, CASE WHEN k2 THEN {c4_struct} END AS __c4 FROM st2f
+), st3f AS (
+  SELECT *, k2 AND __c4.page_keep AS k3 FROM st3
+), st4 AS (
+  SELECT *, k3 AND NOT list_has_any(string_split(replace(replace(replace(replace(__c4.txt, chr(10), ' '), '.', ' '), '!', ' '), '?', ' '), ' '), [{bad}]) AS k4
+  FROM st3f
+), cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM st4
+)
+{stage_rows}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_html_extract": QuerySpec(
         text_html_extract,
@@ -452,5 +591,14 @@ QUERIES: dict[str, QuerySpec] = {
         "rules + lorem-ipsum / brace / min-sentences page verdict; the "
         "post-extraction stage, same narrow zero-shuffle shape as "
         "text_html_extract",
+    ),
+    "pipeline_crawl_funnel": QuerySpec(
+        pipeline_crawl_funnel,
+        _crawl_funnel_sql(),
+        "beyond-reference: composed crawl front door (RefinedWeb order, "
+        "Penedo et al. 2023 + C4, Raffel et al. 2020) — URL filter → "
+        "HTML extraction → line cleanup → badwords in ONE conditional "
+        "single-scan plan (dropped docs never pay downstream stages); "
+        "per-stage survivor report from one partial-agg fold",
     ),
 }

@@ -199,6 +199,27 @@ def test_extract_then_c4_composes(spark):
     assert "actual content" in out.text_clean
 
 
+def test_crawl_funnel_is_monotone_single_scan(spark):
+    from conftest import SF_SMOKE
+
+    from mmeds_meta_spark.operators.html import pipeline_crawl_funnel
+
+    df = pipeline_crawl_funnel(spark, SF_SMOKE)
+    rows = sorted((r.stage, r.name, r.n_in, r.n_out) for r in df.collect())
+    assert [r[1] for r in rows] == [
+        "url_filter", "html_extract", "c4_line_filter", "badwords",
+    ]
+    # survivor chain: each stage's n_in is the previous n_out, counts
+    # monotone non-increasing, and the content stages actually drop
+    for (_, _, _, prev_out), (_, _, n_in, n_out) in zip(rows, rows[1:]):
+        assert n_in == prev_out and n_out <= n_in
+    assert rows[0][2] > rows[0][3] > 0  # url stage drops some, keeps some
+    assert rows[-1][3] > 0  # documents survive the whole funnel
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # one corpus pass (+AQE reuse)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_warc_to_extract_end_to_end(spark, tmp_path):
     d = tmp_path / "crawl2"
     d.mkdir()
