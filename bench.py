@@ -164,6 +164,7 @@ HEAVY = [
     "text_c4_line_filter",
     "web_url_filter",
     "pipeline_crawl_funnel",
+    "text_kn_bigram_lm",
 ]
 
 

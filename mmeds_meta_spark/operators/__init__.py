@@ -78,6 +78,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # keeps gated twins via d3_anova_f + d6_kruskal_wallis (both
     # r11-head):
     "d8_chisq_independence",
+    # -- round-11 session-2: the new text_kn_bigram_lm gates immediately;
+    # its slot comes from the next r05 fill entry — ann_pq_adc_topk's
+    # codebook bucket search keeps a gated twin via ann_cosine_topk
+    # (r11-head) and the measured recall floors in tests/test_ann_recall.py
+    # run every suite:
+    "ann_pq_adc_topk",
     # -- latest driver evidence r05 (15 entries)
     "dedup_lsh_verified",
     "dedup_minhash_lsh",

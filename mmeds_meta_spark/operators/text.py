@@ -542,6 +542,140 @@ FROM per_doc
 """
 
 
+# interpolated Kneser-Ney discount D = 0.75 (Chen & Goodman 1998's
+# standard fixed discount) as an exact double literal
+_KN_D = "0.75"
+
+
+def text_kn_bigram_lm(
+    spark: SparkSession, sf: str, *, vocab_k: int = _BLM_VOCAB_K
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998) — the smoothing real perplexity filters use (CCNet's
+    KenLM models are modified-KN): instead of add-one's uniform prior,
+    the backoff mass goes to the CONTINUATION distribution
+    P_cont(w) = N1+(·,w) / N1+(·,·) — how many distinct contexts a word
+    follows — so boilerplate tokens frequent in ONE context (low
+    continuation) stop inflating unseen-bigram scores the way raw
+    unigram frequency does:
+
+        P(w|v) = (c(v,w) − D)/c(v) + (D·N1+(v,·)/c(v)) · P_cont(w)
+
+    with fixed D = {d} (c(v,w) ≥ 1 on the self-scored corpus, so the
+    discounted term stays positive and LN is defined).
+
+    Cross-engine exactness: every count is a BIGINT aggregate; the
+    probability is ONE identical double formula over those integers
+    (exact int→double casts, identically-ordered IEEE ops), the per-doc
+    log-prob sum is a pinned-order fold, and the closing mean/EXP
+    follow the 6dp libm-parity discipline of text_lm_score.
+
+    Physical shape at 100 TB: the model is three bounded broadcast
+    relations — the (V+2)·(V+1) bigram grid, the V+2-row context table
+    (counts + distinct-continuation N1+(v,·)), the V+1-row continuation
+    table — plus one global distinct-bigram count; bigram formation is
+    one lag window partitioned on doc_id.  No shuffle on the Zipf-hot
+    bigram key anywhere."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_k)
+    )
+    syms = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.expr("CASE WHEN c IS NULL THEN '' ELSE tok END").alias("sym"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = syms.select(
+        "doc_id",
+        "pos",
+        "sym",
+        F.coalesce(F.lag("sym").over(w), F.lit(_BLM_BOS)).alias("prev"),
+    ).localCheckpoint(eager=False)  # consumed by train (3x) AND apply
+    bgc = bg.groupBy("prev", "sym").agg(F.count("*").cast("long").alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(
+        F.count("*").cast("long").alias("c_ctx"),
+        F.expr("CAST(COUNT(DISTINCT sym) AS BIGINT)").alias("n1f"),
+    )
+    back = bgc.groupBy("sym").agg(F.count("*").cast("long").alias("n1b"))
+    nbg = bgc.agg(F.count("*").cast("long").alias("n_bg"))
+    lp = (
+        f"LN((CAST(c_bg AS DOUBLE) - {_KN_D}) / c_ctx"
+        f" + (({_KN_D} * n1f) / c_ctx) * (CAST(n1b AS DOUBLE) / n_bg))"
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), ["prev", "sym"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(back), "sym")
+        .crossJoin(F.broadcast(nbg))
+        .select("doc_id", "pos", F.expr(lp).alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+        ).alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("ROUND(slp / n_tokens, 6)").alias("mean_logprob"),
+        F.expr("ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6)").alias("ppl_proxy"),
+    )
+
+
+text_kn_bigram_lm.__doc__ = text_kn_bigram_lm.__doc__.format(d=_KN_D)
+
+_KN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {_BLM_VOCAB_K}
+), syms AS (
+  SELECT doc_id, pos, CASE WHEN c IS NULL THEN '' ELSE tok END AS sym
+  FROM tok LEFT JOIN vocab USING (tok)
+), bg AS (
+  SELECT doc_id, pos, sym,
+         COALESCE(LAG(sym) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BLM_BOS}') AS prev
+  FROM syms
+), bgc AS (
+  SELECT prev, sym, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY prev, sym
+), ctx AS (
+  SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_ctx,
+         CAST(COUNT(DISTINCT sym) AS BIGINT) AS n1f
+  FROM bg GROUP BY prev
+), back AS (
+  SELECT sym, CAST(COUNT(*) AS BIGINT) AS n1b FROM bgc GROUP BY sym
+), nbg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bgc
+), scored AS (
+  SELECT doc_id, pos,
+         LN((CAST(c_bg AS DOUBLE) - {_KN_D}) / c_ctx
+            + (({_KN_D} * n1f) / c_ctx) * (CAST(n1b AS DOUBLE) / n_bg)) AS lp
+  FROM bg JOIN bgc USING (prev, sym) JOIN ctx USING (prev) JOIN back USING (sym)
+  CROSS JOIN nbg
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
+       ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
 _KS_CRIT_05 = 1.358  # asymptotic two-sample KS critical coefficient, α=0.05
 
 
@@ -1616,6 +1750,15 @@ QUERIES: dict[str, QuerySpec] = {
         _BLM_SQL,
         "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
         "broadcast, lag-window bigram formation, order-sensitive quality)",
+    ),
+    "text_kn_bigram_lm": QuerySpec(
+        text_kn_bigram_lm,
+        _KN_SQL,
+        "LLM-pipeline text (interpolated Kneser-Ney bigram LM, Kneser & "
+        "Ney 1995 / Chen & Goodman 1998 — the smoothing CCNet-class "
+        "perplexity filters use: discounted counts + continuation-"
+        "distribution backoff mass; three bounded broadcast model "
+        "relations, one lag window, 6dp libm-parity log discipline)",
     ),
     "text_length_ks_drift": QuerySpec(
         text_length_ks_drift,

@@ -1,0 +1,63 @@
+"""Interpolated Kneser-Ney bigram LM (operators/text.py
+text_kn_bigram_lm): hand-computed probabilities on a tiny corpus, the
+continuation-vs-frequency property KN exists for, and determinism."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_SMOKE
+
+from mmeds_meta_spark.operators.text import text_kn_bigram_lm
+
+
+def _tiny_corpus(spark, tmp_path, texts):
+    d = str(tmp_path / "kn")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_kn_hand_computed_tiny_corpus(spark, tmp_path):
+    # corpus: "a b" / "a c".  Counts: (<s>,a)=2, (a,b)=1, (a,c)=1;
+    # c(<s>)=2, c(a)=2; N1+(<s>,·)=1, N1+(a,·)=2; N1+(·,a)=1, (·,b)=1,
+    # (·,c)=1; N1+(·,·)=3.  With D=0.75:
+    #   P(a|<s>) = (2-.75)/2 + (.75·1/2)(1/3) = 0.75
+    #   P(b|a) = P(c|a) = (1-.75)/2 + (.75·2/2)(1/3) = 0.375
+    d = _tiny_corpus(spark, tmp_path, ["a b", "a c"])
+    rows = {r.doc_id: r for r in text_kn_bigram_lm(spark, d).collect()}
+    want_mean = round((math.log(0.75) + math.log(0.375)) / 2, 6)
+    assert rows[0].n_tokens == 2 and rows[1].n_tokens == 2
+    assert rows[0].mean_logprob == rows[1].mean_logprob == want_mean
+    assert rows[0].ppl_proxy == round(math.exp(-want_mean), 6)
+
+
+def test_kn_continuation_beats_raw_frequency(spark, tmp_path):
+    # 'the' is FREQUENT but follows only one context ('of the' ×6);
+    # 'dog' is rarer but follows three distinct contexts.  Unigram
+    # frequency would score P(the) >> P(dog); KN's continuation
+    # distribution must rank P_cont(dog) above P_cont(the) — read off
+    # the model by scoring two probe docs whose SECOND bigram is
+    # (x, the) vs (x, dog) with the same first bigram.
+    corpus = [
+        "of the", "of the", "of the", "of the", "of the", "of the",
+        "a dog", "my dog", "one dog",
+        "x q the", "x q dog",  # the probe pair shares context (x, q)
+    ]
+    d = _tiny_corpus(spark, tmp_path, corpus)
+    rows = {r.doc_id: r for r in text_kn_bigram_lm(spark, d).collect()}
+    the_doc, dog_doc = rows[9], rows[10]
+    # identical first two terms; the third differs only via P(·|q):
+    # c(q,the)=c(q,dog)=1 and same context stats, so the gap is purely
+    # the continuation term — dog (3 contexts) must outscore the (1)
+    assert dog_doc.mean_logprob > the_doc.mean_logprob
+
+
+def test_kn_gate_workload_deterministic_and_bounded(spark):
+    a = sorted(tuple(r) for r in text_kn_bigram_lm(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in text_kn_bigram_lm(spark, SF_SMOKE).collect())
+    assert a == b and a
+    # log-probs of a proper model are negative; ppl positive
+    assert all(r[2] < 0 and r[3] > 1 for r in a)
