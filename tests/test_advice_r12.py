@@ -1,0 +1,226 @@
+"""Regression tests for the round-12 ADVICE items and the round-11
+verdict's WARC-realism follow-ups.
+
+ADVICE:
+
+1. gate_freshness --enforce fails when driver evidence on disk is not
+   committed (so a fresh checkout cannot silently enforce against an
+   older round) — covered in test_gate_freshness_untracked below via
+   the helper, not by dirtying the real repo.
+2. CrawlStreamReader warns (never silently skips) when a file lands
+   sorting at/below the consumed watermark.
+3. split_http_payload handles Content-Encoding gzip/deflate, chunked
+   transfer-encoding, and LF-only header blocks.
+4. prefix_fold raises a targeted error on non-orderable (map-typed)
+   carried columns instead of a Catalyst analysis failure.
+
+Verdict Missing #1 (charset-aware WARC decoding): response bodies are
+decoded per the declared charset — Content-Type param, else a bounded
+<meta charset> prescan, else UTF-8 — with fixtures for Windows-1251,
+ISO-8859-1, and Shift_JIS.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mmeds_meta_spark.functions.prefix_fold import prefix_fold
+from mmeds_meta_spark.sources.wet import (
+    CrawlStreamReader,
+    decode_html_body,
+    register_warc_source,
+    split_http_payload,
+    warc_file_rows,
+    write_warc,
+)
+
+
+# ---------------------------------------------------------------- charset
+
+RU = "Пример русского текста на странице."
+JA = "日本語のテキストです。"
+FR = "Déjà vu: café naïve."
+
+
+def test_warc_charset_from_content_type_param(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(
+        [
+            {
+                "uri": "https://ru.example/",
+                "html": f"<p>{RU}</p>",
+                "charset": "windows-1251",
+                "ctype": "text/html; charset=windows-1251",
+            },
+            {
+                "uri": "https://fr.example/",
+                "html": f"<p>{FR}</p>",
+                "charset": "iso-8859-1",
+                "ctype": "text/html; charset=ISO-8859-1",
+            },
+            {
+                "uri": "https://jp.example/",
+                "html": f"<p>{JA}</p>",
+                "charset": "shift_jis",
+                "ctype": "text/html; charset=Shift_JIS",
+            },
+        ],
+        str(d / "seg-00000.warc"),
+    )
+    rows = sorted(warc_file_rows(str(d / "seg-00000.warc")), key=lambda r: r[1])
+    # WARC_SCHEMA: file, record_id, uri, date, status, ctype, cenc,
+    # charset, content_length, html, n_bytes
+    by_uri = {r[2]: r for r in rows}
+    assert RU in by_uri["https://ru.example/"][9]
+    assert by_uri["https://ru.example/"][7] == "cp1251"
+    assert FR in by_uri["https://fr.example/"][9]
+    assert by_uri["https://fr.example/"][7] in ("iso8859-1", "latin-1")
+    assert JA in by_uri["https://jp.example/"][9]
+    assert by_uri["https://jp.example/"][7] == "shift_jis"
+    # mojibake check: no replacement characters anywhere
+    assert all("�" not in r[9] for r in rows)
+
+
+def test_warc_charset_from_meta_prescan(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    html = f'<html><head><meta charset="windows-1251"></head><p>{RU}</p></html>'
+    write_warc(
+        [
+            {
+                "uri": "https://meta.example/",
+                "html": html,
+                "charset": "windows-1251",
+                "ctype": "text/html",  # no charset param -> prescan must find it
+            }
+        ],
+        str(d / "seg-00000.warc"),
+    )
+    (row,) = warc_file_rows(str(d / "seg-00000.warc"))
+    assert RU in row[9] and row[7] == "cp1251"
+
+
+def test_warc_meta_http_equiv_and_bogus_charset_fallback():
+    body = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1"></head>caf\xe9</html>'
+    )
+    text, cs = decode_html_body(body, None)
+    assert "café" in text and cs in ("iso8859-1", "latin-1")
+    # bogus declared charset -> utf-8 replace, column reports utf-8
+    text, cs = decode_html_body("ok".encode(), "text/html; charset=klingon-8")
+    assert text == "ok" and cs == "utf-8"
+
+
+def test_warc_utf8_bom_wins_over_declaration():
+    body = b"\xef\xbb\xbfcaf\xc3\xa9"
+    text, cs = decode_html_body(body, "text/html; charset=windows-1251")
+    assert text == "café" and cs == "utf-8"
+
+
+# ------------------------------------------- encodings / chunked / LF
+
+def test_split_http_payload_gzip_deflate_chunked(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(
+        [
+            {"uri": "https://gz.example/", "html": "<p>gzip body text</p>",
+             "content_encoding": "gzip"},
+            {"uri": "https://df.example/", "html": "<p>deflate body text</p>",
+             "content_encoding": "deflate"},
+            {"uri": "https://ch.example/", "html": "<p>chunked body text</p>",
+             "chunked": True},
+            {"uri": "https://lf.example/", "html": "<p>bare-LF header block</p>",
+             "lf_headers": True},
+        ],
+        str(d / "seg-00000.warc"),
+    )
+    rows = {r[2]: r for r in warc_file_rows(str(d / "seg-00000.warc"))}
+    assert rows["https://gz.example/"][9] == "<p>gzip body text</p>"
+    assert rows["https://gz.example/"][6] is None  # encoding undone
+    assert rows["https://df.example/"][9] == "<p>deflate body text</p>"
+    assert rows["https://ch.example/"][9] == "<p>chunked body text</p>"
+    assert rows["https://lf.example/"][9] == "<p>bare-LF header block</p>"
+    assert rows["https://lf.example/"][4] == 200  # status parsed from LF block
+
+
+def test_split_http_payload_unknown_encoding_surfaces_column():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n\x1b\x02\x80raw-brotli-bytes"
+    )
+    status, ctype, cenc, body = split_http_payload(payload)
+    assert status == 200 and cenc == "br"
+    assert body == b"\x1b\x02\x80raw-brotli-bytes"  # left raw, declared
+
+
+def test_split_http_payload_corrupt_gzip_kept_raw():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot actually gzip"
+    )
+    status, _, cenc, body = split_http_payload(payload)
+    assert status == 200 and cenc == "gzip" and body == b"not actually gzip"
+
+
+def test_warc_source_end_to_end_charset(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(
+        [
+            {"uri": "https://ru.example/", "html": f"<p>{RU}</p>",
+             "charset": "windows-1251",
+             "ctype": "text/html; charset=windows-1251",
+             "content_encoding": "gzip"},
+        ],
+        str(d / "seg-00000.warc.gz"),
+    )
+    register_warc_source(spark)
+    (row,) = spark.read.format("warc").load(str(d)).collect()
+    assert RU in row.html and row.charset == "cp1251"
+    assert row.content_encoding is None and row.http_status == 200
+
+
+# ------------------------------------------------- watermark late files
+
+def test_crawl_stream_warns_on_late_file(tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    write_warc([{"uri": "https://a.example/", "html": "<p>aaaa</p>"}],
+               str(feed / "seg-00001.warc"))
+    reader = CrawlStreamReader(str(feed), warc_file_rows)
+    off1 = reader.latestOffset()
+    assert off1["upto"].endswith("seg-00001.warc")
+    # a file landing BELOW the consumed watermark is permanently
+    # unreadable -> must warn, not silently skip
+    write_warc([{"uri": "https://late.example/", "html": "<p>late</p>"}],
+               str(feed / "seg-00000.warc"))
+    with pytest.warns(UserWarning, match="seg-00000.warc.*NEVER"):
+        off2 = reader.latestOffset()
+    assert off2 == off1  # watermark never regresses
+    # warn-once: the same late file does not re-warn
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        reader.latestOffset()
+
+
+# ------------------------------------------------ prefix_fold contract
+
+def test_prefix_fold_rejects_map_carried_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, {"k": "v"})], "t int, v double, m map<string,string>"
+    )
+    with pytest.raises(ValueError, match="non-orderable map-typed.*'m'"):
+        prefix_fold(df, "t", [("v", "p", "*", "1.0")])
+
+
+# ------------------------------------------- gate freshness commit guard
+
+def test_gate_freshness_untracked_detector(tmp_path, monkeypatch):
+    import tools.gate_freshness as gf
+
+    # the real repo must be clean (evidence committed)
+    assert gf._untracked_evidence() == []

@@ -67,10 +67,10 @@ def test_warc_source_reads_response_records(spark, tmp_path):
 
 
 def test_split_http_payload_tolerates_headerless_bodies():
-    status, ctype, body = split_http_payload(b"no http header block here")
-    assert status is None and ctype is None
+    status, ctype, cenc, body = split_http_payload(b"no http header block here")
+    assert status is None and ctype is None and cenc is None
     assert body == b"no http header block here"
-    status, _, body = split_http_payload(b"HTTP/1.1 nonsense\r\n\r\nx")
+    status, _, _, body = split_http_payload(b"HTTP/1.1 nonsense\r\n\r\nx")
     assert status is None  # unparseable status -> whole payload kept
     assert body == b"HTTP/1.1 nonsense\r\n\r\nx"
 

@@ -62,9 +62,46 @@ def freshness() -> dict[str, int | None]:
     return latest
 
 
+def _untracked_evidence() -> list[str]:
+    """CORRECTNESS files present on disk but not committed.
+
+    Round-11 ADVICE: the floor computes "latest round" from the files it
+    can see, so an *untracked* CORRECTNESS_r{N}.json makes CI at a fresh
+    checkout silently enforce against round N-1 while the working tree
+    (and any docs citing round N) believe the floor covers N.  Fail
+    loudly instead: evidence a round cites must be committed with it.
+    """
+    import subprocess
+
+    paths = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "-C", "/root/repo", "ls-files", "CORRECTNESS_r*.json"],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.split()
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return []  # not a git checkout (e.g. exported tree): nothing to check
+    return [p for p in paths if os.path.basename(p) not in tracked]
+
+
 def enforce(max_age: int) -> int:
     """CI floor: 0 when every entry is fresh enough or queued in the
     head for the next driver run; 1 otherwise (offenders printed)."""
+    untracked = _untracked_evidence()
+    if untracked:
+        print(
+            "gate-freshness floor CANNOT BE TRUSTED: driver evidence on disk"
+            " is not committed (a fresh checkout would silently enforce"
+            " against an older round). Commit these with the round that"
+            " cites them:"
+        )
+        for p in untracked:
+            print(f"  {os.path.basename(p)}")
+        return 1
     fresh = freshness()
     head = {n for n in registry() if n not in _GATE_TAIL}
     latest = max((r for r in fresh.values() if r is not None), default=0)
