@@ -827,7 +827,9 @@ FROM ks
 """
 
 
-def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+def text_ccnet_buckets(
+    spark: SparkSession, sf: str, *, scorer: str = "unigram"
+) -> DataFrame:
     """CCNet-style corpus partitioning (Wenzek et al. 2020): split each
     language's documents into head / middle / tail by LM perplexity —
     head = the lowest-perplexity (most Wikipedia-like) third, tail = the
@@ -848,8 +850,22 @@ def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     over that histogram — the production variant snaps cutoffs from a
     sampled histogram, same join shape); the bucket assignment joins the
     value→bucket map back on (lang, ppl) — broadcastable whenever the
-    histogram is."""
-    scores = text_lm_score(spark, sf)
+    histogram is.
+
+    ``scorer`` picks the perplexity model (round-11 verdict #8):
+    ``'unigram'`` — text_lm_score's capped-vocab unigram proxy;
+    ``'kn'`` — text_kn_bigram_lm's interpolated Kneser-Ney bigram
+    perplexity, the smoothing class CCNet's actual KenLM filters use.
+    The bucket machinery (value histogram, integer-arithmetic tercile
+    cutoffs, assignment join) is IDENTICAL either way; the KN variant
+    shares text_kn_bigram_lm's three bounded broadcast model relations
+    unchanged."""
+    if scorer == "unigram":
+        scores = text_lm_score(spark, sf)
+    elif scorer == "kn":
+        scores = text_kn_bigram_lm(spark, sf)
+    else:
+        raise ValueError(f"scorer must be 'unigram' or 'kn', got {scorer!r}")
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     # j feeds BOTH the value histogram and the final assignment join;
     # without the checkpoint Catalyst re-evaluates the whole LM plan
@@ -885,8 +901,17 @@ def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_CCNET_SQL = f"""
-WITH lm AS ({_LM_SCORE_SQL}),
+def text_ccnet_buckets_kn(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet terciles on the Kneser-Ney bigram perplexity (the gated
+    twin of ``text_ccnet_buckets(scorer='kn')``)."""
+    return text_ccnet_buckets(spark, sf, scorer="kn")
+
+
+def _ccnet_sql(lm_sql: str) -> str:
+    """The CCNet bucket SQL over any per-doc (doc_id, ppl_proxy)
+    scorer CTE — shared by the unigram and Kneser-Ney variants."""
+    return f"""
+WITH lm AS ({lm_sql}),
 j AS (
   SELECT lm.doc_id, d.lang, lm.ppl_proxy
   FROM lm JOIN documents d ON d.doc_id = lm.doc_id
@@ -906,6 +931,11 @@ j AS (
 SELECT j.doc_id, j.lang, j.ppl_proxy, b.ccnet_bucket
 FROM j JOIN buckets b ON b.lang = j.lang AND b.ppl_proxy = j.ppl_proxy
 """
+
+
+_CCNET_SQL = _ccnet_sql(_LM_SCORE_SQL)
+_CCNET_KN_SQL = _ccnet_sql(_KN_SQL)
+
 
 
 _KL_VOCAB_K = 200  # drift classes = top-K corpus tokens + one OOV bucket
@@ -1802,6 +1832,14 @@ QUERIES: dict[str, QuerySpec] = {
         _CCNET_SQL,
         "LLM-pipeline text (CCNet head/middle/tail per-language perplexity "
         "terciles, Wenzek et al. 2020; value-histogram cutoffs)",
+    ),
+    "text_ccnet_buckets_kn": QuerySpec(
+        text_ccnet_buckets_kn,
+        _CCNET_KN_SQL,
+        "LLM-pipeline text (CCNet terciles on interpolated Kneser-Ney "
+        "bigram perplexity — the smoothing class CCNet's KenLM filters "
+        "actually use; round-11 verdict #8: same bucket machinery, "
+        "scorer param, shared broadcast model relations)",
     ),
     "text_pii_scrub": QuerySpec(
         text_pii_scrub,

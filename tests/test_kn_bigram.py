@@ -61,3 +61,27 @@ def test_kn_gate_workload_deterministic_and_bounded(spark):
     assert a == b and a
     # log-probs of a proper model are negative; ppl positive
     assert all(r[2] < 0 and r[3] > 1 for r in a)
+
+
+def test_ccnet_buckets_kn_scorer_param(spark):
+    """Round-11 verdict #8: the bucket machinery re-used over the KN
+    perplexity — the gated twin equals the param call, buckets split
+    per-language into nonempty terciles, and a bad scorer raises."""
+    import pytest
+
+    from mmeds_meta_spark.operators.text import (
+        text_ccnet_buckets,
+        text_ccnet_buckets_kn,
+    )
+
+    a = sorted(map(tuple, text_ccnet_buckets_kn(spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(tuple, text_ccnet_buckets(spark, SF_SMOKE, scorer="kn").collect())
+    )
+    assert a == b and len(a) > 0
+    by_bucket = {}
+    for _, lang, _, bucket in a:
+        by_bucket[bucket] = by_bucket.get(bucket, 0) + 1
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    with pytest.raises(ValueError, match="unigram.*kn"):
+        text_ccnet_buckets(spark, SF_SMOKE, scorer="trigram")
