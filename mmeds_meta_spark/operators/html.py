@@ -496,6 +496,69 @@ FROM ex
 # ---------------------------------------------------------------------------
 
 
+def crawl_funnel_rows(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    html_col: str = "html",
+    *,
+    min_sentences: int = 2,
+) -> DataFrame:
+    """Per-document funnel verdicts over a REAL crawl relation —
+    url filter → HTML extraction → C4 line/page cleanup → badwords,
+    the same conditional-stage structure as :func:`pipeline_crawl_
+    funnel` but consuming actual ``(url, html)`` columns (e.g. the
+    ``warc`` source) instead of the gate's synthetic workload.
+
+    Every stage is a NARROW expression, so the same plan runs on a
+    batch DataFrame or a Structured-Streaming one unchanged (round-11
+    verdict #7: the whole funnel composes on the stream; each
+    micro-batch maps its records through the identical expressions,
+    so a replayed directory produces byte-identical rows to the batch
+    run).  Output: one row per input document with the four stage
+    verdicts, the registrable domain, and the cleaned text of
+    survivors (NULL for drops — dropped documents never pay
+    downstream stage expressions)."""
+    from ..functions.urls import registrable_domain, url_canonical
+    from .text import _BADWORDS, badwords_tokens_expr
+    from .web import _url_filter_cols
+
+    host, reason = _url_filter_cols(spark_side=True)
+    ex_struct = html_extract_expr(html_col, spark_side=True)
+    c4_struct = c4_line_filter_expr(
+        "__ex.txt", spark_side=True, min_sentences=min_sentences
+    )
+    bad = ", ".join(f"'{w}'" for w in _BADWORDS)
+    base = (
+        df.withColumn("url_canonical", url_canonical(url_col))
+        .withColumn("domain", registrable_domain(host))
+        .withColumn("k1", F.expr(f"({reason}) = 'ok'"))
+    )
+    s1 = base.select(
+        "*",
+        F.explode(F.array(F.expr(f"CASE WHEN k1 THEN {ex_struct} END"))).alias("__ex"),
+    ).withColumn("k2", F.expr("k1 AND __ex.n_kept >= 1"))
+    s2 = s1.select(
+        "*",
+        F.explode(F.array(F.expr(f"CASE WHEN k2 THEN {c4_struct} END"))).alias("__c4"),
+    ).withColumn("k3", F.expr("k2 AND __c4.page_keep")).withColumn(
+        "k4",
+        F.expr(
+            "k3 AND NOT exists("
+            f"{badwords_tokens_expr('__c4.txt', spark_side=True)},"
+            f" t -> t IN ({bad}))"
+        ),
+    )
+    return s2.select(
+        F.col(url_col).alias("url"),
+        "domain",
+        "k1",
+        "k2",
+        "k3",
+        "k4",
+        F.expr("CASE WHEN k4 THEN __c4.txt END").alias("text_clean"),
+    )
+
+
 def pipeline_crawl_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """The complete RefinedWeb-order front door as ONE plan over ONE
     corpus scan: URL filtering (pre-download), HTML → main-text

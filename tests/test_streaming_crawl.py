@@ -128,3 +128,71 @@ def test_empty_feed_starts_clean(spark, tmp_path):
     # an empty feed may commit zero batches or one empty batch; either
     # way the sink holds zero ROWS
     assert not parts or spark.read.parquet(str(out)).count() == 0
+
+
+def test_streaming_whole_funnel_equals_batch(spark, tmp_path):
+    """Round-11 verdict #7: the WHOLE funnel (url filter → extraction →
+    C4 → badwords) composes over CrawlStreamReader; a replayed
+    two-segment directory produces the same per-doc verdicts and the
+    same aggregate report as the batch run."""
+    from mmeds_meta_spark.operators.html import crawl_funnel_rows
+
+    register_warc_source(spark)
+    feed = tmp_path / "ffeed"
+    feed.mkdir()
+    good = (
+        "<p>This substantive paragraph easily clears every minimum and"
+        " it ends with proper punctuation to satisfy the line rules.</p>"
+        "<p>A second long sentence keeps the page past the sentence"
+        " threshold for the funnel's relaxed page rule!</p>"
+    )
+    seg0 = [
+        {"uri": "https://keep.example.com/a", "html": good},
+        {"uri": "https://www.src0.co.jp/x", "html": good},  # banned domain
+    ]
+    seg1 = [
+        {"uri": "https://keep.example.com/b", "html": "<p>tiny</p>"},  # fails extract
+        {"uri": "https://keep.example.com/c",
+         "html": good.replace("paragraph easily", "paragraph dup easily")},  # badwords
+    ]
+    write_warc(seg0, str(feed / "seg-00000.warc"))
+    out, ck = tmp_path / "fout", tmp_path / "fck"
+
+    def start():
+        return (
+            crawl_funnel_rows(spark.readStream.format("warc").load(str(feed)))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    write_warc(seg1, str(feed / "seg-00001.warc"))  # lands while DOWN
+    q2 = start()  # replay from checkpoint + pick up the new segment
+    q2.processAllAvailable()
+    q2.stop()
+
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in crawl_funnel_rows(
+            spark.read.format("warc").load(str(feed))
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) == 4
+    by_url = {r[0]: r for r in streamed}
+    assert by_url["https://keep.example.com/a"][5]  # k4 survivor
+    assert by_url["https://keep.example.com/a"][6].startswith("This substantive")
+    assert not by_url["https://www.src0.co.jp/x"][2]  # k1 banned domain
+    assert not by_url["https://keep.example.com/b"][3]  # k2 extract fail
+    k3_fail_c = by_url["https://keep.example.com/c"]
+    assert k3_fail_c[4] and not k3_fail_c[5]  # passed C4, dropped by badwords
+    # the aggregate stage report computed from the streamed sink equals
+    # the batch aggregation (the funnel-report shape downstream uses)
+    agg = lambda rows: [sum(1 for r in rows if r[i]) for i in (2, 3, 4, 5)]
+    assert agg(streamed) == agg(batch) == [3, 2, 2, 1]
