@@ -168,6 +168,45 @@ HEAVY = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Quiet-host guard (round-11 verdict #5).  The r10/r11 phantom-regression
+# adjudications both came down to "was the host quiet?", answered manually
+# by re-running after the suite settled.  Automate it: a fixed CPU-bound
+# calibration workload (xxhash64 fold over spark.range — no IO, no
+# parquet cache effects) runs before EACH query set; if its min exceeds
+# the recorded quiet-host band, the pass is tagged ``"host":
+# "pressured"`` in BENCH_DETAIL.json and the stdout line, and the
+# regression rule (below + SCALE_NOTES) EXCLUDES pressured passes from
+# anchor comparison.  Re-pin CALIB_QUIET_SEC when the hardware changes
+# (measured 2026-08-16, local[32]: warm mins 1.93-2.30 s).
+CALIB_ROWS = 8_000_000_000
+CALIB_QUIET_SEC = 1.95
+CALIB_PRESSURE_RATIO = 1.35  # pressured when min > ratio × quiet ref
+
+
+def calibrate(spark, n_runs: int = 3) -> dict:
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, CALIB_ROWS, 1, 32)
+            .selectExpr("sum(xxhash64(id) % 1000000) AS h")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    runs = [round(one(), 3) for _ in range(n_runs)]
+    lo = min(runs)
+    return {
+        "runs": runs,
+        "min": lo,
+        "quiet_ref": CALIB_QUIET_SEC,
+        "band": round(CALIB_QUIET_SEC * CALIB_PRESSURE_RATIO, 3),
+        "pressured": lo > CALIB_QUIET_SEC * CALIB_PRESSURE_RATIO,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -189,6 +228,7 @@ def main() -> None:
         return dt
 
     run(HEADLINE[0])  # warm-up: JVM + codegen + parquet footer cache
+    calib_head = calibrate(spark)
     # five interleaved passes, per-query MIN: the host shows transient
     # noisy-neighbor stalls AND multi-run warm-up drift (see module
     # docstring); no cache is reused across queries (clearCache after
@@ -198,6 +238,7 @@ def main() -> None:
         name: round(min(p[name] for p in passes), 3) for name in HEADLINE
     }
     total = round(sum(times.values()), 3)
+    calib_heavy = calibrate(spark)
     heavy_passes = [{name: run(name) for name in HEAVY} for _ in range(3)]
     heavy = {
         name: round(min(p[name] for p in heavy_passes), 3) for name in HEAVY
@@ -224,8 +265,16 @@ def main() -> None:
                 "sf": sf,
                 "regression_rule": (
                     "flag code-regression only if min > 1.25x anchor AND "
-                    "max_over_min < 1.5; wide spread = host sampling, re-measure"
+                    "max_over_min < 1.5 AND host == 'quiet'; wide spread or "
+                    "a pressured calibration = host sampling, re-measure"
                 ),
+                "host": "pressured"
+                if (calib_head["pressured"] or calib_heavy["pressured"])
+                else "quiet",
+                "calibration": {
+                    "before_headline": calib_head,
+                    "before_heavy": calib_heavy,
+                },
                 "passes": {
                     f"pass_{i + 1}": {k: round(v, 3) for k, v in p.items()}
                     for i, p in enumerate(passes)
@@ -253,6 +302,9 @@ def main() -> None:
                 "queries": times,
                 "heavy_queries": heavy,
                 "heavy_total": round(sum(heavy.values()), 3),
+                "host": "pressured"
+                if (calib_head["pressured"] or calib_heavy["pressured"])
+                else "quiet",
                 "sf": sf,
             }
         ),
