@@ -43,89 +43,30 @@ class QuerySpec:
 # so they yield their gate slot to operators with no other driver evidence.
 # Every entry — head or tail — still runs in tools/verify_local.py and CI.
 _GATE_TAIL: tuple[str, ...] = (
-    # ---- round-11 rotation (round-10 verdict #1: rotate the stale-
-    # evidence cohort into the head OLDEST-FIRST).  The head is rebuilt
-    # from tools/gate_freshness.py: IN are the full r03 cohort (4), the
-    # full r04 cohort (30), the 9 oldest r05 entries, the new
-    # text_html_extract, and the 6 entries whose PLANS changed this
-    # round and therefore re-gate (s13_demux_validate broadcast-join
-    # rework; sample_domain_cap / dedup_url_canonical /
-    # pipeline_curation_funnel on the full 9,506-rule PSL;
-    # d18_kaplan_meier / d20_nelson_aalen on the single-pass fold).
+    # ---- round-12 rotation (round-11 verdict #1: oldest first).  The
+    # head is rebuilt from tools/gate_freshness.py: IN are the FULL r05
+    # cohort (19 — the age-6 CI-floor bucket), the 25 alphabetically-
+    # first r06 entries (age 5), the 2 new round-12 operators
+    # (web_domain_join_profile, text_ccnet_buckets_kn — never-gated
+    # entries must gate immediately), and the 4 entries whose SEMANTICS
+    # changed this round and therefore re-gate on new hashes
+    # (text_html_extract / text_c4_line_filter / pipeline_crawl_funnel
+    # on the numeric-character-reference entity decode;
+    # text_badwords_filter + the funnel on the unified word-split).
     # OUT is everything else: every name below is oracle-exact in the
-    # round-10 independent 190/190 sweep at sf0.01 and re-swept at
-    # sf0.001 on every suite run (tests/test_operators_oracle.py), and
-    # each physical shape keeps a gated twin in the new head (the
-    # rotation sections of rounds 3-10 recorded the per-entry twins;
-    # see git history of this file for that narrative).  Grouped by
-    # latest driver-green round so the NEXT rotation reads off the top:
-    # -- round-11 session-2: the new text_c4_line_filter gates
-    # immediately; its slot comes from the NEWEST member of the r05 fill
-    # cohort (the oldest-first invariant is preserved) —
-    # dedup_embedding_ivf's learned-bucket cosine search keeps gated
-    # twins in the head via ann_cosine_topk (brute-force cosine) and
-    # ann_pq_adc_topk (codebook bucket search):
-    "dedup_embedding_ivf",
-    # -- round-11 session-2: the new web_url_filter gates immediately;
-    # its slot comes from the next-newest r05 fill entry — dedup_cluster_
-    # stats's grouped count-distribution shape keeps gated twins via
-    # a7_dup_in_group + a5_rare_category_profile (both r11-head), and
-    # the CC relation it consumes stays pytest/sweep-verified:
-    "dedup_cluster_stats",
-    # -- round-11 session-2: the new pipeline_crawl_funnel (composed
-    # front door) gates immediately; its slot comes from the next r05
-    # fill entry — d8_chisq_independence's exact-moment contingency agg
-    # keeps gated twins via d3_anova_f + d6_kruskal_wallis (both
-    # r11-head):
-    "d8_chisq_independence",
-    # -- round-11 session-2: the new text_kn_bigram_lm gates immediately;
-    # its slot comes from the next r05 fill entry — ann_pq_adc_topk's
-    # codebook bucket search keeps a gated twin via ann_cosine_topk
-    # (r11-head) and the measured recall floors in tests/test_ann_recall.py
-    # run every suite:
-    "ann_pq_adc_topk",
-    # -- latest driver evidence r05 (15 entries)
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "j9_symmetric_anti_join",
-    "multimodal_feature_extract",
-    "r6_pivot_events",
-    "sketch_hll_by_group",
-    "text_novelty_ratio",
-    "text_pii_scrub",
-    "w10_session_stats",
-    "w11_time_weighted_avg",
-    "w12_interval_overlap",
-    "w14_session_funnel",
-    "w7_transition_matrix",
-    "w9_rolling_window_range",
-    # -- latest driver evidence r06 (32 entries)
-    "a13_hierarchical_collapse",
-    "a18_quantile_profile",
-    "a19_rollup_daily",
-    "a20_corr_profile",
-    "a21_taxa_barplot",
-    "a22_mad_outliers",
-    "a23_source_mixture_profile",
-    "ann_ivf_pq_topk",
-    "d10_anosim",
-    "d11_alpha_group_significance",
-    "d12_feature_table_summarize",
-    "d14_alpha_correlation",
-    "d1_faith_pd_newick",
-    "d4_permanova_pairwise",
-    "d5_ancombc_em",
-    "d6_lefse_lda",
-    "decon_bloom_filter",
-    "dedup_span_exact",
-    "f19_weight_cascade",
-    "f23_json_props_rollup",
-    "sample_kcenter_coreset",
-    "sample_stratified_exact",
-    "sketch_cms_heavy",
-    "sketch_hll_distinct",
-    "sketch_kmv_setops",
+    # round-11 independent 195/195 sweep at sf0.01 (and re-swept at
+    # sf0.001 every suite run via tests/test_operators_oracle.py), and
+    # each physical shape keeps a gated twin in the new head (see the
+    # rotation narratives in this file's git history).  The 7 r06
+    # entries deferred to round 13 (head seats ran out; age 6 = still
+    # at the CI floor): the text ranking family (bm25/tfidf/vocab/
+    # lm_score — token-count + broadcast-model joins, twinned by the
+    # newly-gated text_ccnet_buckets_kn which composes the KN model
+    # relations) and the w6/w8/w13 window trio (twinned by the r05
+    # cohort's w7/w9/w10/w11/w12/w14 window entries, all in-head).
+    # Grouped by latest driver-green round so the NEXT rotation reads
+    # off the top:
+    # -- latest driver evidence r06 (7 entries)
     "text_bm25_topk",
     "text_lm_score",
     "text_tfidf_topk",
@@ -186,7 +127,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "f9_date_range_check",
     "text_fingerprint_bag",
     "w2_uniquify_rows",
-    # -- latest driver evidence r10 (44 entries)
+    # -- latest driver evidence r10 (43 entries)
     "a10_grouped_mean_of_means",
     "a11_grouped_mean_sem",
     "a2_count_per_parent",
@@ -223,7 +164,6 @@ _GATE_TAIL: tuple[str, ...] = (
     "sample_dsir_importance",
     "simjoin_prefix_jaccard",
     "sketch_hist_quantile",
-    "text_badwords_filter",
     "text_bpe_train",
     "text_nb_classifier",
     "w20_time_decay_attribution",
@@ -231,6 +171,54 @@ _GATE_TAIL: tuple[str, ...] = (
     "web_host_harmonic",
     "web_host_harmonic_hll",
     "web_host_pagerank",
+    # -- latest driver evidence r11 (47 entries)
+    "a14_union_merge",
+    "a5_rare_category_profile",
+    "a7_dup_in_group",
+    "a8_column_profile",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "asof_join_attribution",
+    "chunk_documents",
+    "d18_kaplan_meier",
+    "d1_faith_pd",
+    "d1_shannon_diversity",
+    "d20_nelson_aalen",
+    "d2_unifrac_unweighted",
+    "d3_anova_f",
+    "d5_ancombc",
+    "d6_kruskal_wallis",
+    "decon_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_keep_best",
+    "dedup_simhash_incremental",
+    "dedup_url_canonical",
+    "embed_quantize_int8",
+    "f1_structured_parse",
+    "f6_type_inference",
+    "j4_meta_view_left_join",
+    "j6_dedup_or_insert",
+    "knn_join",
+    "multimodal_meta_profile",
+    "p5_nullsafe_lookup",
+    "p9_min_frequency_filter",
+    "pack_sequences",
+    "pipeline_curation_funnel",
+    "r1_unpivot_melt",
+    "s13_demux_validate",
+    "sample_domain_cap",
+    "sample_hash_split",
+    "sample_mixture_weighted",
+    "sketch_kmv_distinct",
+    "text_kn_bigram_lm",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_repetition_signals",
+    "text_token_stats",
+    "w1_child_ordinal_ids",
+    "w4_sessionization",
+    "web_url_filter",
 )
 
 
