@@ -165,6 +165,9 @@ HEAVY = [
     "web_url_filter",
     "pipeline_crawl_funnel",
     "text_kn_bigram_lm",
+    # round-12: the KenLM-exact modified-KN variant — tracked from its
+    # first gated round so the shared-machinery claim carries an anchor
+    "text_kn_modified_bigram_lm",
 ]
 
 

@@ -66,6 +66,14 @@ _GATE_TAIL: tuple[str, ...] = (
     # cohort's w7/w9/w10/w11/w12/w14 window entries, all in-head).
     # Grouped by latest driver-green round so the NEXT rotation reads
     # off the top:
+    # -- round-12 session-2: the new text_kn_modified_bigram_lm (the
+    # KenLM-exact three-discount smoothing) gates immediately; its slot
+    # comes from the NEWEST member of the r06 fill cohort (oldest-first
+    # invariant preserved) — sketch_kmv_setops's KMV set-algebra shape
+    # keeps gated twins via sketch_hll_by_group + sketch_cms_heavy +
+    # sketch_hll_distinct (all in-head this round) and rejoins the
+    # deferred-r06 set below:
+    "sketch_kmv_setops",
     # -- latest driver evidence r06 (7 entries)
     "text_bm25_topk",
     "text_lm_score",

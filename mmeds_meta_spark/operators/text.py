@@ -676,6 +676,182 @@ FROM per_doc
 """
 
 
+# Modified Kneser-Ney (Chen & Goodman 1998 §3; the EXACT smoothing KenLM
+# ships and CCNet's perplexity models therefore use): three count-class
+# discounts estimated closed-form from the bigram count-of-counts
+#   Y = n1/(n1 + 2·n2),  D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,
+#   D3+ = 3 − 4Y·n4/n3
+# (nk = #bigram TYPES with count exactly k).  Degenerate-count guards,
+# IDENTICAL on both engines: an empty count class falls back to the
+# interpolated model's fixed D (no bigram of that class exists to be
+# discounted, but the formula must not divide by zero under ANSI), and
+# D2/D3+ clamp at 0 (skewed count-of-counts can push them negative,
+# which would ADD mass).  With the clamps every class keeps c − D(c) > 0
+# so LN stays defined on the self-scored corpus (c ≥ 1 everywhere).
+def _mkn_model_exprs() -> tuple[str, str]:
+    """(discount_exprs, lp_formula) shared verbatim by both engines.
+
+    discount_exprs (a list of three aliased expressions) computes
+    D1/D2/D3 from the one-row
+    (n_bg, n1..n4) count-of-counts relation; lp_formula is the per-token
+    log-prob over columns c_bg, c_ctx, n1v, n2v, n3v, n1b, n_bg and the
+    discount scalars.  ONE text for both engines — the transcription
+    cannot diverge."""
+    y = "CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2) ELSE 0.0 END"
+    discounts = [
+        f"CASE WHEN n1 > 0 THEN 1 - 2 * ({y}) * n2 / n1 ELSE {_KN_D} END AS d1",
+        f"greatest(0.0, CASE WHEN n2 > 0 THEN 2 - 3 * ({y}) * n3 / n2 ELSE {_KN_D} END) AS d2",
+        f"greatest(0.0, CASE WHEN n3 > 0 THEN 3 - 4 * ({y}) * n4 / n3 ELSE {_KN_D} END) AS d3",
+    ]
+    lp = (
+        "LN((CAST(c_bg AS DOUBLE)"
+        " - CASE WHEN c_bg = 1 THEN d1 WHEN c_bg = 2 THEN d2 ELSE d3 END) / c_ctx"
+        " + ((d1 * n1v + d2 * n2v + d3 * n3v) / c_ctx)"
+        " * (CAST(n1b AS DOUBLE) / n_bg))"
+    )
+    return discounts, lp
+
+
+def text_kn_modified_bigram_lm(
+    spark: SparkSession, sf: str, *, vocab_k: int = _BLM_VOCAB_K
+) -> DataFrame:
+    """Modified Kneser-Ney bigram LM — text_kn_bigram_lm upgraded from
+    the single fixed discount to Chen & Goodman's three estimated
+    count-class discounts (see _mkn_model_exprs), i.e. the smoothing
+    KenLM actually implements:
+
+        P(w|v) = (c(v,w) − D(c(v,w)))/c(v) + γ(v)·P_cont(w)
+        γ(v)   = (D1·N1(v) + D2·N2(v) + D3+·N3+(v)) / c(v)
+
+    with Nk(v) = #{w : c(v,w) = k} (N3+ cumulative) and the same
+    continuation distribution P_cont(w) = N1+(·,w)/N1+(·,·) as the
+    interpolated model.
+
+    Cross-engine exactness: every nk/Nk(v)/c is a BIGINT aggregate; the
+    discounts are ONE shared formula over those integers evaluated in
+    the one-row count-of-counts relation, the per-token probability is
+    ONE shared formula (identically-ordered IEEE ops), the per-doc fold
+    is pinned-order, and the closing mean/EXP follow the 6dp
+    libm-parity discipline.
+
+    Physical shape at 100 TB: identical to text_kn_bigram_lm — the
+    model is bounded broadcast relations (bigram grid, context table
+    now carrying the three per-context class counts, continuation
+    table, ONE-row discounts), bigram formation is one lag window on
+    doc_id; no shuffle on the Zipf-hot bigram key."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_k)
+    )
+    syms = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.expr("CASE WHEN c IS NULL THEN '' ELSE tok END").alias("sym"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = syms.select(
+        "doc_id",
+        "pos",
+        "sym",
+        F.coalesce(F.lag("sym").over(w), F.lit(_BLM_BOS)).alias("prev"),
+    ).localCheckpoint(eager=False)  # consumed by train (3x) AND apply
+    bgc = bg.groupBy("prev", "sym").agg(F.count("*").cast("long").alias("c_bg"))
+    ctx = bgc.groupBy("prev").agg(
+        F.expr("CAST(SUM(c_bg) AS BIGINT)").alias("c_ctx"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1v"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2v"),
+        F.expr("CAST(SUM(CASE WHEN c_bg >= 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3v"),
+    )
+    back = bgc.groupBy("sym").agg(F.count("*").cast("long").alias("n1b"))
+    discount_exprs, lp = _mkn_model_exprs()
+    nn = bgc.agg(
+        F.count("*").cast("long").alias("n_bg"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3"),
+        F.expr("CAST(SUM(CASE WHEN c_bg = 4 THEN 1 ELSE 0 END) AS BIGINT)").alias("n4"),
+    ).selectExpr("n_bg", *discount_exprs)
+    scored = (
+        bg.join(F.broadcast(bgc), ["prev", "sym"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(back), "sym")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", "pos", F.expr(lp).alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+        ).alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("ROUND(slp / n_tokens, 6)").alias("mean_logprob"),
+        F.expr("ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6)").alias("ppl_proxy"),
+    )
+
+
+def _mkn_sql() -> str:
+    discount_exprs, lp = _mkn_model_exprs()
+    discounts_select = ", ".join(discount_exprs)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {_BLM_VOCAB_K}
+), syms AS (
+  SELECT doc_id, pos, CASE WHEN c IS NULL THEN '' ELSE tok END AS sym
+  FROM tok LEFT JOIN vocab USING (tok)
+), bg AS (
+  SELECT doc_id, pos, sym,
+         COALESCE(LAG(sym) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BLM_BOS}') AS prev
+  FROM syms
+), bgc AS (
+  SELECT prev, sym, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY prev, sym
+), ctx AS (
+  SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_ctx,
+         CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+         CAST(SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2v,
+         CAST(SUM(CASE WHEN c_bg >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3v
+  FROM bgc GROUP BY prev
+), back AS (
+  SELECT sym, CAST(COUNT(*) AS BIGINT) AS n1b FROM bgc GROUP BY sym
+), counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bg,
+         CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN c_bg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN c_bg = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM bgc
+), nn AS (
+  SELECT n_bg, {discounts_select} FROM counts
+), scored AS (
+  SELECT doc_id, pos, {lp} AS lp
+  FROM bg JOIN bgc USING (prev, sym) JOIN ctx USING (prev) JOIN back USING (sym)
+  CROSS JOIN nn
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
+       ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
 _KS_CRIT_05 = 1.358  # asymptotic two-sample KS critical coefficient, α=0.05
 
 
@@ -1799,6 +1975,16 @@ QUERIES: dict[str, QuerySpec] = {
         _BLM_SQL,
         "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
         "broadcast, lag-window bigram formation, order-sensitive quality)",
+    ),
+    "text_kn_modified_bigram_lm": QuerySpec(
+        text_kn_modified_bigram_lm,
+        _mkn_sql(),
+        "LLM-pipeline text (MODIFIED Kneser-Ney bigram LM, Chen & "
+        "Goodman 1998 §3 — the exact smoothing KenLM implements: three "
+        "count-class discounts D1/D2/D3+ estimated closed-form from the "
+        "bigram count-of-counts, per-context class counts in the "
+        "broadcast context table, shared-formula cross-engine "
+        "transcription)",
     ),
     "text_kn_bigram_lm": QuerySpec(
         text_kn_bigram_lm,
