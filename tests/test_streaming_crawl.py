@@ -196,3 +196,59 @@ def test_streaming_whole_funnel_equals_batch(spark, tmp_path):
     # the batch aggregation (the funnel-report shape downstream uses)
     agg = lambda rows: [sum(1 for r in rows if r[i]) for i in (2, 3, 4, 5)]
     assert agg(streamed) == agg(batch) == [3, 2, 2, 1]
+
+
+def test_streaming_crawl_report_matches_batch(spark, tmp_path):
+    """Round-12: the funnel REPORT maintained incrementally — segments
+    arrive across two batches with a kill-and-restart between them; the
+    merged store equals the batch funnel aggregation over the same
+    directory (batch-keyed overwrite = replay-safe SUM merge)."""
+    from mmeds_meta_spark.operators.html import crawl_funnel_rows
+    from mmeds_meta_spark.streaming.crawl_report import (
+        crawl_report_store,
+        start_streaming_crawl_report,
+    )
+
+    register_warc_source(spark)
+    feed = tmp_path / "rfeed"
+    feed.mkdir()
+    good = (
+        "<p>This substantive paragraph easily clears every minimum and"
+        " it ends with proper punctuation to satisfy the line rules.</p>"
+        "<p>A second long sentence keeps the page past the sentence"
+        " threshold for the funnel's relaxed page rule!</p>"
+    )
+    write_warc(
+        [
+            {"uri": "https://keep.example.com/a", "html": good},
+            {"uri": "https://www.src0.co.jp/x", "html": good},
+        ],
+        str(feed / "seg-00000.warc"),
+    )
+    store, ck = str(tmp_path / "rstore"), str(tmp_path / "rck")
+    q = start_streaming_crawl_report(spark, str(feed), store, ck)
+    q.awaitTermination()
+    write_warc(
+        [
+            {"uri": "https://keep.example.com/b", "html": "<p>tiny</p>"},
+            {"uri": "https://keep.example.com/c",
+             "html": good.replace("paragraph easily", "paragraph dup easily")},
+        ],
+        str(feed / "seg-00001.warc"),
+    )
+    q2 = start_streaming_crawl_report(spark, str(feed), store, ck)  # restart
+    q2.awaitTermination()
+
+    streamed = sorted(
+        tuple(r) for r in crawl_report_store(spark, store).collect()
+    )
+    rows = crawl_funnel_rows(spark.read.format("warc").load(str(feed))).collect()
+    s = [len(rows)] + [sum(1 for r in rows if r[f"k{i}"]) for i in (1, 2, 3, 4)]
+    batch = sorted(
+        (i + 1, n, s[i], s[i + 1])
+        for i, n in enumerate(
+            ("url_filter", "html_extract", "c4_line_filter", "badwords")
+        )
+    )
+    assert streamed == batch
+    assert s == [4, 3, 2, 2, 1]
