@@ -1126,7 +1126,8 @@ QUERIES: dict[str, QuerySpec] = {
     "web_domain_join_profile": QuerySpec(
         web_domain_join_profile,
         _domain_join_profile_sql(),
-        "beyond-reference: the PSL longest-match as an explode + "
+        "beyond-reference: the publicsuffix.org longest-match (the "
+        "RefinedWeb/Dolma domain-grouping rule) as an explode + "
         "broadcast rules-table join (round-11 verdict Missing #3) — "
         "per-domain host/doc profile through mode='join'; the oracle is "
         "the literal-walk transcription, so the gate cross-checks the "
