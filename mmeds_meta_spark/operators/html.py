@@ -360,8 +360,14 @@ def c4_line_filter_expr(
         "CASE WHEN t = '' THEN CAST(0 AS BIGINT)"
         f" ELSE {d['size'].format(x=split_words)} END"
     )
+    # C4 §2.2 keeps lines ending in "a terminal punctuation mark (i.e.
+    # a period, exclamation mark, question mark, or end quotation
+    # mark)".  Round 12: with numeric character references now decoded
+    # (&#8221; → ”), real pages end lines in CURLY quotes — the end-
+    # quotation set covers the straight double/single quotes and their
+    # curly closers (the apostrophe doubles as ASCII close-quote).
     keep = (
-        f"right(t, 1) IN ('.', '!', '?', '\"')"
+        "right(t, 1) IN ('.', '!', '?', '\"', '''', '’', '”')"
         f" AND {words} >= {min_words}"
         f" AND {d['find']}(lower(t), 'javascript') = 0"
     )

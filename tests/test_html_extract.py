@@ -254,3 +254,40 @@ def test_numeric_character_references_decode(spark):
         params=[page],
     ).fetchone()[0]
     assert d == row.text
+
+
+def test_c4_terminal_punctuation_accepts_curly_quotes(spark):
+    # C4 keeps lines ending in an END QUOTATION MARK; with numeric refs
+    # now decoded, that must include the curly closers (round 12)
+    page = "\n".join(
+        [
+            "He said the whole thing was “perfectly reasonable.”",
+            "She answered with a very clear and audible ‘maybe.’",
+            "An ASCII single-quoted ending also counts as a quote.'",
+            "but this trailing curly-open quote line is dropped “",
+        ]
+    )
+    from mmeds_meta_spark.operators.html import c4_line_filter
+
+    df = spark.createDataFrame([("d0", page)], "uri string, text string")
+    row = c4_line_filter(df).collect()[0]
+    kept = row.text_clean.split("\n")
+    assert kept == [
+        "He said the whole thing was “perfectly reasonable.”",
+        "She answered with a very clear and audible ‘maybe.’",
+        "An ASCII single-quoted ending also counts as a quote.'",
+    ]
+    # cross-engine parity on the curly-quote cells
+    d = duckdb.sql(
+        "SELECT s.n_kept, s.txt FROM (SELECT "
+        + c4_line_filter_expr_both(page)
+        + " AS s)",
+    ).fetchone()
+    assert d[0] == row.n_kept and d[1] == row.text_clean
+
+
+def c4_line_filter_expr_both(page):
+    from mmeds_meta_spark.operators.html import c4_line_filter_expr
+
+    lit = page.replace("'", "''").replace(chr(10), "' || chr(10) || '")
+    return c4_line_filter_expr(f"'{lit}'", spark_side=False)
