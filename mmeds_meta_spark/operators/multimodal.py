@@ -96,13 +96,77 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, len(bands), sum(mean) / len(mean)
 
 
+def _pnm_parse(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PNM image (P5 grayscale / P6 RGB, maxval ≤ 255 —
+    the netpbm formats, public spec) → (width, height, channels,
+    raster).  Pure Python, no codec library: this is the REAL branch of
+    the codec seam that runs in environments without Pillow/ffmpeg.
+    Raises ValueError on anything that is not a well-formed ≤8-bit
+    binary PNM (the caller's quarantine stance decides what to do)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6) payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and '#' comment lines between header tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    raster = payload[pos : pos + width * height * channels]
+    if len(raster) < width * height * channels:
+        raise ValueError("truncated PNM raster")
+    return width, height, channels, raster
+
+
+def _pnm_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Real pure-Python codec branch: exact integer-sum mean over the
+    raster (deterministic — no float accumulation order)."""
+    width, height, channels, raster = _pnm_parse(payload)
+    return width, height, channels, sum(raster) / len(raster)
+
+
+def _pnm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor PNM resize, numpy-vectorized, re-encoded to the
+    same P5/P6 format.  Index arithmetic is exact integers
+    (floor(i·src/dst)), so the output bytes are deterministic."""
+    import numpy as np
+
+    w0, h0, channels, raster = _pnm_parse(payload)
+    a = np.frombuffer(raster, dtype=np.uint8).reshape(h0, w0, channels)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    out = a[ys][:, xs]
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + out.tobytes()
+
+
+def encode_pnm(width: int, height: int, pixels: bytes) -> bytes:
+    """Test/fixture helper: wrap raw raster bytes as P6 (len = w·h·3)
+    or P5 (len = w·h)."""
+    channels = len(pixels) // (width * height)
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
 def decode_media(
     df: DataFrame, *, use_fake_codec: bool = False, codec: str | None = None
 ) -> DataFrame:
     """Decode binary payloads → typed metadata rows via ``mapInPandas``.
 
     ``codec``: ``"fake"`` (deterministic byte-derived stand-in),
-    ``"pil"`` (real Pillow decoder — images only; Pillow imports lazily on
+    ``"pnm"`` (REAL pure-Python netpbm P5/P6 decoder — runs in this
+    environment with no codec library; round 12), ``"pil"`` (real
+    Pillow decoder — any image format Pillow reads; imports lazily on
     the executor), or ``None`` — the documented stub seam: the returned
     plan raises ``NotImplementedError`` at execution time where a codec
     plugs in.  ``use_fake_codec=True`` is the legacy spelling of
@@ -119,12 +183,14 @@ def decode_media(
             decode = _fake_decode
         elif codec == "pil":
             decode = _pil_decode
+        elif codec == "pnm":
+            decode = _pnm_decode
         else:
 
             def decode(payload: bytes) -> tuple[int, int, int, float]:
                 raise NotImplementedError(
                     "media codecs unavailable in this environment; pass "
-                    "codec='fake'/'pil' or plug a real decoder here"
+                    "codec='fake'/'pnm'/'pil' or plug a real decoder here"
                 )
 
         for pdf in it:
@@ -153,31 +219,48 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(
-    df: DataFrame, width: int, height: int, *, use_fake_codec: bool = False
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    use_fake_codec: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Resize plumbing (payload → payload): Arrow-batched ``mapInPandas``
-    with the same stub seam as :func:`decode_media`.  The fake codec
+    with the same codec seam as :func:`decode_media`.  ``codec="fake"``
     truncates/cycles the byte stream to exactly width×height bytes so
-    tests can assert output sizes and determinism; a real implementation
-    swaps in PIL/ffmpeg inside the batch loop — the Spark-side contract
-    (schema, batch shape, binary-in/binary-out) is unchanged."""
+    tests can assert output sizes and determinism; ``codec="pnm"``
+    (round 12) is a REAL nearest-neighbor resampler over the netpbm
+    P5/P6 formats (numpy-vectorized, exact integer index arithmetic —
+    deterministic output bytes, re-decodable by decode_media);
+    ``None`` keeps the stub seam where PIL/ffmpeg plugs in.  The
+    Spark-side contract (schema, batch shape, binary-in/binary-out)
+    is identical for every branch."""
     import pandas as pd
+
+    if use_fake_codec and codec is None:
+        codec = "fake"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            if not use_fake_codec:
+            if codec == "fake":
+                n = width * height
+                # empty payloads pad with NUL so the output is ALWAYS
+                # exactly width*height bytes (b'' * k is empty — the
+                # contract would silently break on zero-length media)
+                out = [
+                    bytes(((p or b"\x00") * (n // max(len(p), 1) + 1))[:n])
+                    for p in map(bytes, pdf["payload"])
+                ]
+            elif codec == "pnm":
+                out = [
+                    _pnm_resize(bytes(p), width, height) for p in pdf["payload"]
+                ]
+            else:
                 raise NotImplementedError(
                     "media codecs unavailable in this environment; "
-                    "pass use_fake_codec=True or plug a real resizer here"
+                    "pass codec='fake'/'pnm' or plug a real resizer here"
                 )
-            n = width * height
-            # empty payloads pad with NUL so the output is ALWAYS exactly
-            # width*height bytes (b'' * k is empty — the contract would
-            # silently break on zero-length media otherwise)
-            out = [
-                bytes(((p or b"\x00") * (n // max(len(p), 1) + 1))[:n])
-                for p in map(bytes, pdf["payload"])
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -126,3 +126,66 @@ def test_decode_media_real_pillow_codec(spark):
     assert got[1].mean_intensity == pytest.approx((10 + 20 + 30) / 3)
     assert (got[2].width, got[2].height, got[2].n_channels) == (2, 7, 3)
     assert got[2].mean_intensity == pytest.approx(255 / 3)
+
+
+# ------------------------------------------------ pure-Python PNM codec
+
+def test_pnm_decode_hand_built():
+    """Round 12: the REAL codec branch that needs no library — binary
+    netpbm P5/P6 with comment-tolerant header parsing, exact integer
+    mean."""
+    from mmeds_meta_spark.operators.multimodal import _pnm_decode, encode_pnm
+
+    p6 = b"P6\n# a comment line\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    w, h, c, mean = _pnm_decode(p6)
+    assert (w, h, c) == (2, 2, 3)
+    assert mean == sum([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]) / 12
+    p5 = encode_pnm(3, 1, bytes([10, 20, 30]))
+    assert _pnm_decode(p5) == (3, 1, 1, 20.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a binary PNM"):
+        _pnm_decode(b"JFIF....")
+    with _pytest.raises(ValueError, match="truncated"):
+        _pnm_decode(b"P5\n4 4\n255\nxy")
+
+
+def test_decode_media_pnm_end_to_end(spark):
+    from mmeds_meta_spark.operators.multimodal import encode_pnm
+
+    rows = [
+        (1, encode_pnm(2, 2, bytes(range(12)))),          # P6 2x2
+        (2, encode_pnm(4, 1, bytes([0, 100, 200, 255]))), # P5 4x1
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in decode_media(df, codec="pnm").collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (2, 2, 3)
+    assert got[1].mean_intensity == sum(range(12)) / 12
+    assert (got[2].width, got[2].height, got[2].n_channels) == (4, 1, 1)
+    assert got[2].mean_intensity == (0 + 100 + 200 + 255) / 4
+
+
+def test_resize_media_pnm_nearest_neighbor(spark):
+    """4x4 P5 gradient -> 2x2: nearest-neighbor picks rows/cols 0 and 2
+    (floor(i*4/2)); the output is a re-decodable P5 with exact bytes."""
+    from mmeds_meta_spark.operators.multimodal import _pnm_decode, encode_pnm
+
+    grad = bytes(range(16))  # 4x4: row r, col c -> 4r + c
+    df = spark.createDataFrame(
+        [(7, encode_pnm(4, 4, grad))], "media_id long, payload binary"
+    )
+    (row,) = resize_media(df, 2, 2, codec="pnm").collect()
+    assert (row.width, row.height) == (2, 2)
+    w, h, c, raster_mean = _pnm_decode(bytes(row.payload))
+    assert (w, h, c) == (2, 2, 1)
+    assert bytes(row.payload).endswith(bytes([0, 2, 8, 10]))
+    # round-trip through the decode operator on the resized payload
+    (d,) = decode_media(
+        spark.createDataFrame(
+            [(7, bytes(row.payload))], "media_id long, payload binary"
+        ),
+        codec="pnm",
+    ).collect()
+    assert (d.width, d.height, d.mean_intensity) == (2, 2, (0 + 2 + 8 + 10) / 4)
