@@ -189,3 +189,31 @@ def test_resize_media_pnm_nearest_neighbor(spark):
         codec="pnm",
     ).collect()
     assert (d.width, d.height, d.mean_intensity) == (2, 2, (0 + 2 + 8 + 10) / 4)
+
+
+def test_pnm_resize_identity_property():
+    """Resizing to the source dimensions is the identity (nearest-
+    neighbor indices floor(i*n/n) = i) — over arbitrary small rasters."""
+    from hypothesis import given, settings, strategies as st
+
+    from mmeds_meta_spark.operators.multimodal import _pnm_resize, encode_pnm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        chan=st.sampled_from([1, 3]),
+        data=st.data(),
+    )
+    def check(w, h, chan, data):
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * chan, max_size=w * h * chan
+                )
+            )
+        )
+        p = encode_pnm(w, h, raster)
+        assert _pnm_resize(p, w, h).endswith(raster)
+
+    check()
