@@ -165,9 +165,11 @@ HEAVY = [
     "web_url_filter",
     "pipeline_crawl_funnel",
     "text_kn_bigram_lm",
-    # round-12: the KenLM-exact modified-KN variant — tracked from its
-    # first gated round so the shared-machinery claim carries an anchor
+    # round-12: the KenLM-exact modified-KN variant and the full-recursion
+    # trigram — tracked from their first gated round so the broadcast-model
+    # claims carry anchors
     "text_kn_modified_bigram_lm",
+    "text_kn_trigram_lm",
 ]
 
 

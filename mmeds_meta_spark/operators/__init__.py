@@ -74,6 +74,12 @@ _GATE_TAIL: tuple[str, ...] = (
     # sketch_hll_distinct (all in-head this round) and rejoins the
     # deferred-r06 set below:
     "sketch_kmv_setops",
+    # -- round-12 session-2 (cont.): the new text_kn_trigram_lm (the
+    # full KN backoff recursion) gates immediately; its slot comes from
+    # the next-newest r06 fill member — sketch_hll_distinct's register-
+    # merge shape keeps gated twins via sketch_hll_by_group (in-head
+    # r05 cohort) and w16_sliding_distinct_hll's suite coverage:
+    "sketch_hll_distinct",
     # -- latest driver evidence r06 (7 entries)
     "text_bm25_topk",
     "text_lm_score",

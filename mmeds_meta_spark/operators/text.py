@@ -852,6 +852,165 @@ FROM per_doc
 """
 
 
+# Interpolated Kneser-Ney TRIGRAM LM with the full backoff recursion
+# (Chen & Goodman 1998 eq. 18-20): the highest order uses raw counts,
+# every LOWER order uses CONTINUATION counts — the bigram level is
+# estimated from "how many distinct left-contexts precede (v,w)", not
+# from raw bigram frequency, and the unigram level from distinct
+# contexts of w.  This is the recursion KenLM evaluates at query time;
+# the engine's bigram entries (text_kn_bigram_lm / _modified) are its
+# order-2 truncation.
+#
+#   P3(w|u,v) = (c(uvw) − D)/c(uv·) + γ3(uv)·P2c(w|v)
+#   γ3(uv)    = D·N1+(uv·)/c(uv·)
+#   P2c(w|v)  = (N1+(·vw) − D)/N1+(·v·) + γ2(v)·P1c(w)
+#   γ2(v)     = D·N1+dist(v·)/N1+(·v·)
+#   P1c(w)    = N1+(·w)/N1+(··)      [distinct (v,w) bigram types]
+#
+# Self-scored corpus ⇒ every queried count ≥ 1, so with D = 0.75 every
+# discounted numerator stays ≥ (1 − D) > 0 and LN is defined.
+_KN3_LP = (
+    "LN((CAST(c3 AS DOUBLE) - {d}) / c_ctx3"
+    " + (({d} * n1f3) / c_ctx3)"
+    " * ((CAST(n_mid AS DOUBLE) - {d}) / n_midctx"
+    "    + (({d} * n1dist_v) / n_midctx)"
+    "    * (CAST(n1b AS DOUBLE) / n_bg)))"
+)
+
+
+def text_kn_trigram_lm(
+    spark: SparkSession, sf: str, *, vocab_k: int = _BLM_VOCAB_K
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM (see _KN3_LP) — per-doc mean
+    log-prob + perplexity over the capped-vocab symbol stream with
+    double-<s> padding.
+
+    Cross-engine exactness: all five model relations are BIGINT
+    aggregates; the per-token probability is the ONE _KN3_LP formula
+    string on both engines (identically-ordered IEEE ops), the per-doc
+    fold is pinned-order, and the closing mean/EXP follow the 6dp
+    libm-parity discipline.
+
+    Physical shape at 100 TB: the model is five bounded broadcast
+    relations — trigram counts (≤ distinct observed trigrams, itself
+    ≤ (K+2)²·(K+1) by the vocab cap: K directly buys broadcastability),
+    the (u,v) context table, the continuation-bigram table with its
+    per-v margins, the unigram continuation table, and the one-row
+    bigram-type count; trigram formation is TWO lag windows partitioned
+    on doc_id.  No shuffle on the Zipf-hot n-gram keys anywhere —
+    events meet the model by broadcast."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_k)
+    )
+    syms = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.expr("CASE WHEN c IS NULL THEN '' ELSE tok END").alias("sym"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tg = syms.select(
+        "doc_id",
+        "pos",
+        F.col("sym").alias("w"),
+        F.coalesce(F.lag("sym", 1).over(w), F.lit(_BLM_BOS)).alias("v"),
+        F.coalesce(F.lag("sym", 2).over(w), F.lit(_BLM_BOS)).alias("u"),
+    ).localCheckpoint(eager=False)  # consumed by train (5x) AND apply
+    tgc = tg.groupBy("u", "v", "w").agg(F.count("*").cast("long").alias("c3"))
+    ctx3 = tgc.groupBy("u", "v").agg(
+        F.expr("CAST(SUM(c3) AS BIGINT)").alias("c_ctx3"),
+        F.count("*").cast("long").alias("n1f3"),
+    )
+    mid = tgc.groupBy("v", "w").agg(F.count("*").cast("long").alias("n_mid"))
+    midctx = mid.groupBy("v").agg(
+        F.expr("CAST(SUM(n_mid) AS BIGINT)").alias("n_midctx"),
+        F.count("*").cast("long").alias("n1dist_v"),
+    )
+    back = mid.groupBy("w").agg(F.count("*").cast("long").alias("n1b"))
+    nbg = mid.agg(F.count("*").cast("long").alias("n_bg"))
+    lp = _KN3_LP.format(d=_KN_D)
+    scored = (
+        tg.join(F.broadcast(tgc), ["u", "v", "w"])
+        .join(F.broadcast(ctx3), ["u", "v"])
+        .join(F.broadcast(mid), ["v", "w"])
+        .join(F.broadcast(midctx), "v")
+        .join(F.broadcast(back), "w")
+        .crossJoin(F.broadcast(nbg))
+        .select("doc_id", "pos", F.expr(lp).alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0 AS DOUBLE), (acc, q) -> acc + q.lp)"
+        ).alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("ROUND(slp / n_tokens, 6)").alias("mean_logprob"),
+        F.expr("ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6)").alias("ppl_proxy"),
+    )
+
+
+def _kn3_sql() -> str:
+    lp = _KN3_LP.format(d=_KN_D)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {_BLM_VOCAB_K}
+), syms AS (
+  SELECT doc_id, pos, CASE WHEN c IS NULL THEN '' ELSE tok END AS sym
+  FROM tok LEFT JOIN vocab USING (tok)
+), tg AS (
+  SELECT doc_id, pos, sym AS w,
+         COALESCE(LAG(sym, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BLM_BOS}') AS v,
+         COALESCE(LAG(sym, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BLM_BOS}') AS u
+  FROM syms
+), tgc AS (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg GROUP BY u, v, w
+), ctx3 AS (
+  SELECT u, v, CAST(SUM(c3) AS BIGINT) AS c_ctx3,
+         CAST(COUNT(*) AS BIGINT) AS n1f3
+  FROM tgc GROUP BY u, v
+), mid AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS n_mid FROM tgc GROUP BY v, w
+), midctx AS (
+  SELECT v, CAST(SUM(n_mid) AS BIGINT) AS n_midctx,
+         CAST(COUNT(*) AS BIGINT) AS n1dist_v
+  FROM mid GROUP BY v
+), back AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1b FROM mid GROUP BY w
+), nbg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM mid
+), scored AS (
+  SELECT doc_id, pos, {lp} AS lp
+  FROM tg JOIN tgc USING (u, v, w) JOIN ctx3 USING (u, v)
+  JOIN mid USING (v, w) JOIN midctx USING (v) JOIN back USING (w)
+  CROSS JOIN nbg
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS slp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
+       ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
 _KS_CRIT_05 = 1.358  # asymptotic two-sample KS critical coefficient, α=0.05
 
 
@@ -1975,6 +2134,15 @@ QUERIES: dict[str, QuerySpec] = {
         _BLM_SQL,
         "LLM-pipeline text (bigram-LM perplexity proxy: bounded bigram-grid "
         "broadcast, lag-window bigram formation, order-sensitive quality)",
+    ),
+    "text_kn_trigram_lm": QuerySpec(
+        text_kn_trigram_lm,
+        _kn3_sql(),
+        "LLM-pipeline text (interpolated Kneser-Ney TRIGRAM LM with the "
+        "full backoff recursion, Chen & Goodman 1998 eq. 18-20 — lower "
+        "orders from CONTINUATION counts, the KenLM query-time "
+        "recursion; five bounded broadcast model relations, two lag "
+        "windows, one shared formula string on both engines)",
     ),
     "text_kn_modified_bigram_lm": QuerySpec(
         text_kn_modified_bigram_lm,

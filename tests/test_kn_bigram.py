@@ -131,3 +131,43 @@ def test_mkn_differs_from_interpolated_but_correlates(spark):
     num = sum((ra[i] - rb[i]) ** 2 for i in ids)
     rho = 1 - 6 * num / (n * (n * n - 1))
     assert rho > 0.9, rho
+
+
+def test_kn3_hand_computed_tiny_corpus(spark, tmp_path):
+    """Trigram KN (round 12), corpus "a b"/"a c", D=0.75.  Events per
+    doc: (<s>,<s>,a), (<s>,a,x).  Model: c3(<s><s>a)=2, c3(<s>ab)=
+    c3(<s>ac)=1; ctx3(<s>,<s>)=(2,1), ctx3(<s>,a)=(2,2); mid rows
+    (<s>,a)/(a,b)/(a,c) all 1; midctx: <s>→(1,1), a→(2,2); P1c = 1/3
+    for a,b,c over n_bg=3.
+      P(a|<s>,<s>) = 1.25/2 + (.75/2)·[.25/1 + (.75/1)(1/3)] = 0.8125
+      P(b|<s>,a)   = .25/2  + (.75·2/2)·[.25/2 + (.75·2/2)(1/3)]
+                   = 0.125 + 0.75·0.375 = 0.40625
+    """
+    import math
+
+    from mmeds_meta_spark.operators.text import text_kn_trigram_lm
+
+    d = _tiny_corpus(spark, tmp_path, ["a b", "a c"])
+    rows = {r.doc_id: r for r in text_kn_trigram_lm(spark, d).collect()}
+    want_mean = round((math.log(0.8125) + math.log(0.40625)) / 2, 6)
+    assert rows[0].n_tokens == 2 and rows[1].n_tokens == 2
+    assert rows[0].mean_logprob == rows[1].mean_logprob == want_mean
+    assert rows[0].ppl_proxy == round(math.exp(-want_mean), 6)
+
+
+def test_kn3_longer_context_sharpens_repeated_patterns(spark, tmp_path):
+    """The trigram's value over the bigram: a phrase whose third word is
+    fully determined by TWO words of context scores higher under the
+    trigram model.  'x y z' repeated: after (x,y) the continuation z is
+    deterministic at order 3, but at order 2 (y,·) still shares mass."""
+    from mmeds_meta_spark.operators.text import (
+        text_kn_bigram_lm,
+        text_kn_trigram_lm,
+    )
+
+    corpus = ["x y z"] * 6 + ["w y q"] * 6  # y's bigram successors split z/q
+    d = _tiny_corpus(spark, tmp_path, corpus)
+    bg = {r.doc_id: r.mean_logprob for r in text_kn_bigram_lm(spark, d).collect()}
+    tg = {r.doc_id: r.mean_logprob for r in text_kn_trigram_lm(spark, d).collect()}
+    # doc 0 = "x y z": trigram (x,y)->z is deterministic; bigram y->z is 50/50
+    assert tg[0] > bg[0]
