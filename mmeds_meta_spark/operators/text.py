@@ -1190,7 +1190,9 @@ def text_ccnet_buckets(
     ``scorer`` picks the perplexity model (round-11 verdict #8):
     ``'unigram'`` — text_lm_score's capped-vocab unigram proxy;
     ``'kn'`` — text_kn_bigram_lm's interpolated Kneser-Ney bigram
-    perplexity, the smoothing class CCNet's actual KenLM filters use.
+    perplexity, the smoothing class CCNet's actual KenLM filters use;
+    ``'mkn'`` / ``'kn3'`` (round 12) — the modified-discount bigram and
+    the full-recursion trigram models.
     The bucket machinery (value histogram, integer-arithmetic tercile
     cutoffs, assignment join) is IDENTICAL either way; the KN variant
     shares text_kn_bigram_lm's three bounded broadcast model relations
@@ -1199,8 +1201,14 @@ def text_ccnet_buckets(
         scores = text_lm_score(spark, sf)
     elif scorer == "kn":
         scores = text_kn_bigram_lm(spark, sf)
+    elif scorer == "mkn":
+        scores = text_kn_modified_bigram_lm(spark, sf)
+    elif scorer == "kn3":
+        scores = text_kn_trigram_lm(spark, sf)
     else:
-        raise ValueError(f"scorer must be 'unigram' or 'kn', got {scorer!r}")
+        raise ValueError(
+            f"scorer must be 'unigram', 'kn', 'mkn', or 'kn3', got {scorer!r}"
+        )
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     # j feeds BOTH the value histogram and the final assignment join;
     # without the checkpoint Catalyst re-evaluates the whole LM plan
