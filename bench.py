@@ -170,6 +170,9 @@ HEAVY = [
     # claims carry anchors
     "text_kn_modified_bigram_lm",
     "text_kn_trigram_lm",
+    # round-12: the composed CCNet pipeline — one paragraph shuffle +
+    # checkpointed dedup relation + broadcast LM; tracked from day one
+    "pipeline_ccnet_funnel",
 ]
 
 

@@ -80,6 +80,13 @@ _GATE_TAIL: tuple[str, ...] = (
     # merge shape keeps gated twins via sketch_hll_by_group (in-head
     # r05 cohort) and w16_sliding_distinct_hll's suite coverage:
     "sketch_hll_distinct",
+    # -- round-12 session-2 (cont.): the new pipeline_ccnet_funnel (the
+    # complete CCNet pipeline as one plan) gates immediately; its slot
+    # comes from the next-newest r06 fill member — sketch_cms_heavy's
+    # conservative-update heavy-hitters shape keeps gated twins via
+    # sketch_hll_by_group (in-head) + the streaming sketches suite, and
+    # rejoins the deferred-r06 set below:
+    "sketch_cms_heavy",
     # -- latest driver evidence r06 (7 entries)
     "text_bm25_topk",
     "text_lm_score",

@@ -1016,7 +1016,182 @@ FROM eff, tot
 """
 
 
+def pipeline_ccnet_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet pipeline end-to-end (Wenzek et al. 2020, Fig. 1 order):
+    paragraph-hash dedup with keep-first reassembly → language ID →
+    Kneser-Ney perplexity of the DEDUPED text → per-language
+    head/middle/tail buckets — one gated plan, reporting
+    ``(lang, ccnet_bucket, n_docs, n_removed_paras)``.
+
+    Composition notes (each stage is the proven kernel of its
+    standalone entry — dedup: dedup.ccnet_paras + the keeper election
+    of dedup_paragraphs_ccnet; langid: text_langid_heuristic's marker
+    vote; LM: text.kn_bigram_scores; buckets:
+    text.ccnet_bucket_assign):
+
+    * the deduped (doc_id, text_dedup, n_removed) relation is
+      eagerly checkpointed ONCE — five consumers follow (the langid
+      pass, the KN kernel's vocab/bigram-train/apply branches, and the
+      final report join); without it Catalyst re-runs the paragraph
+      shuffle per consumer;
+    * scoring runs on the DEDUPED text (the CCNet order: boilerplate
+      paragraphs must not drag every host page into the tail bucket);
+      a fully-deduplicated document ('' text) still scores — split('')
+      yields one OOV token on both engines, so no rows are lost;
+    * the (doc_id, lang, ppl) relation checkpoints before the bucket
+      histogram (two consumers: histogram + assignment join) — the
+      text_ccnet_buckets discipline.
+
+    Physical shape at 100 TB: ONE paragraph-hash shuffle (uniform md5
+    keys), the bounded broadcast LM relations, a value-histogram
+    orders-of-magnitude smaller than the corpus, and a final
+    |langs|x3-row report agg."""
+    from .dedup import ccnet_paras
+    from .text import _LANG_MARKERS, ccnet_bucket_assign, kn_bigram_scores
+
+    paras = ccnet_paras(_t(spark, sf, "documents"))
+    keeper = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dedup = (
+        paras.join(keeper, "h")
+        .withColumn(
+            "kept",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)"
+            ).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(CASE WHEN kept THEN struct(pos, para) END)),"
+                " x -> x.para))"
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tok = dedup.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(*m), 1).otherwise(0))
+            .cast("long")
+            .alias(f"hits_{lang}")
+            for lang, m in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    lang = hits.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN hits_de >= hits_en AND hits_de >= hits_es THEN 'de' "
+            "WHEN hits_en >= hits_es THEN 'en' ELSE 'es' END"
+        ).alias("lang"),
+    )
+    scores = kn_bigram_scores(dedup.select("doc_id", "text"))
+    j = (
+        scores.join(lang, "doc_id")
+        .select("doc_id", "lang", "ppl_proxy")
+        .localCheckpoint(eager=True)
+    )
+    assigned = ccnet_bucket_assign(j)
+    return (
+        assigned.join(dedup.select("doc_id", "n_removed"), "doc_id")
+        .groupBy("lang", "ccnet_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("CAST(SUM(n_removed) AS BIGINT)").alias("n_removed_paras"),
+        )
+    )
+
+
+def _ccnet_funnel_sql() -> str:
+    from .dedup import _PARA_K, _para_norm
+    from .text import _LANG_MARKERS, _kn_sql_over
+
+    k = _PARA_K
+    norm = _para_norm("para", spark_side=False)
+    hit_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok IN {m!r} THEN 1 ELSE 0 END) AS BIGINT) AS hits_{lang}"
+        for lang, m in sorted(_LANG_MARKERS.items())
+    )
+    kn = _kn_sql_over("dd")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), paras AS (
+  SELECT doc_id, s.i - 1 AS pos,
+         array_to_string(list_slice(toks, (s.i - 1) * {k} + 1,
+                                    (s.i - 1) * {k} + {k}), ' ') AS para
+  FROM d, LATERAL (
+    SELECT unnest(range(1, CAST(ceil(len(toks) / {k}.0) AS BIGINT) + 1)) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id, pos, para, md5({norm}) AS h FROM paras
+), keeper AS (
+  SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM hashed GROUP BY h
+), flagged AS (
+  SELECT p.doc_id, p.pos, p.para,
+         p.doc_id = k.first.doc_id AND p.pos = k.first.pos AS kept
+  FROM hashed p JOIN keeper k USING (h)
+), dd AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pos), '')
+           AS text
+  FROM flagged GROUP BY doc_id
+), ltok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd
+), hits AS (
+  SELECT doc_id, {hit_cols}
+  FROM ltok GROUP BY doc_id
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN hits_de >= hits_en AND hits_de >= hits_es THEN 'de'
+              WHEN hits_en >= hits_es THEN 'en' ELSE 'es' END AS lang
+  FROM hits
+), kn AS MATERIALIZED ({kn}
+), j AS (
+  SELECT kn.doc_id, lang.lang, kn.ppl_proxy
+  FROM kn JOIN lang USING (doc_id)
+), vals AS (
+  SELECT lang, ppl_proxy, COUNT(*) AS cnt FROM j GROUP BY lang, ppl_proxy
+), buckets AS (
+  SELECT lang, ppl_proxy,
+         CASE WHEN SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_proxy
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+                   <= SUM(cnt) OVER (PARTITION BY lang) THEN 'head'
+              WHEN SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_proxy
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+                   <= SUM(cnt) OVER (PARTITION BY lang) * 2 THEN 'middle'
+              ELSE 'tail' END AS ccnet_bucket
+  FROM vals
+), assigned AS (
+  SELECT j.doc_id, j.lang, b.ccnet_bucket
+  FROM j JOIN buckets b ON b.lang = j.lang AND b.ppl_proxy = j.ppl_proxy
+)
+SELECT a.lang, a.ccnet_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dd.n_removed) AS BIGINT) AS n_removed_paras
+FROM assigned a JOIN dd USING (doc_id)
+GROUP BY a.lang, a.ccnet_bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_ccnet_funnel": QuerySpec(
+        pipeline_ccnet_funnel,
+        _ccnet_funnel_sql(),
+        "beyond-reference: the CCNet pipeline composed end-to-end "
+        "(Wenzek et al. 2020 Fig. 1 order — paragraph-hash dedup with "
+        "keep-first reassembly, language ID, Kneser-Ney perplexity of "
+        "the DEDUPED text, per-language head/middle/tail buckets) as "
+        "ONE plan: one paragraph shuffle, one checkpointed deduped "
+        "relation feeding five consumers, broadcast LM relations, "
+        "bounded value-histogram cutoffs",
+    ),
     "pipeline_mixture_plan": QuerySpec(
         pipeline_mixture_plan,
         _mixture_plan_sql(),

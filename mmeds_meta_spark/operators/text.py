@@ -576,7 +576,13 @@ def text_kn_bigram_lm(
     table — plus one global distinct-bigram count; bigram formation is
     one lag window partitioned on doc_id.  No shuffle on the Zipf-hot
     bigram key anywhere."""
-    d = _t(spark, sf, "documents")
+    return kn_bigram_scores(_t(spark, sf, "documents"), vocab_k=vocab_k)
+
+
+def kn_bigram_scores(d: DataFrame, *, vocab_k: int = _BLM_VOCAB_K) -> DataFrame:
+    """The interpolated-KN machinery over ANY (doc_id, text) relation —
+    the kernel behind text_kn_bigram_lm, shared by pipeline_ccnet_funnel
+    (which scores the paragraph-DEDUPED corpus, per the CCNet order)."""
     tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -633,11 +639,14 @@ def text_kn_bigram_lm(
 
 text_kn_bigram_lm.__doc__ = text_kn_bigram_lm.__doc__.format(d=_KN_D)
 
-_KN_SQL = f"""
+def _kn_sql_over(src: str = "documents") -> str:
+    """The interpolated-KN oracle over any (doc_id, text) CTE/table
+    name — the SQL twin of kn_bigram_scores."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS tok
-  FROM documents
+  FROM {src}
 ), vocab AS (
   SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
   ORDER BY c DESC, tok LIMIT {_BLM_VOCAB_K}
@@ -674,6 +683,10 @@ SELECT doc_id, n_tokens, ROUND(slp / n_tokens, 6) AS mean_logprob,
        ROUND(EXP(-ROUND(slp / n_tokens, 6)), 6) AS ppl_proxy
 FROM per_doc
 """
+
+
+_KN_SQL = _kn_sql_over()
+
 
 
 # Modified Kneser-Ney (Chen & Goodman 1998 §3; the EXACT smoothing KenLM
@@ -1220,6 +1233,13 @@ def text_ccnet_buckets(
         .select("doc_id", "lang", "ppl_proxy")
         .localCheckpoint(eager=True)
     )
+    return ccnet_bucket_assign(j)
+
+
+def ccnet_bucket_assign(j: DataFrame) -> DataFrame:
+    """Value-histogram tercile assignment over a (doc_id, lang,
+    ppl_proxy) relation — the bucket kernel shared by
+    text_ccnet_buckets (all scorers) and pipeline_ccnet_funnel."""
     vals = j.groupBy("lang", "ppl_proxy").agg(F.count("*").alias("cnt"))
     w = (
         Window.partitionBy("lang")
