@@ -317,12 +317,22 @@ def _psl_walk(host: str, *, spark_side: bool, icann_only: bool = False) -> str:
     )
 
 
+@lru_cache(maxsize=16)
 def registrable_domain(host_col: str, *, icann_only: bool = False) -> Column:
     """Registrable domain of a host column under the real PSL rules
     (longest matching rule + one label; wildcards and exceptions per
     publicsuffix.org).  Pure Catalyst: the PSL is bucketed constant
     literals probed per candidate suffix.  ``icann_only`` ignores the
-    PRIVATE section (see :func:`load_psl`)."""
+    PRIVATE section (see :func:`load_psl`).
+
+    The returned ``Column`` is cached per ``(host_col, icann_only)``:
+    ``F.expr`` parses the ~270 KB bucketed-PSL expression through the
+    Catalyst SQL parser at CALL time, a measured ~0.9 s of single-
+    threaded driver work (SCALE_NOTES round 11) that four bench queries
+    were each re-paying on every plan build.  A ``Column`` is an
+    immutable unresolved-expression wrapper, safe to reuse across
+    DataFrames and sessions within one JVM — this caches a plan
+    fragment, never data."""
     return F.expr(_psl_walk(host_col, spark_side=True, icann_only=icann_only))
 
 

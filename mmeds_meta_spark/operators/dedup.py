@@ -25,7 +25,7 @@ level.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 
 from ..testdata import table as _t
 from . import QuerySpec
@@ -1297,6 +1297,12 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_TAU}
 # ---------------------------------------------------------------------------
 
 
+# process-global sequence for CC-loop Observation names: each round's
+# metric must carry a session-unique name, including across multiple CC
+# invocations in one session (funnel + split + stats may all run the loop)
+_CC_OBS_SEQ = [0]
+
+
 def dedup_cluster_components(
     spark: SparkSession, sf: str, *, pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -1357,21 +1363,29 @@ def dedup_cluster_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    # labels only ever decrease elementwise, so the global label sum is a
+    # monotone potential: unchanged sum ⟺ fixpoint.  Summed as
+    # DECIMAL(38,0): a wrapped long sum could alias the previous round's
+    # value and terminate early at corpus-scale id ranges.  The sum rides
+    # the checkpoint's OWN materialization job via ``observe`` (an
+    # accumulator-backed CollectMetrics node — no extra scan), so each
+    # round runs ONE job, not checkpoint + a separate convergence agg
+    # (r12 optimization: 2.03 → 1.55 s for the post-pairs fixpoint at
+    # sf0.1, output byte-identical; at scale it removes one full pass
+    # over the label relation per round).
+    def _ckpt_with_sum(lb: DataFrame):
+        _CC_OBS_SEQ[0] += 1
+        ob = Observation(f"cc_label_sum_{_CC_OBS_SEQ[0]}")
+        ck = lb.observe(
+            ob, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, ob.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    # labels only ever decrease elementwise, so the global label sum is a
-    # monotone potential: unchanged sum ⟺ fixpoint.  One scalar agg per
-    # round instead of a join+count convergence probe.  Summed as
-    # DECIMAL(38,0): a wrapped long sum could alias the previous round's
-    # value and terminate early at corpus-scale id ranges.
-    def _label_sum(lb: DataFrame):
-        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-
-    prev_sum = _label_sum(labels)
     while True:
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -1383,19 +1397,18 @@ def dedup_cluster_components(
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         )
         # pointer jump: a label is itself a node id in the same component,
-        # so label-of-label is a valid (and ≤) label — halves the rounds.
+        # so label-of-label is a valid (and ≤) label — halves the rounds
+        # (A/B'd against a jump-free loop this round: 3 rounds vs 5,
+        # jump wins).
         ptr = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        labels = (
-            stepped.join(ptr, stepped["label"] == ptr["pnode"], "left")
-            .select(
+        labels, new_sum = _ckpt_with_sum(
+            stepped.join(ptr, stepped["label"] == ptr["pnode"], "left").select(
                 "node",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
-        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -2072,6 +2085,21 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # per branch — same fix as the SimHash fingerprints (16 scans → 2)
     docs = (
         e.join(dfreq, "el")
+        # Pin the doc-summary aggregation's partitioning to the session's
+        # shuffle parallelism: collect_list has NO map-side reduction, so
+        # this repartition IS the aggregation's exchange (groupBy on the
+        # same key reuses it — zero extra shuffle, verified in the r12
+        # plan capture), but an explicit REPARTITION_BY_NUM is exempt
+        # from AQE byte-based coalescing.  Without it, AQE sees a few MB
+        # of aggregated bytes and coalesces the checkpointed relation to
+        # 3-4 partitions, which then SERIALIZES every RDD-fed downstream
+        # stage — including the 13.9M-row candidate expansion, the most
+        # CPU-dense stage of the whole query (measured r12: 7.1 → 5.1 s
+        # at sf0.1).  The partition count follows spark.sql.shuffle
+        # .partitions (sized to the cluster), never a local constant.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
         .groupBy("doc_id")
         .agg(
             F.expr("transform(sort_array(collect_list(struct(df, el))), s -> s.el)").alias("els"),

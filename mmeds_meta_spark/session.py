@@ -33,6 +33,21 @@ def get_spark(app_name: str = "mmeds-meta-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTE-targeted; a CPU-dense stage over
+        # byte-light rows can be coalesced down to a serial handful of
+        # partitions.  Global floor sweeps were measured this round
+        # (64k / 256k / 1m at sf0.1): no single floor wins — smaller
+        # floors fix the CPU-dense stages (simjoin −2.4 s) but tax every
+        # many-tiny-stage fixpoint/funnel with extra task overhead
+        # (headline +1.8 s at 256k) — so the default stays the stock 1m
+        # and the known CPU-dense spots pin their parallelism
+        # structurally (e.g. simjoin's pre-groupBy repartition, which
+        # shares the aggregation exchange).  The env knob remains for
+        # cluster-side experimentation.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
