@@ -84,14 +84,16 @@ def _ancombc_lfc_frame(
         )
         .persist()
     )
-    n_features = y.select("feature_id").distinct().count()
     # every frame the iteration re-reads is skinny — materialize each once
     # (localCheckpoint also truncates lineage, keeping the per-round plan
     # constant instead of tripling it every iteration)
-    feats = y.select("feature_id").distinct().localCheckpoint()
     n_g = groups.groupBy("grp").agg(F.count("*").alias("n_g")).localCheckpoint()
     # sparse totals — computed once, reused every round
     fg = y.groupBy("feature_id", "grp").agg(F.sum("y").alias("fgs")).localCheckpoint()
+    # the feature dimension and its cardinality both ride the (already
+    # materialized, |features|×2-row) fg checkpoint — no second pass over y
+    feats = fg.select("feature_id").distinct().localCheckpoint()
+    n_features = feats.count()
     rowsum = (
         y.groupBy("sample_id", "grp").agg(F.sum("y").alias("rs")).localCheckpoint()
     )
@@ -126,9 +128,15 @@ def _ancombc_lfc_frame(
                 ).alias("delta"),
             )
         )
-        # truncate the per-round lineage: β_t would otherwise embed the
-        # whole δ_{t-1} → β_{t-1} → … chain (plan size grows ~3× per round)
-        beta = beta.localCheckpoint()
+        # truncate the per-round lineage: ONE barrier per round, on δ only.
+        # β's subtree is shallow once feats/n_g/fg are checkpointed (a
+        # crossJoin of tiny checkpointed relations + one left join), so
+        # checkpointing δ — whose plan embeds β_t over the PREVIOUS round's
+        # checkpointed δ — keeps the per-round plan constant-depth by
+        # itself.  The former per-round β checkpoint both added a second
+        # blocking job per round AND made δ's checkpoint re-execute the β
+        # subtree it had already materialized (δ was built from the
+        # pre-checkpoint β plan).  Values are expression-identical.
         delta = delta.localCheckpoint()
         dsum = delta.groupBy("grp").agg(F.sum("delta").alias("dsum"))
 

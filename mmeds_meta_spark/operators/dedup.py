@@ -1632,8 +1632,13 @@ def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("span_idx", "span_text"),
     ).withColumn("h", F.md5("span_text"))
-    counts = spans.groupBy("h").agg(F.count("*").alias("n_occ"))
-    flagged = spans.join(counts, "h").withColumn("dup", F.col("n_occ") > 1)
+    # COUNT(*) OVER (PARTITION BY h) instead of groupBy + join back: ONE
+    # pass over the span explode and ONE exchange on the uniform md5 key
+    # (the join form re-executed the explode — array_join + md5 per span —
+    # for the probe side; same n_occ per h, bit-identical output)
+    flagged = spans.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("h"))
+    ).withColumn("dup", F.col("n_occ") > 1)
     kept = F.array_join(
         F.transform(
             F.sort_array(
@@ -1811,8 +1816,17 @@ def dedup_substring_islands(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pos", "h"),
     )
-    counts = sh.groupBy("h").agg(F.count("*").alias("n_occ"))
-    dup = sh.join(counts, "h").filter(F.col("n_occ") > 1).select("doc_id", "pos")
+    # occurrence count as COUNT(*) OVER (PARTITION BY h): ONE pass over the
+    # exploded windows and ONE exchange on the uniform md5 key, instead of
+    # the former groupBy + self-join that re-executed the n_tokens-row
+    # md5-window explode (the dominant CPU of this operator) a second time
+    # for the probe side (r12: 2 corpus explodes → 1; plan: 8 → 5
+    # exchanges; same n_occ per h, bit-identical output)
+    dup = (
+        sh.withColumn("n_occ", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
     w_pos = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         dup.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
@@ -2557,10 +2571,14 @@ def ccnet_paras_report(paras: DataFrame) -> DataFrame:
     relation — the batch tail, run verbatim by the streaming twin's
     read side (keep-first is a MIN monoid over (doc_id, pos), so
     cross-batch distinct memberships fold exactly)."""
-    keeper = paras.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
-    flagged = paras.join(keeper, "h").withColumn(
+    # keeper election as MIN(struct) OVER (PARTITION BY h): ONE pass over
+    # the paragraph explode and ONE exchange on the uniform md5 key — the
+    # former groupBy + join back re-executed the paragraph explode (slice +
+    # array_join + normalize + md5 per paragraph) for the probe side.
+    # Same MIN monoid per h, bit-identical output.
+    flagged = paras.withColumn(
+        "first", F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("h"))
+    ).withColumn(
         "kept",
         (F.col("doc_id") == F.col("first.doc_id"))
         & (F.col("pos") == F.col("first.pos")),

@@ -1050,11 +1050,15 @@ def pipeline_ccnet_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from .text import _LANG_MARKERS, ccnet_bucket_assign, kn_bigram_scores
 
     paras = ccnet_paras(_t(spark, sf, "documents"))
-    keeper = paras.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
+    # keeper election as MIN(struct) OVER (PARTITION BY h) — one pass over
+    # the paragraph explode, one exchange (same rework as
+    # ccnet_paras_report: the groupBy + join-back form re-executed the
+    # explode for the probe side)
     dedup = (
-        paras.join(keeper, "h")
+        paras.withColumn(
+            "first",
+            F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("h")),
+        )
         .withColumn(
             "kept",
             (F.col("doc_id") == F.col("first.doc_id"))
