@@ -557,12 +557,15 @@ def mantel_permutation_test(
     Scale: pairs are block²/2 rows and perms add ×K on THAT bounded
     relation (never corpus-scale); the perm seed is samples × K rows,
     broadcast into the image lookups."""
+    # EAGER: consumed by obs + the sample dimension + the K perm branches —
+    # the lazy form re-expanded the full x/y distance subtrees into every
+    # consumer (the d4/d16 plan-re-expansion disease)
     p = (
         x_pairs.join(y_pairs, ["ua", "ub"])
         .withColumn("xx", F.expr("x * x"))
         .withColumn("yy", F.expr("y * y"))
         .withColumn("xy", F.expr("x * y"))
-        .localCheckpoint(eager=False)  # consumed by obs + K perm branches
+        .localCheckpoint(eager=True)
     )
     spark = p.sparkSession
     obs = p.agg(
@@ -586,7 +589,9 @@ def mantel_permutation_test(
         .union(p.select("ub"))
         .distinct()
     )
-    perm = _perm_seed(spark, samples, n_perm)
+    # samples×K bounded rows, consumed by BOTH image-lookup broadcasts —
+    # checkpoint so the seed's window sort runs once, not per side
+    perm = _perm_seed(spark, samples, n_perm).localCheckpoint(eager=True)
     ks = spark.range(1, n_perm + 1).select(F.col("id").alias("k"))
     pa = perm.select(
         "k", F.col("sample").alias("ua"), F.col("image").alias("ia")
@@ -594,7 +599,11 @@ def mantel_permutation_test(
     pb = perm.select(
         "k", F.col("sample").alias("ub"), F.col("image").alias("ib")
     )
-    yk = y_pairs.select(
+    # Y's canonical-pair lookup table rides the p checkpoint (p carries the
+    # y column for exactly the pair set the contract guarantees y_pairs
+    # covers) instead of re-executing the whole y-metric subtree a second
+    # time
+    yk = p.select(
         F.col("ua").alias("ya"), F.col("ub").alias("yb"), F.col("y").alias("py")
     )
     permuted = (
@@ -700,13 +709,23 @@ def d4_permanova(
     demo operators use.  p-value is +1/+1 corrected, one-sided."""
     from .diversity import d2_bray_curtis
 
+    # EAGER checkpoint: consumed by sst + the K+1 perm branches + the
+    # sample-dimension relations.  The former lazy checkpoint left the
+    # whole Bray-Curtis subtree in the logical plan, so every consumer
+    # re-expanded it — 222 exchanges / 128 scans in the audited physical
+    # plan (the exact disease d16_permdisp was cured of in round 7);
+    # eager truncation collapses it to a handful over the pair-bounded
+    # materialization (r12: 2.96 → ~2.3 s min at sf0.1, same rows).
     p = (
         d2_bray_curtis(spark, sf)
         .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
-        .localCheckpoint(eager=False)  # consumed by sst + K+1 perm branches
+        .localCheckpoint(eager=True)
     )
     samples = (
-        p.select(F.col("ua").alias("sample")).union(p.select("ub")).distinct()
+        p.select(F.col("ua").alias("sample"))
+        .union(p.select("ub"))
+        .distinct()
+        .localCheckpoint(eager=True)  # n bounded rows; scal + ng + perm read it
     )
     scal = samples.agg(F.count("*").alias("n"))
     ng = samples.groupBy((F.col("sample") % 3).alias("g")).agg(
@@ -739,11 +758,19 @@ def d4_permanova(
             ).alias("ssw")
         )
     )
-    f = ssw.crossJoin(F.broadcast(sst)).crossJoin(F.broadcast(agrp)).select(
-        "k",
-        F.expr(
-            "((sst - ssw) / CAST(a - 1 AS DOUBLE)) / (ssw / CAST(n - a AS DOUBLE))"
-        ).alias("f"),
+    f = (
+        ssw.crossJoin(F.broadcast(sst))
+        .crossJoin(F.broadcast(agrp))
+        .select(
+            "k",
+            F.expr(
+                "((sst - ssw) / CAST(a - 1 AS DOUBLE)) / (ssw / CAST(n - a AS DOUBLE))"
+            ).alias("f"),
+        )
+        # K+1 rows, consumed by obs AND hits — without the truncation each
+        # consumer re-expands the whole K+1×pairs permutation-join chain
+        # (the d16_permdisp discipline)
+        .localCheckpoint(eager=True)
     )
     obs = f.filter(F.col("k") == 0).select(F.col("f").alias("pseudo_f"))
     hits = (
@@ -800,7 +827,9 @@ def d10_anosim(
     p = (
         d2_bray_curtis(spark, sf)
         .select("ua", "ub", F.col("bray_curtis").alias("d"))
-        .localCheckpoint(eager=False)  # consumed by rank build + pair probe
+        # EAGER: rank build + pair probe each re-expanded the Bray-Curtis
+        # subtree under the lazy form (d4/d16 plan-re-expansion disease)
+        .localCheckpoint(eager=True)
     )
     dist = p.groupBy("d").agg(F.count("*").cast("long").alias("cnt")).withColumn(
         "b", F.expr("CAST(FLOOR(d * 1024) AS BIGINT)")
@@ -830,7 +859,7 @@ def d10_anosim(
     pr = (
         p.join(ranked, "d")
         .select("ua", "ub", "mr2")
-        .localCheckpoint(eager=False)  # consumed by totals + K+1 perm branches
+        .localCheckpoint(eager=True)  # totals + K+1 perm branches
     )
     tot = pr.agg(F.count("*").cast("long").alias("m"), F.sum("mr2").alias("t2"))
     samples = (
@@ -840,7 +869,10 @@ def d10_anosim(
     agrp = samples.agg(
         F.expr("CAST(COUNT(DISTINCT sample % 3) AS BIGINT)").alias("a")
     )
-    perm = _perm_seed(spark, samples, n_perm, include_identity=True)
+    # samples×(K+1) bounded rows, consumed by both image broadcasts
+    perm = _perm_seed(spark, samples, n_perm, include_identity=True).localCheckpoint(
+        eager=True
+    )
     ks = spark.range(0, n_perm + 1).select(F.col("id").alias("k"))
     pa = perm.select(
         "k", F.col("sample").alias("ua"), (F.col("image") % 3).alias("ga")
@@ -856,13 +888,18 @@ def d10_anosim(
         .groupBy("k")
         .agg(F.sum("mr2").alias("s2w"), F.count("*").cast("long").alias("nw"))
     )
-    r = within.crossJoin(F.broadcast(tot)).select(
-        "k",
-        F.expr(
-            "((CAST(t2 - s2w AS DOUBLE) / CAST(2 * (m - nw) AS DOUBLE))"
-            " - (CAST(s2w AS DOUBLE) / CAST(2 * nw AS DOUBLE)))"
-            " / (CAST(m AS DOUBLE) / 2)"
-        ).alias("r"),
+    r = (
+        within.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.expr(
+                "((CAST(t2 - s2w AS DOUBLE) / CAST(2 * (m - nw) AS DOUBLE))"
+                " - (CAST(s2w AS DOUBLE) / CAST(2 * nw AS DOUBLE)))"
+                " / (CAST(m AS DOUBLE) / 2)"
+            ).alias("r"),
+        )
+        # K+1 rows, consumed by obs AND hits (the d16 discipline)
+        .localCheckpoint(eager=True)
     )
     obs = r.filter(F.col("k") == 0).select(F.col("r").alias("anosim_r"))
     hits = r.crossJoin(F.broadcast(obs)).agg(
@@ -908,7 +945,9 @@ def d4_permanova_pairwise(
     p = (
         d2_bray_curtis(spark, sf)
         .select("ua", "ub", F.expr("bray_curtis * bray_curtis").alias("dd"))
-        .localCheckpoint(eager=False)  # probed once per gp subset
+        # EAGER: the gp-subset probes re-expanded the Bray-Curtis subtree
+        # under the lazy form
+        .localCheckpoint(eager=True)
     )
     s = (
         p.select(F.col("ua").alias("sample"))
@@ -930,7 +969,7 @@ def d4_permanova_pairwise(
         F.broadcast(gpairs)
         .join(s, (F.col("g") == F.col("g1")) | (F.col("g") == F.col("g2")))
         .select("gp", "sample", "g")
-        .localCheckpoint(eager=False)  # seed + two probe joins + sizes
+        .localCheckpoint(eager=True)  # seed + two probe joins + sizes
     )
     ng = mem.groupBy("gp", "g").agg(F.count("*").cast("long").alias("n_g"))
     nsub = mem.groupBy("gp").agg(F.count("*").cast("long").alias("n"))
@@ -938,7 +977,7 @@ def d4_permanova_pairwise(
         p.join(mem.select("gp", F.col("sample").alias("ua")), "ua")
         .join(mem.select("gp", F.col("sample").alias("ub")).alias("mb"), ["gp", "ub"])
         .select("gp", "ua", "ub", "dd")
-        .localCheckpoint(eager=False)  # SST + K+1 perm branches
+        .localCheckpoint(eager=True)  # SST + K+1 perm branches
     )
     sst = (
         sub.groupBy("gp")
@@ -985,10 +1024,15 @@ def d4_permanova_pairwise(
             ).alias("ssw")
         )
     )
-    f = ssw.join(F.broadcast(sst), "gp").select(
-        "gp",
-        "k",
-        F.expr("(sst - ssw) / (ssw / CAST(n - 2 AS DOUBLE))").alias("f"),
+    f = (
+        ssw.join(F.broadcast(sst), "gp")
+        .select(
+            "gp",
+            "k",
+            F.expr("(sst - ssw) / (ssw / CAST(n - 2 AS DOUBLE))").alias("f"),
+        )
+        # gp×(K+1) rows, consumed by obs AND hits (the d16 discipline)
+        .localCheckpoint(eager=True)
     )
     obs = f.filter(F.col("k") == 0).select("gp", F.col("f").alias("pseudo_f"))
     hits = (
@@ -1124,7 +1168,9 @@ def d11_alpha_group_significance(
     alpha = (
         d1_shannon_diversity(spark, sf)
         .select(F.col("user_id").alias("sample"), F.col("shannon").alias("v"))
-        .localCheckpoint(eager=False)  # consumed by rank build + perm probe
+        # EAGER: rank build + perm probe each re-expanded the Shannon
+        # subtree under the lazy form
+        .localCheckpoint(eager=True)
     )
     vt = alpha.groupBy("v").agg(F.count("*").cast("long").alias("t"))
     bounds = vt.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
@@ -1159,7 +1205,7 @@ def d11_alpha_group_significance(
     av = (
         alpha.join(ranked, "v")
         .select("sample", "mr2")
-        .localCheckpoint(eager=False)  # consumed by totals + K+1 perm branches
+        .localCheckpoint(eager=True)  # totals + K+1 perm branches
     )
     ng = av.groupBy((F.col("sample") % 3).alias("g")).agg(
         F.count("*").cast("long").alias("n_g")
@@ -1205,6 +1251,8 @@ def d11_alpha_group_significance(
                 " / (CAST(n AS DOUBLE) * n * n - n))"
             ).alias("h"),
         )
+        # K+1 rows, consumed by obs AND hits (the d16 discipline)
+        .localCheckpoint(eager=True)
     )
     obs = h.filter(F.col("k") == 0).select(F.col("h").alias("h_stat"))
     hits = h.crossJoin(F.broadcast(obs)).agg(
@@ -1894,9 +1942,25 @@ def pipeline_core_metrics(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     # sh and ch are sample-bounded (one row per sample) and each feeds
-    # TWO metric branches — checkpoint so the plan states that reuse too
-    sh = d1_shannon_diversity(spark, sf, counts=cnts).localCheckpoint(eager=True)
-    ch = d15_chao1_coverage(spark, sf, counts=cnts).localCheckpoint(eager=True)
+    # TWO metric branches — checkpoint so the plan states that reuse too.
+    # The two checkpoints are INDEPENDENT consumers of the cnts
+    # checkpoint, so their materialization jobs are submitted from two
+    # driver threads (the d13_procrustes overlap pattern, guide §2.6):
+    # plans and results are bit-identical, only the submission order
+    # differs.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fsh = pool.submit(
+            lambda: d1_shannon_diversity(spark, sf, counts=cnts).localCheckpoint(
+                eager=True
+            )
+        )
+        fch = pool.submit(
+            lambda: d15_chao1_coverage(spark, sf, counts=cnts).localCheckpoint(
+                eager=True
+            )
+        )
+        sh = fsh.result()
+        ch = fch.result()
     parts = [
         alpha(sh, "n_features", "observed_features"),
         alpha(sh, "shannon", "shannon"),
