@@ -42,7 +42,8 @@ SHARD_3=(tests/test_operators_oracle.py tests/test_dedup_skew.py  # operators
          tests/test_badwords_filter.py tests/test_advice_r11.py
          tests/test_kn_bigram.py
          tests/test_html_extract.py tests/test_advice_r12.py
-         tests/test_verify_harness.py tests/test_ccnet_funnel.py)
+         tests/test_verify_harness.py tests/test_ccnet_funnel.py
+         tests/test_optimization_r12.py)
 SHARD_4=(tests/test_sources_streaming.py tests/test_streaming_ingest.py  # streams + study paths
          tests/test_multimodal.py tests/test_meta_study.py
          tests/test_mixed_subjects.py tests/test_animal_path.py
