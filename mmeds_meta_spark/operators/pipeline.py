@@ -18,6 +18,8 @@ stages; Catalyst prunes every branch to the columns it needs.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -879,18 +881,28 @@ def pipeline_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", "source", F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("tk")
     )
-    stats = (
-        d.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.expr("SUM(tk)").cast("long").alias("n_tokens"),
+    # The two checkpointed inputs are INDEPENDENT corpus passes (token
+    # stats vs the distinct-shingle matrix), so their materialization
+    # jobs submit from two driver threads and each back-fills the
+    # other's barrier tail (the d13/core-metrics overlap pattern;
+    # plans and results unchanged — only submission order differs).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(
+            lambda: d.groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.expr("SUM(tk)").cast("long").alias("n_tokens"),
+            )
+            .localCheckpoint(eager=True)  # |sources| rows, read by 3 stages
         )
-        .localCheckpoint(eager=True)  # |sources| rows, read by 3 stages
-    )
-    # |sources|²-bounded; the directed view reads it TWICE (both pair
-    # orientations) — checkpoint so the plan states the reuse instead of
-    # restating the whole shingle machinery per union branch
-    m = dedup_cross_source_matrix(spark, sf).localCheckpoint(eager=True)
+        # |sources|²-bounded; the directed view reads it TWICE (both pair
+        # orientations) — checkpoint so the plan states the reuse instead
+        # of restating the whole shingle machinery per union branch
+        f_m = pool.submit(
+            lambda: dedup_cross_source_matrix(spark, sf).localCheckpoint(eager=True)
+        )
+        stats = f_stats.result()
+        m = f_m.result()
     directed = m.select(
         F.col("source_a").alias("source"),
         F.col("source_b").alias("partner"),
