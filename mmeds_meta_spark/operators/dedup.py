@@ -375,13 +375,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # re-verified with exact integer-ratio Jaccard in
     # :func:`dedup_lsh_verified`, so precision is never affected.
     long = _banded_long(sh)
-    ok_buckets = (
-        long.groupBy("band_id", "band_key")
-        .agg(F.count("*").alias("__w"))
+    # Bucket-cap election as COUNT(*) OVER the band key, not a
+    # groupBy-count + join-back (the r12 window-count-election rework the
+    # span/paragraph dedup family got): the join-back form re-reads
+    # ``long`` for the probe side and shuffles the bucket-width relation —
+    # which at corpus scale is |docs|·bands/width rows, never
+    # broadcastable — while the window computes the same cap filter
+    # inside the ONE exchange on (band_id, band_key) the self-join needs
+    # anyway (the join's both sides inherit that partitioning, so the
+    # candidate join adds NO further shuffle).
+    capped = (
+        long.withColumn(
+            "__w", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+        )
         .filter(F.col("__w") <= _BUCKET_CAP)
-        .select("band_id", "band_key")
+        .drop("__w")
     )
-    capped = long.join(ok_buckets, ["band_id", "band_key"])
     other = capped.select(
         F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("band_key").alias("band_key2")
     )
@@ -1381,10 +1390,20 @@ def dedup_cluster_components(
         ).localCheckpoint()
         return ck, ob.get["s"]
 
+    # Seed labels one adopt-min step ahead: label₀(v) = min(v, min
+    # neighbor) — the same groupBy the identity init's distinct() paid,
+    # but it fuses round 1's neighbor-min step into the init
+    # materialization (r12: one fewer 2-join fixpoint round).  The label
+    # is still a node id inside v's component and ≤ v, which is the
+    # invariant the pointer jump and the min-fixpoint need; the fixpoint
+    # (= component min) is independent of any such seed.
     labels, prev_sum = _ckpt_with_sum(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "nmin").alias("label"),
+        )
     )
     while True:
         nbr = (
