@@ -119,7 +119,15 @@ def _train(
     """Run the merge loop; returns (merge table, final encoded vocab) —
     the trainer's last state IS the corpus vocabulary with every merge
     applied, so the encode side comes for free."""
-    syms_df = _word_symbols(spark, sf).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop (the sample_kcenter_coreset
+    # discipline): each checkpoint still truncates the fold-expression
+    # lineage (the returned frame is LogicalRDD-backed either way), but
+    # the very next per-merge argmax ``collect()`` is the materializing
+    # action — its pair-count aggregation reads every partition, so the
+    # checkpoint rides that job instead of paying its own serial barrier
+    # (eager form: n_merges/2 + 1 extra jobs per train; consumers are
+    # strictly sequential, so the lazy RDD is never computed twice).
+    syms_df = _word_symbols(spark, sf).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step_no in range(1, n_merges + 1):
         best = (
@@ -134,7 +142,7 @@ def _train(
         merges.append((step_no, lhs, rhs, cnt))
         syms_df = syms_df.withColumn("syms", _merge_fold(lhs, rhs))
         if step_no % 2 == 0:  # truncate the fold-expression lineage
-            syms_df = syms_df.localCheckpoint(eager=True)
+            syms_df = syms_df.localCheckpoint(eager=False)
     return merges, syms_df
 
 
