@@ -761,7 +761,26 @@ def pipeline_dedup_funnel(
             F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("nf"))
         ).alias("norm_keep"),
     )
-    comp = clusters if clusters is not None else dedup_cluster_components(spark, sf)
+    if clusters is not None:
+        comp = clusters
+    else:
+        # The md5-keeper flag relation and the whole CC chain (SimHash
+        # sigs → banded pairs → contraction → pointer-jump fixpoint) are
+        # INDEPENDENT until the final doc_id join, and the CC chain is a
+        # serial ladder of bounded barrier jobs that leaves executors
+        # idle — so the flags relation materializes from a second driver
+        # thread and back-fills those idle slots (the d13/mixture-plan
+        # §2.6 overlap pattern).  ``base`` is NARROW (doc_id + 3 scalars,
+        # never the text), so the checkpoint is a thin keeper table —
+        # the same per-doc flag relation a real dedup-planning run
+        # materializes — not a corpus-payload copy.  Plans and results
+        # are unchanged up to the checkpoint boundary; only submission
+        # order differs.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_base = pool.submit(lambda: base.localCheckpoint(eager=True))
+            f_comp = pool.submit(lambda: dedup_cluster_components(spark, sf))
+            base = f_base.result()
+            comp = f_comp.result()
     cmin = comp.select(
         "doc_id",
         (

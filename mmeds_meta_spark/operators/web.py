@@ -29,6 +29,8 @@ Scale shape at 100 TB:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -343,21 +345,32 @@ def web_host_pagerank(
         F.sum("w").cast("long").alias("w_out"),
         F.count("*").cast("long").alias("n_out"),
     )
-    p = (
-        edges.join(outw, "src_host")
-        .select(
-            "src_host",
-            "dst_host",
-            F.expr(f"(w * {_PR_SCALE}) div w_out").alias("p_micro"),
+    # ``p`` and ``nodes`` both derive from the edges checkpoint alone —
+    # the inner join with outw keeps EVERY edge row (outw is grouped
+    # from edges itself, so every src_host has a match), hence
+    # nodes-from-edges is the identical host set nodes-from-p was.
+    # That makes the two bounded materializations INDEPENDENT, so they
+    # submit from two driver threads and each back-fills the other's
+    # barrier tail (the d13/mixture-plan §2.6 overlap pattern; plans
+    # and results unchanged — only submission order differs).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_p = pool.submit(
+            lambda: edges.join(outw, "src_host")
+            .select(
+                "src_host",
+                "dst_host",
+                F.expr(f"(w * {_PR_SCALE}) div w_out").alias("p_micro"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        p.select(F.col("src_host").alias("host"))
-        .union(p.select(F.col("dst_host").alias("host")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        f_nodes = pool.submit(
+            lambda: edges.select(F.col("src_host").alias("host"))
+            .union(edges.select(F.col("dst_host").alias("host")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        p = f_p.result()
+        nodes = f_nodes.result()
     ranks = nodes.select(
         "host", F.lit(_PR_SCALE).cast("long").alias("rank_micro")
     )
