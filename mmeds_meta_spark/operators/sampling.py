@@ -547,12 +547,25 @@ def _dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("a")
     )
-    uni = d.select("doc_id", "source", F.explode("a").alias("f"))
-    big = d.select(
+    # unigram + bigram features from ONE explode over the concatenated
+    # array — the union-of-two-explodes form scanned (and re-split) the
+    # corpus twice for what is a single feature stream (r12: one parquet
+    # scan, one split per doc; the feature multiset is identical, and
+    # order never matters under the groupBy).  The raw docs repartition
+    # first — the same single-input-split rescue _doc_shingles documents:
+    # the test corpus is one parquet row group, which would serialize the
+    # md5-heavy explode+partial-agg into one task (the union form hid
+    # that behind its two parallel branches); a many-file 100 TB corpus
+    # already yields thousands of splits, where this becomes a
+    # balance/no-op shuffle
+    feats = d.repartition("doc_id").select(
         "doc_id",
         "source",
         F.explode(
-            F.expr("transform(slice(a, 1, size(a) - 1), (x, i) -> concat(x, ' ', a[i + 1]))")
+            F.expr(
+                "concat(a, transform(slice(a, 1, size(a) - 1),"
+                " (x, i) -> concat(x, ' ', a[i + 1])))"
+            )
         ).alias("f"),
     )
     bexpr = _bucket_expr("spark", "f")
@@ -560,8 +573,7 @@ def _dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
     # raw LM, candidate scoring) — checkpoint so the explode+agg runs once
     # (at cluster scale: persist(DISK_ONLY) or a checkpoint table)
     cnt = (
-        uni.unionByName(big)
-        .select("doc_id", "source", F.expr(bexpr).alias("b"))
+        feats.select("doc_id", "source", F.expr(bexpr).alias("b"))
         .groupBy("doc_id", "source", "b")
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=True)
