@@ -603,11 +603,28 @@ def kn_bigram_scores(d: DataFrame, *, vocab_k: int = _BLM_VOCAB_K) -> DataFrame:
         "pos",
         "sym",
         F.coalesce(F.lag("sym").over(w), F.lit(_BLM_BOS)).alias("prev"),
-    ).localCheckpoint(eager=False)  # consumed by train (3x) AND apply
-    bgc = bg.groupBy("prev", "sym").agg(F.count("*").cast("long").alias("c_bg"))
-    ctx = bg.groupBy("prev").agg(
-        F.count("*").cast("long").alias("c_ctx"),
-        F.expr("CAST(COUNT(DISTINCT sym) AS BIGINT)").alias("n1f"),
+    ).localCheckpoint(eager=False)  # consumed by train AND apply
+    # The bigram-count model relation is BOUNDED ((V+2)·(V+1) by the
+    # vocab cap) yet its aggregation subtree appeared once per consumer
+    # in the static plan (ctx/back/nbg/apply-broadcast).  AQE's runtime
+    # exchange reuse was absorbing the re-execution (identical
+    # canonicalized subtrees), so this checkpoint is NOT a corpus-pass
+    # saving at runtime — it makes the single-aggregation property
+    # STRUCTURAL (no reliance on runtime reuse inside one job) and
+    # removes the duplicated analysis/codegen of the subtree (A/B'd:
+    # wall-time a wash at sf0.1, kept for the guarantee).  ctx now
+    # derives from bgc exactly: c_ctx = Σ c_bg and n1f = COUNT(*) per
+    # prev are the same BIGINTs COUNT(*)/COUNT(DISTINCT sym) over bg
+    # produced — that DOES drop one corpus-relation aggregation with a
+    # distinct-expand, the one branch runtime reuse could not cover.
+    bgc = (
+        bg.groupBy("prev", "sym")
+        .agg(F.count("*").cast("long").alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bgc.groupBy("prev").agg(
+        F.expr("CAST(SUM(c_bg) AS BIGINT)").alias("c_ctx"),
+        F.count("*").cast("long").alias("n1f"),
     )
     back = bgc.groupBy("sym").agg(F.count("*").cast("long").alias("n1b"))
     nbg = bgc.agg(F.count("*").cast("long").alias("n_bg"))
@@ -773,8 +790,16 @@ def text_kn_modified_bigram_lm(
         "pos",
         "sym",
         F.coalesce(F.lag("sym").over(w), F.lit(_BLM_BOS)).alias("prev"),
-    ).localCheckpoint(eager=False)  # consumed by train (3x) AND apply
-    bgc = bg.groupBy("prev", "sym").agg(F.count("*").cast("long").alias("c_bg"))
+    ).localCheckpoint(eager=False)  # consumed by train AND apply
+    # bounded model relation, checkpointed once — see kn_bigram_scores
+    # (same rationale: structural single-aggregation for the four
+    # consumers instead of relying on AQE runtime exchange reuse, and no
+    # duplicated analysis/codegen of the agg subtree)
+    bgc = (
+        bg.groupBy("prev", "sym")
+        .agg(F.count("*").cast("long").alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
     ctx = bgc.groupBy("prev").agg(
         F.expr("CAST(SUM(c_bg) AS BIGINT)").alias("c_ctx"),
         F.expr("CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1v"),
@@ -934,8 +959,19 @@ def text_kn_trigram_lm(
         F.col("sym").alias("w"),
         F.coalesce(F.lag("sym", 1).over(w), F.lit(_BLM_BOS)).alias("v"),
         F.coalesce(F.lag("sym", 2).over(w), F.lit(_BLM_BOS)).alias("u"),
-    ).localCheckpoint(eager=False)  # consumed by train (5x) AND apply
-    tgc = tg.groupBy("u", "v", "w").agg(F.count("*").cast("long").alias("c3"))
+    ).localCheckpoint(eager=False)  # consumed by train AND apply
+    # bounded model relation (≤ (K+2)²·(K+1) trigram types), checkpointed
+    # once — the static plan held this aggregation subtree once per
+    # derived model table (ctx3/mid/midctx/back/nbg + apply broadcast);
+    # AQE runtime exchange reuse was absorbing the re-execution, so the
+    # checkpoint's value is structural (single aggregation without
+    # relying on runtime reuse) plus the duplicated analysis/codegen it
+    # removes (A/B'd: wall-time a wash at sf0.1, kept for the guarantee)
+    tgc = (
+        tg.groupBy("u", "v", "w")
+        .agg(F.count("*").cast("long").alias("c3"))
+        .localCheckpoint(eager=True)
+    )
     ctx3 = tgc.groupBy("u", "v").agg(
         F.expr("CAST(SUM(c3) AS BIGINT)").alias("c_ctx3"),
         F.count("*").cast("long").alias("n1f3"),
