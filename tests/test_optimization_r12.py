@@ -96,3 +96,92 @@ def test_span_exact_values_unchanged(spark):
     for r in rows.values():
         assert 0 <= r.n_dup_spans <= r.n_spans
         assert abs(r.dup_ratio - r.n_dup_spans / r.n_spans) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# session-3 reworks
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_bucket_cap_is_window(spark):
+    """dedup_minhash_lsh: the bucket cap must be a window count over the
+    band key, never a groupBy-count + join-back — the width table is
+    |buckets|-sized (corpus-scale, not broadcastable at 100 TB) and the
+    join-back re-read the banded relation.  One Window, and exactly ONE
+    join (the candidate self-join)."""
+    from mmeds_meta_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _formatted_plan(dedup_minhash_lsh(spark, SF))
+    # the windowed cap relation is restated once per self-join side (its
+    # exchange is reused at runtime); the join-back form had ZERO Window
+    # nodes and TWO joins (ok_buckets + self-join)
+    assert 1 <= _nodes(plan, "Window") <= 2, plan
+    assert (
+        _nodes(plan, "(?:BroadcastHash|SortMerge|ShuffledHash)Join") == 1
+    ), plan
+
+
+def test_dsir_feature_fusion_is_value_identical(spark):
+    """The fused unigram+bigram explode must yield the identical
+    (doc_id, b, c) relation the former union-of-two-explodes produced
+    (order never matters under the groupBy)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x"), (3, "p q")],
+        "doc_id LONG, text STRING",
+    )
+    d = docs.select("doc_id", F.split("text", " ").alias("a"))
+    fused = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(a, transform(slice(a, 1, size(a) - 1),"
+                " (x, i) -> concat(x, ' ', a[i + 1])))"
+            )
+        ).alias("f"),
+    )
+    uni = d.select("doc_id", F.explode("a").alias("f"))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, size(a) - 1),"
+                " (x, i) -> concat(x, ' ', a[i + 1]))"
+            )
+        ).alias("f"),
+    )
+    agg = lambda df: sorted(  # noqa: E731
+        df.groupBy("doc_id", "f").count().collect(),
+        key=lambda r: (r.doc_id, r.f),
+    )
+    assert agg(fused) == agg(uni.unionByName(big))
+
+
+def test_cc_seeded_init_components_canonical(spark):
+    """The seeded fixpoint init (label₀ = min(v, min neighbor)) must land
+    on the identical component labeling: every cluster_id is the
+    component MIN, so it appears as its own member row."""
+    from mmeds_meta_spark.operators.dedup import dedup_cluster_components
+
+    rows = dedup_cluster_components(spark, SF).collect()
+    ids = {r.doc_id: r.cluster_id for r in rows}
+    assert rows, "sf0.001 must produce near-dup pairs"
+    for doc, cl in ids.items():
+        assert cl <= doc
+        assert ids.get(cl) == cl, (doc, cl)
+
+
+def test_bpe_train_checkpoints_ride_the_collects(spark):
+    """The trainer's lineage-truncation checkpoints are LAZY: the next
+    merge's argmax collect materializes them, so a full train runs at
+    most warm-up + 2 jobs per merge (the eager form paid n/2 + 1 extra
+    serial checkpoint jobs on top)."""
+    from mmeds_meta_spark.operators.bpe import _N_MERGES, bpe_train
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    bpe_train(spark, SF).collect()
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    # measured: eager-checkpoint form 24 jobs, lazy form 19 (AQE stage
+    # jobs included); 20 separates the two cleanly at every SF
+    assert n_jobs <= 2 * _N_MERGES + 4, n_jobs
